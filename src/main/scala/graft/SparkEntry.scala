@@ -1,13 +1,503 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Sessionize, Similarity}
+import graft.plans.TablePlan
+import graft.sources.PqRepo
+
+/** Driver contract — the operator inventory of SURVEY.md §2, each entry a
+  * `queries` item; SQL-expressible entries carry a DuckDB oracle in
+  * [[oracleSql]].
+  *
+  * Oracle-stability conventions (see SURVEY §6): money/quantity aggregates
+  * are exact integer cents (`round(x*100)::bigint` summed); averages use
+  * integer division; timestamps are compared as epoch seconds or dates;
+  * vector math uses identical sequential fold order on both engines and is
+  * rounded to 6 dp; every derived column is aliased identically on both
+  * sides.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // The events table carries TIMESTAMP(NANOS) parquet, which Spark's
+    // vectorized reader rejects; read nanos as long and rebuild a naive
+    // microsecond timestamp (wall clock preserved; session tz is UTC).
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Exact integer cents from a 2-dp-valued double column. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("bigint")
+
+  private def epochSec(c: Column): Column = unix_timestamp(c.cast("timestamp"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q5_star_join")(spark, "/root/testdata/sf0.001")
+
+  // ===== §2.1 plan/ETL surface ==============================================
+
+  private def planKeepDrop(s: SparkSession, dir: String): DataFrame =
+    TablePlan(
+      keep = Seq("^l_(orderkey|linenumber|quantity|returnflag)$"),
+      where = Some("l_quantity > 45")
+    )(t(s, dir, "lineitem"))
+
+  private def planRenameCast(s: SparkSession, dir: String): DataFrame =
+    TablePlan(
+      keep = Seq("^l_(orderkey|linenumber|quantity|extendedprice)$"),
+      rename = Map("l_quantity" -> "qty", "l_extendedprice" -> "price"),
+      colTypes = Map("qty" -> "int4")
+    )(t(s, dir, "lineitem"))
+
+  private def planBoolCast(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      elt(pmod(col("l_linenumber"), lit(6)) + 1,
+        lit("t"), lit("false"), lit("YES"), lit("0"), lit("1.0"), lit("junk"))
+        .as("b"))
+    TablePlan(colTypes = Map("b" -> "bool"))(src)
+  }
+
+  private def planObs(s: SparkSession, dir: String): DataFrame =
+    TablePlan(
+      keep = Seq("^l_(orderkey|linenumber|quantity|returnflag)$"),
+      obs = Some(500)
+    )(t(s, dir, "lineitem").orderBy("l_orderkey", "l_linenumber"))
+
+  private def planTz(s: SparkSession, dir: String): DataFrame =
+    TablePlan(keep = Seq("^(event_id|ts)$"), tz = Some("America/New_York"))(
+      t(s, dir, "events"))
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ts_epoch"))
+
+  private def planFull(s: SparkSession, dir: String): DataFrame =
+    TablePlan(
+      keep = Seq("^o_(orderkey|custkey|totalprice|orderdate)$"),
+      rename = Map("o_totalprice" -> "total"),
+      colTypes = Map("o_orderdate" -> "date"),
+      where = Some("o_custkey % 10 = 3")
+    )(t(s, dir, "orders"))
+
+  private def repoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val repo = PqRepo(s, Files.createTempDirectory("graft_entry_repo").toString)
+    repo.write(t(s, dir, "nation"), "tpch", "nation",
+      modified = Some("x (Updated 2024-05-01)"))
+    repo.table("tpch", "nation")
+      .withColumn("last_modified",
+        lit(repo.lastModified("tpch", "nation").getOrElse("")))
+  }
+
+  // ===== §2.2 analytics =====================================================
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price_c"),
+        count(lit(1)).as("n"))
+      .withColumn("avg_qty_c", expr("sum_qty_c div n"))
+
+  private def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  private def q5StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_c"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  private def qTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_orderpriority")
+          .orderBy(col("price_c").desc, col("o_orderkey").asc)).cast("bigint"))
+      .filter(col("rn") <= 3)
+  }
+
+  private def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("od"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("cum_price_c",
+        sum(col("price_c")).over(
+          byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_gap_days",
+        datediff(col("od"), lag(col("od"), 1).over(byCust)).cast("bigint"))
+      .drop("od")
+  }
+
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey")
+    val o = t(s, dir, "orders").select("o_custkey")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .withColumn("status", lit("has_orders"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .withColumn("status", lit("no_orders"))
+    semi.unionByName(anti)
+  }
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+
+  private def qDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+  private def qAsOf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val o = t(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    AsOfJoin.nearestPrior(e, o,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTs = "ts", rightTs = "o_orderdate",
+      payloads = Seq("o_orderkey"))
+      .select(col("event_id"), epochSec(col("ts")).as("ts_epoch"), col("o_orderkey"))
+  }
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionStats(t(s, dir, "events"),
+      keyCol = "user_id", tsCol = "ts", valueCol = "value", gapSeconds = 1800)
+
+  private def streamEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("ts").cast("timestamp").as("tst"), col("event_type"),
+        cents(col("value")).as("value_c"))
+      .groupBy(window(col("tst"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("value_sum_c"))
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("value_sum_c"))
+
+  // ===== §2.3 LLM-pipeline operators ========================================
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    Dedup.exact(d.unionByName(dup), Seq("text"), Seq(col("doc_id")))
+      .select("doc_id", "text")
+  }
+
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).cast("bigint").as("n_ws"),
+      TextFunctions.bpeTokenCount(col("text")).cast("bigint").as("n_bpe"))
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+
+  private def langIdQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+
+  private def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+
+  private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("g"))
+    d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(Dedup.ngramJaccard(col("a.g"), col("b.g")), 6).as("jaccard"))
+  }
+
+  private def embedCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val near = d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text").substr(lit(1),
+        greatest(length(col("text")) - 30, lit(50))), lit(" appended tail"))
+        .as("text"))
+    Dedup.minhashPairs(d.unionByName(near), "doc_id", "text",
+      shingleK = 5, numHashes = 48, bands = 12, threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val near = d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text").substr(lit(1),
+        greatest(length(col("text")) - 30, lit(50))), lit(" appended tail"))
+        .as("text"))
+    Dedup.simhashPairs(d.unionByName(near), "doc_id", "text", maxHamming = 10)
+  }
+
+  private def embedLshAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.annBuckets(t(s, dir, "embeddings"), "vec_id", "embedding",
+      numPlanes = 8, dim = 64, minCos = 0.15)
+
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.documentBytesPipeline(s, t(s, dir, "documents"))
+
+  // ===== registry ===========================================================
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
+      "plan_keep_drop" -> (planKeepDrop _),
+      "plan_rename_cast" -> (planRenameCast _),
+      "plan_bool_cast" -> (planBoolCast _),
+      "plan_obs" -> (planObs _),
+      "plan_tz" -> (planTz _),
+      "plan_full" -> (planFull _),
+      "repo_roundtrip" -> (repoRoundtrip _),
+      "q1_agg" -> (q1Agg _),
+      "q3_join_agg" -> (q3JoinAgg _),
+      "q5_star_join" -> (q5StarJoin _),
+      "q_topn" -> (qTopN _),
+      "q_window" -> (qWindow _),
+      "q_semi_anti" -> (qSemiAnti _),
+      "q_rollup" -> (qRollup _),
+      "q_distinct" -> (qDistinct _),
+      "q_asof" -> (qAsOf _),
+      "q_sessionize" -> (qSessionize _),
+      "stream_events" -> (streamEvents _),
+      "dedup_exact" -> (dedupExact _),
+      "token_count" -> (tokenCount _),
+      "text_quality" -> (textQuality _),
+      "lang_id" -> (langIdQ _),
+      "doc_fingerprint" -> (docFingerprint _),
+      "ngram_jaccard" -> (ngramJaccardQ _),
+      "embed_cosine_topk" -> (embedCosineTopK _),
+      "dedup_minhash" -> (dedupMinhash _),
+      "dedup_simhash" -> (dedupSimhash _),
+      "embed_lsh_ann" -> (embedLshAnn _),
+      "multimodal_meta" -> (multimodalMeta _)
+    )
+
+  // ===== oracles ============================================================
+
+  private val centsSql = (e: String) => s"CAST(round(($e)*100, 0) AS BIGINT)"
+
+  private def wsTokensSql(e: String) =
+    raw"list_filter(string_split_regex(trim($e), '\s+'), x -> len(x) > 0)"
+
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val langScoresSql: String =
+    TextFunctions.LangProfiles.map { case (l, words) =>
+      s"len(list_filter(${wsTokensSql("lower(text)")}, t -> t IN ${inList(words)})) AS s_$l"
+    }.mkString(", ")
+
+  private val langCaseSql: String = {
+    val ls = TextFunctions.LangProfiles.map(_._1)
+    val whens = ls.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val later = ls.drop(i + 1)
+      s"WHEN ${later.map(l2 => s"s_$l >= s_$l2").mkString(" AND ")} THEN '$l'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${ls.last}' END"
+  }
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** DuckDB oracle SQL per query (omitted for hash-seeded / mapPartitions
+    * operators → driver records a rows-only check). */
+  def oracleSql: Map[String, String] = scala.collection.immutable.ListMap(
+    "plan_keep_drop" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity > 45",
+    "plan_rename_cast" ->
+      "SELECT l_orderkey, l_linenumber, CAST(floor(l_quantity) AS INTEGER) AS qty, l_extendedprice AS price FROM lineitem",
+    "plan_bool_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE WHEN v IS NULL THEN NULL
+              WHEN lower(trim(CAST(v AS VARCHAR))) IN ('t','true','y','yes','1','1.0') THEN TRUE
+              WHEN lower(trim(CAST(v AS VARCHAR))) IN ('f','false','n','no','0','0.0') THEN FALSE
+              ELSE NULL END AS b
+         FROM (SELECT l_orderkey, l_linenumber,
+                 (['t','false','YES','0','1.0','junk'])[(l_linenumber % 6) + 1] AS v
+               FROM lineitem)""",
+    "plan_obs" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500)",
+    "plan_tz" ->
+      "SELECT event_id, CAST(floor(epoch(ts AT TIME ZONE 'America/New_York')) AS BIGINT) AS ts_epoch FROM events",
+    "plan_full" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice AS total, CAST(o_orderdate AS DATE) AS o_orderdate FROM orders WHERE o_custkey % 10 = 3",
+    "repo_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey, 'x (Updated 2024-05-01)' AS last_modified FROM nation",
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+          CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+          CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS sum_disc_price_c,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(CAST(sum(${centsSql("l_quantity")}) AS BIGINT) // count(*) AS BIGINT) AS avg_qty_c
+          FROM lineitem GROUP BY 1, 2""",
+    "q3_join_agg" ->
+      s"""SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+          CAST(sum(${centsSql("l.l_extendedprice * (1.0 - l.l_discount)")}) AS BIGINT) AS revenue_c
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+          GROUP BY 1, 2
+          ORDER BY revenue_c DESC, o_orderkey ASC LIMIT 10""",
+    "q5_star_join" ->
+      s"""SELECT n.n_name,
+          CAST(sum(${centsSql("l.l_extendedprice * (1.0 - l.l_discount)")}) AS BIGINT) AS revenue_c,
+          CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
+          GROUP BY 1""",
+    "q_topn" ->
+      s"""SELECT o_orderpriority, o_orderkey, ${centsSql("o_totalprice")} AS price_c,
+          CAST(row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY ${centsSql("o_totalprice")} DESC, o_orderkey ASC) AS BIGINT) AS rn
+          FROM orders QUALIFY rn <= 3""",
+    "q_window" ->
+      s"""SELECT o_custkey, o_orderkey, ${centsSql("o_totalprice")} AS price_c,
+          CAST(sum(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_price_c,
+          CAST(date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS prev_gap_days
+          FROM orders""",
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         UNION ALL
+         SELECT c_custkey, 'no_orders' AS status FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q_asof" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, CAST(max(o_orderkey) AS BIGINT) AS o_orderkey
+                    FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch, o.o_orderkey
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts,
+             sum(CASE WHEN prev IS NULL
+                      OR floor(epoch(ts)) - floor(epoch(prev)) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                 FROM events))
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
+           CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM g GROUP BY 1, 2""",
+    "stream_events" ->
+      s"""SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 hour, ts))) AS BIGINT) AS hour_epoch,
+          event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(${centsSql("value")}) AS BIGINT) AS value_sum_c
+          FROM events GROUP BY 1, 2""",
+    "dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         SELECT doc_id, text FROM u
+         QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
+    "token_count" ->
+      raw"""SELECT doc_id,
+          CAST(len(${wsTokensSql("text")}) AS BIGINT) AS n_ws,
+          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe
+          FROM documents""",
+    "text_quality" ->
+      raw"""SELECT doc_id, round(
+            0.5 * (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(len(text), 1) AS DOUBLE))
+          + 0.3 * least((CAST(len(list_filter(${wsTokensSql("lower(text)")},
+                   t -> t IN ${inList(TextFunctions.StopwordsEn)})) AS DOUBLE)
+                   / CAST(greatest(len(${wsTokensSql("text")}), 1) AS DOUBLE)) * 5.0, 1.0)
+          + 0.2 * (1.0 - least((CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(len(text), 1) AS DOUBLE)) * 10.0, 1.0)), 6) AS quality
+          FROM documents""",
+    "lang_id" ->
+      s"SELECT doc_id, $langCaseSql AS lang_pred FROM (SELECT doc_id, $langScoresSql FROM documents)",
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+         CASE WHEN len(text) = 0 THEN 0
+              ELSE list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                               (a, x) -> (a * 257 + x) % 1000000007) END AS fp
+         FROM documents""",
+    "ngram_jaccard" ->
+      raw"""WITH d AS (
+            SELECT doc_id, list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+            FROM (SELECT doc_id, ${wsTokensSql("text")} AS toks
+                  FROM documents WHERE doc_id < 40))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 1.0
+                       ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                            / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6) AS jaccard
+          FROM d a JOIN d b ON a.doc_id < b.doc_id""",
+    "embed_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+          pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              round(CASE WHEN sqrt(${dotSql("q.embedding", "q.embedding")})
+                              * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN 0.0
+                         ELSE ${dotSql("q.embedding", "c.embedding")}
+                              / (sqrt(${dotSql("q.embedding", "q.embedding")})
+                                 * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cos
+            FROM q, embeddings c WHERE c.vec_id != q.vec_id)
+          SELECT query_id, cand_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+          FROM pairs QUALIFY rank <= 5"""
+  )
 }

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * All pure `Column` compositions over built-in functions — no UDFs — so
+  * every operator stays inside whole-stage codegen and distributes with the
+  * scan. Each primitive is designed to be exactly reproducible in ANSI-ish
+  * SQL (the DuckDB oracle): integer arithmetic where possible, explicit
+  * fold orders where not.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties removed. */
+  def wsTokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > lit(0))
+
+  def wsTokenCount(c: Column): Column = size(wsTokens(c))
+
+  /** BPE-ish tokens: word runs or single non-space punctuation — the classic
+    * pre-tokenizer shape. Same regex is RE2/Java-compatible for ASCII. */
+  val BpeTokenRegex = "\\w+|[^\\w\\s]"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenRegex), lit(0)))
+
+  /** Share of characters that are ASCII letters (double in [0,1]). */
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** Share of characters that are sentence punctuation. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.,;:!?]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** Share of whitespace tokens found in `words` (lowercased match). */
+  def wordSetRatio(c: Column, words: Seq[String]): Column =
+    size(filter(wsTokens(lower(c)), t => t.isin(words.map(lit): _*))).cast("double") /
+      greatest(size(wsTokens(c)), lit(1)).cast("double")
+
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Heuristic document quality score in [0,1]: rewards alphabetic content
+    * and a natural stopword rate, penalizes punctuation soup. Fixed double
+    * expression — identical operation order in the SQL oracle. */
+  def qualityScore(c: Column): Column = {
+    val alpha = alphaRatio(c)
+    val punct = punctRatio(c)
+    val stop = wordSetRatio(c, StopwordsEn)
+    lit(0.5) * alpha +
+      lit(0.3) * least(stop * lit(5.0), lit(1.0)) +
+      lit(0.2) * (lit(1.0) - least(punct * lit(10.0), lit(1.0)))
+  }
+
+  /** Small per-language marker-word profiles for n-gram-free language ID.
+    * Order is the deterministic tie-break priority. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "que", "por", "una"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "que", "pour", "dans"),
+    "zh" -> Seq("de", "shi", "zai", "le", "wo", "you", "he", "bu")
+  )
+
+  /** Count of tokens matching a language profile. */
+  def langScore(c: Column, lang: String): Column = {
+    val words = LangProfiles.toMap.apply(lang)
+    size(filter(wsTokens(lower(c)), t => t.isin(words.map(lit): _*)))
+  }
+
+  /** Argmax language over the profiles, first-profile-wins on ties —
+    * expressed as a `when` chain so the SQL oracle is a literal CASE. */
+  def langId(c: Column): Column = {
+    val scores = LangProfiles.map { case (l, _) => l -> langScore(c, l) }
+    // CASE WHEN s0 >= s1 AND s0 >= s2 ... THEN l0 WHEN s1 >= s2 ... ELSE last
+    scores.zipWithIndex.reverse.foldLeft(lit(scores.last._1)) {
+      case (els, ((l, s), i)) =>
+        val later = scores.drop(i + 1)
+        if (later.isEmpty) els
+        else when(later.map { case (_, s2) => s >= s2 }.reduce(_ && _), lit(l))
+          .otherwise(els)
+    }
+  }
+
+  /** Karp–Rabin rolling hash of the whole string: polynomial fold
+    * `h = h*257 + code(char) mod 1e9+7`, seeded with the first character —
+    * a "fold from first element" so engines without fold-initial-value
+    * (DuckDB 1.0 `list_reduce`) can reproduce it exactly. Pure integer
+    * arithmetic: bit-identical across engines. */
+  def fingerprint(c: Column): Column = {
+    val codes = transform(split(c, ""), ch => ascii(ch).cast("bigint"))
+    when(length(c) === lit(0), lit(0L))
+      .otherwise(
+        aggregate(
+          slice(codes, lit(2), greatest(size(codes) - lit(1), lit(0))),
+          element_at(codes, 1),
+          (acc, x) => pmod(acc * lit(257L) + x, lit(1000000007L))
+        ))
+  }
+
+  /** Distinct character k-shingles (the MinHash input unit). */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) < lit(k), array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(1), length(c) - lit(k) + lit(1)),
+            i => c.substr(i, lit(k))
+          )))
+}

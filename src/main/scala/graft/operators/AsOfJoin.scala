@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-prior) join — an operator Spark lacks natively.
+  *
+  * For each left row, attach the payload of the latest right row with the
+  * same key and `rightTs <= leftTs` (inclusive). Implemented Spark-first as
+  * a union + keyed window sweep instead of a range join: both sides shuffle
+  * once on the key, a single within-partition sort orders by time, and
+  * `last(payload, ignoreNulls)` carries the most recent right payload
+  * forward. No row explosion, no O(left × right-per-key) range probe —
+  * the shape that holds at 100 TB with AQE handling key skew.
+  */
+object AsOfJoin {
+
+  /** @param left      left frame
+    * @param right     right frame
+    * @param leftKey   join key on the left
+    * @param rightKey  join key on the right
+    * @param leftTs    left event-time column
+    * @param rightTs   right event-time column
+    * @param payloads  right columns to attach (null when no prior right row)
+    */
+  def nearestPrior(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payloads: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+
+    val rightSel: Seq[Column] =
+      Seq(col(rightKey).cast("bigint").as("__k"), col(rightTs).as("__t"),
+        lit(0).as("__side")) ++
+        payloads.map(p => col(p).as(s"__p_$p")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    val taggedRight = right.select(rightSel: _*)
+
+    val leftSel: Seq[Column] =
+      Seq(col(leftKey).cast("bigint").as("__k"), col(leftTs).as("__t"),
+        lit(1).as("__side")) ++
+        payloads.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")) ++
+        leftCols.map(col)
+    val taggedLeft = left.select(leftSel: _*)
+
+    // Rights sort before lefts at equal timestamps → inclusive as-of.
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val swept = taggedRight.unionByName(taggedLeft)
+      .select(
+        (col("__side") +: leftCols.map(col)) ++
+          payloads.map(p => last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p)): _*)
+
+    swept.filter(col("__side") === 1).drop("__side")
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization: a new session starts when the time since the
+  * previous event of the same key exceeds `gapSeconds`.
+  *
+  * One shuffle on the key, one within-partition sort; session ids come from
+  * a running sum over the new-session indicator — the standard scalable
+  * sessionize (no self-joins, no state explosion). The streaming twin lives
+  * in `graft.streaming.EventStream`.
+  */
+object Sessionize {
+
+  /** @return input plus `session_id` (per-key ordinal starting at 1). */
+  def byGap(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long
+  ): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    val epoch = unix_timestamp(col(tsCol).cast("timestamp"))
+    val prev = lag(epoch, 1).over(byKey)
+    val newSession =
+      when(prev.isNull || (epoch - prev) > gapSeconds, 1).otherwise(0)
+    df.withColumn("__new", newSession)
+      .withColumn("session_id",
+        sum(col("__new")).over(
+          byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Per-session rollup: bounds, event count, value sum. */
+  def sessionStats(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      gapSeconds: Long
+  ): DataFrame =
+    byGap(df, keyCol, tsCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        min(unix_timestamp(col(tsCol).cast("timestamp"))).as("start_epoch"),
+        max(unix_timestamp(col(tsCol).cast("timestamp"))).as("end_epoch"),
+        count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.plans.{TablePlan, Types}
+
+/** JDBC ingest/egress builders — the database-to-parquet path.
+  *
+  * Re-expresses the reference's engine layer (db2pq/postgres/duckdb_pg.py,
+  * adbc.py, core.py:43 db_to_pq) Spark-first: instead of a single streaming
+  * connection, the planned SELECT is pushed into the database as a subquery
+  * and the read fans out across executors via `partitionColumn` stride —
+  * the scale path for 100 TB ingest that a single-node engine cannot take.
+  *
+  * There is no live PostgreSQL in CI, so these builders are unit-tested at
+  * the plan/SQL level (see JdbcSpec); the run-time calls are thin wrappers
+  * over `spark.read.jdbc` / `df.write.jdbc`.
+  */
+object Jdbc {
+
+  /** The planned SELECT wrapped for use as a JDBC `dbtable` subquery. */
+  def pushdownSubquery(
+      plan: TablePlan,
+      schema: String,
+      table: String,
+      sourceSchema: StructType
+  ): String =
+    s"(${plan.toSelectSql(schema, table, sourceSchema)}) AS graft_sub"
+
+  /** Read a table with the plan pushed down into the database.
+    *
+    * @param partitionColumn numeric/date column to stride on; with
+    *   `lowerBound`/`upperBound`/`numPartitions` the read issues
+    *   `numPartitions` parallel range queries (Spark's JDBC partitioning).
+    */
+  def readTable(
+      spark: SparkSession,
+      url: String,
+      plan: TablePlan,
+      schema: String,
+      table: String,
+      sourceSchema: StructType,
+      partitionColumn: Option[String] = None,
+      lowerBound: Option[Long] = None,
+      upperBound: Option[Long] = None,
+      numPartitions: Int = 32,
+      properties: java.util.Properties = new java.util.Properties()
+  ): DataFrame = {
+    val reader = spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", pushdownSubquery(plan, schema, table, sourceSchema))
+      .option("fetchsize", "10000")
+    val partitioned = (partitionColumn, lowerBound, upperBound) match {
+      case (Some(c), Some(lo), Some(hi)) =>
+        reader
+          .option("partitionColumn", c)
+          .option("lowerBound", lo)
+          .option("upperBound", hi)
+          .option("numPartitions", numPartitions)
+      case _ => reader
+    }
+    val props = new java.util.Properties()
+    props.putAll(properties)
+    props.asInstanceOf[java.util.Hashtable[AnyRef, AnyRef]]
+      .forEach((k, v) => partitioned.option(k.toString, v.toString))
+    partitioned.load()
+  }
+
+  /** Read the result of an arbitrary SQL query (reference wrds_sql_to_pq,
+    * core.py:529): the query runs inside the database. */
+  def readSql(
+      spark: SparkSession,
+      url: String,
+      sql: String,
+      properties: java.util.Properties = new java.util.Properties()
+  ): DataFrame =
+    spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("query", sql)
+      .load()
+
+  /** PostgreSQL column DDL for `createTableColumnTypes` on the write path
+    * (reference pq_to_pg / postgres_write_pg type mapping). */
+  def createTableColumnTypes(colTypes: Map[String, String]): String =
+    colTypes
+      .map { case (c, t) => s"$c ${Types.toPostgres(t)}" }
+      .mkString(", ")
+
+  /** Write a DataFrame to a database table (reference pq_to_pg). */
+  def writeTable(
+      df: DataFrame,
+      url: String,
+      schema: String,
+      table: String,
+      colTypes: Map[String, String] = Map.empty,
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit = {
+    val writer = df.write.mode(mode)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"$schema.$table")
+    val withTypes =
+      if (colTypes.isEmpty) writer
+      else writer.option("createTableColumnTypes", createTableColumnTypes(colTypes))
+    withTypes.save()
+  }
+}

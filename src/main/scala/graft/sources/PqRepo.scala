@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.MetadataBuilder
+
+import graft.sync.Modified
+
+/** A managed Parquet repository: `<dataDir>/<schema>/<table>.parquet`.
+  *
+  * Re-expresses the reference's repository layer (db2pq/files/paths.py,
+  * db2pq/files/parquet.py) on the Hadoop FileSystem API, so the same code
+  * addresses local disk in tests and HDFS/S3A on a cluster:
+  *
+  *  - writes go to a temp location then atomically promote (reference
+  *    promote_temp_parquet) — readers never observe a half-written table;
+  *  - a `last_modified` string is embedded in the dataset's own schema
+  *    metadata (Spark persists field metadata into the parquet footer), the
+  *    Spark analog of the reference's schema-level KV (parquet.py:569);
+  *  - archive / restore / remove / list / lastModified management mirrors
+  *    parquet.py:294-534.
+  *
+  * Unlike the single-file reference, tables here are parquet *directories* —
+  * the idiomatic Spark layout, written in parallel by every executor.
+  */
+final case class PqRepo(spark: SparkSession, dataDir: String) {
+
+  val MetadataKey = "graft.last_modified"
+
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tablePath(schema: String, table: String): Path =
+    new Path(new Path(dataDir, schema), s"$table.parquet")
+
+  private def archivePath(schema: String, archiveDir: String): Path =
+    new Path(new Path(dataDir, schema), archiveDir)
+
+  /** Read a repository table. */
+  def table(schema: String, table: String): DataFrame =
+    spark.read.parquet(tablePath(schema, table).toString)
+
+  /** Write `df` as `<schema>/<table>.parquet`, embedding `modified` in the
+    * schema metadata, with temp-write + atomic promote and optional archive
+    * of the replaced table. Returns the final path. */
+  def write(
+      df: DataFrame,
+      schema: String,
+      table: String,
+      modified: Option[String] = None,
+      archiveExisting: Boolean = false,
+      archiveDir: String = "archive"
+  ): Path = {
+    val dest = tablePath(schema, table)
+    val tmp = new Path(new Path(dataDir, schema), s"_tmp_$table.parquet")
+    val f = fs(dest)
+
+    val out = modified match {
+      case None => df
+      case Some(m) =>
+        // Attach to the first field: Spark serializes all field metadata into
+        // the footer, so readers recover it from the schema alone.
+        val first = df.columns.head
+        val md = new MetadataBuilder()
+          .withMetadata(df.schema.head.metadata)
+          .putString(MetadataKey, m)
+          .build()
+        df.withColumn(first, col(first).as(first, md))
+    }
+
+    if (f.exists(tmp)) f.delete(tmp, true)
+    out.write.mode("overwrite").parquet(tmp.toString)
+
+    if (f.exists(dest)) {
+      if (archiveExisting) archive(schema, table, archiveDir)
+      else f.delete(dest, true)
+    }
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"Could not promote $tmp to $dest")
+    dest
+  }
+
+  /** Embedded `last_modified` for a table, if any (reference
+    * get_modified_pq, parquet.py:280). */
+  def lastModified(schema: String, table: String): Option[String] = {
+    val p = tablePath(schema, table)
+    if (!fs(p).exists(p)) return None
+    spark.read.parquet(p.toString).schema.fields
+      .flatMap(f => if (f.metadata.contains(MetadataKey))
+        Some(f.metadata.getString(MetadataKey)) else None)
+      .headOption
+  }
+
+  /** List active tables in a schema (reference pq_list_files). */
+  def list(schema: String): Seq[String] = {
+    val dir = new Path(dataDir, schema)
+    val f = fs(dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+      .filterNot(_.getPath.getName.startsWith("_tmp_"))
+      .map(_.getPath.getName.stripSuffix(".parquet"))
+      .sorted
+  }
+
+  /** Move a table into the archive directory, stamped with its parsed
+    * last-modified time or `unknown_modified` (reference pq_archive). */
+  def archive(schema: String, table: String, archiveDir: String = "archive"): Option[Path] = {
+    val src = tablePath(schema, table)
+    val f = fs(src)
+    if (!f.exists(src)) return None
+    val stamp = lastModified(schema, table)
+      .flatMap(Modified.parseFileSafe)
+      .getOrElse("unknown_modified")
+    val destDir = archivePath(schema, archiveDir)
+    f.mkdirs(destDir)
+    val dest = new Path(destDir, s"${table}_$stamp.parquet")
+    if (f.exists(dest)) f.delete(dest, true)
+    if (!f.rename(src, dest))
+      throw new java.io.IOException(s"Could not archive $src to $dest")
+    Some(dest)
+  }
+
+  private val archivedNameRe = raw"^(.+)_(\d{8}T\d{6}Z|unknown_modified)$$".r
+
+  /** Original table name from an archived basename (reference
+    * _restore_table_basename, parquet.py:361). */
+  def restoreBasename(archivedStem: String): Option[String] =
+    archivedStem match {
+      case archivedNameRe(table, _) => Some(table)
+      case _                        => None
+    }
+
+  /** Restore an archived table to active status; optionally archive the
+    * currently-active table first (reference pq_restore). */
+  def restore(
+      archivedBasename: String,
+      schema: String,
+      archiveCurrent: Boolean = true,
+      archiveDir: String = "archive"
+  ): Option[Path] = {
+    val stem = archivedBasename.stripSuffix(".parquet")
+    val src = new Path(archivePath(schema, archiveDir), s"$stem.parquet")
+    val f = fs(src)
+    if (!f.exists(src)) return None
+    restoreBasename(stem).flatMap { table =>
+      val dest = tablePath(schema, table)
+      if (f.exists(dest)) {
+        if (!archiveCurrent) return None
+        archive(schema, table, archiveDir)
+      }
+      if (!f.rename(src, dest))
+        throw new java.io.IOException(s"Could not restore $src to $dest")
+      Some(dest)
+    }
+  }
+
+  /** Remove an active or archived table (reference pq_remove). */
+  def remove(
+      schema: String,
+      table: String,
+      archived: Boolean = false,
+      archiveDir: String = "archive"
+  ): Boolean = {
+    val p =
+      if (archived) new Path(archivePath(schema, archiveDir), s"$table.parquet")
+      else tablePath(schema, table)
+    val f = fs(p)
+    f.exists(p) && f.delete(p, true)
+  }
+
+  /** Update gate + write: export only when the source comment is newer than
+    * the stored table's metadata, unless forced (reference _update_pq,
+    * core.py:895-952). Returns the written path, or None when up to date
+    * or the source has no parseable timestamp. */
+  def updateWrite(
+      df: => DataFrame,
+      schema: String,
+      table: String,
+      sourceComment: Option[String],
+      force: Boolean = false,
+      archiveExisting: Boolean = false
+  ): Option[Path] = {
+    val src = Modified.info("src", sourceComment)
+    val dst = Modified.info("pq", lastModified(schema, table))
+    val proceed = force || (src.date.isDefined && Modified.updateAvailable(src, dst))
+    if (!proceed) None
+    else Some(write(df, schema, table, modified = sourceComment,
+      archiveExisting = archiveExisting))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming ingest over the events table.
+  *
+  * The streaming analog of the reference's batched Arrow streaming
+  * (db2pq/files/parquet.py:611 write_record_batch_reader_to_parquet):
+  * `readStream` over a parquet directory, watermarked event-time windows,
+  * incremental aggregation. `hourlyCountsBatch` is the batch twin of the
+  * same computation — used by the correctness oracle, and guaranteed to
+  * agree with a completed stream (same logical plan modulo incremental
+  * execution).
+  */
+object EventStream {
+
+  /** Open an unbounded read over a parquet events directory. */
+  def readEvents(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(path)
+
+  /** Watermarked hourly counts/sums per event type. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Batch twin of [[hourlyCounts]] on a static frame (oracle target). */
+  def hourlyCountsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Run the stream over a bounded directory to completion (availableNow)
+    * into an in-memory table; returns the result. Used by tests to prove
+    * stream/batch agreement. */
+  def runToCompletion(spark: SparkSession, path: String, schema: StructType,
+      queryName: String = "graft_events"): DataFrame = {
+    val q = hourlyCounts(readEvents(spark, path, schema))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(queryName)
+  }
+}

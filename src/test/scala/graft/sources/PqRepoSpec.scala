@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+class PqRepoSpec extends SparkSpec {
+
+  def freshRepo(): PqRepo =
+    PqRepo(spark, Files.createTempDirectory("graft_repo").toString)
+
+  lazy val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("write embeds last_modified and read recovers it") {
+    val repo = freshRepo()
+    repo.write(nation, "tpch", "nation", modified = Some("x (Updated 2024-05-01)"))
+    assert(repo.lastModified("tpch", "nation").contains("x (Updated 2024-05-01)"))
+    assert(repo.table("tpch", "nation").count() == nation.count())
+    assert(repo.list("tpch") == Seq("nation"))
+  }
+
+  test("archive stamps with parsed modified time and restore round-trips") {
+    val repo = freshRepo()
+    repo.write(nation, "tpch", "nation", modified = Some("x (Updated 2024-05-01)"))
+    val archived = repo.archive("tpch", "nation").get
+    // 02:00 America/New_York on 2024-05-01 is 06:00 UTC
+    assert(archived.getName == "nation_20240501T060000Z.parquet")
+    assert(repo.list("tpch").isEmpty)
+
+    val restored = repo.restore("nation_20240501T060000Z", "tpch")
+    assert(restored.isDefined && repo.list("tpch") == Seq("nation"))
+    assert(repo.lastModified("tpch", "nation").contains("x (Updated 2024-05-01)"))
+  }
+
+  test("write with archiveExisting preserves the replaced table") {
+    val repo = freshRepo()
+    repo.write(nation, "tpch", "nation", modified = Some("x (Updated 2024-05-01)"))
+    repo.write(nation.limit(3), "tpch", "nation",
+      modified = Some("x (Updated 2024-06-01)"), archiveExisting = true)
+    assert(repo.table("tpch", "nation").count() == 3)
+    assert(repo.remove("tpch", "nation_20240501T060000Z", archived = true))
+  }
+
+  test("updateWrite gates on modified comparison") {
+    val repo = freshRepo()
+    // first write: destination unknown → proceeds
+    assert(repo.updateWrite(nation, "tpch", "nation",
+      Some("x (Updated 2024-05-01)")).isDefined)
+    // same date → up to date, skip
+    assert(repo.updateWrite(nation, "tpch", "nation",
+      Some("x (Updated 2024-05-01)")).isEmpty)
+    // newer source → proceeds
+    assert(repo.updateWrite(nation, "tpch", "nation",
+      Some("x (Updated 2024-06-01)")).isDefined)
+    // unparseable source → skip unless forced
+    assert(repo.updateWrite(nation, "tpch", "nation", Some("garbage")).isEmpty)
+    assert(repo.updateWrite(nation, "tpch", "nation", Some("garbage"),
+      force = true).isDefined)
+  }
+
+  test("remove deletes active tables") {
+    val repo = freshRepo()
+    repo.write(nation, "tpch", "nation")
+    assert(repo.remove("tpch", "nation"))
+    assert(repo.list("tpch").isEmpty)
+    assert(!repo.remove("tpch", "nation"))
+  }
+}
