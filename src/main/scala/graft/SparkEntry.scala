@@ -271,7 +271,7 @@ object SparkEntry {
       concat(col("text").substr(lit(1),
         greatest(length(col("text")) - 30, lit(50))), lit(" appended tail"))
         .as("text"))
-    Dedup.simhashPairs(d.unionByName(near), "doc_id", "text", maxHamming = 10)
+    Dedup.simhashPairs(d.unionByName(near), "doc_id", "text", maxHamming = 4)
   }
 
   private def embedLshAnn(s: SparkSession, dir: String): DataFrame =

@@ -36,12 +36,26 @@ object Dedup {
       .agg(sort_array(collect_list("id")).as("ids"), count("*").as("n"))
       .drop("c")
 
+  /** All unordered (i<j) pairs within a collected bucket:
+    * array<struct<a,b>> from array<x> — pure expression, no self-join. */
+  private def bucketPairs(xs: Column): Column =
+    flatten(transform(xs, (x, i) =>
+      transform(slice(xs, i + lit(2), size(xs)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * docs(idCol, textCol) → verified pairs (id_a < id_b, est_jaccard).
-    * Pipeline: distinct char-k-shingles → n-slot signature → b bands —
-    * a self-join on (band, bandHash) generates candidates, signature
-    * agreement filters them. Only (band, hash, id, signature) shuffles.
+    * Pipeline: distinct char-k-shingles → n-slot signature → b band
+    * hashes → ONE shuffle grouping (band, bandHash) buckets → in-bucket
+    * pair expansion as an array expression → signature-agreement filter.
+    *
+    * Deliberately NOT a self-join: joining the banded frame with itself
+    * would re-execute the (expensive) signature pipeline once per side.
+    * The bucket-collect shape computes signatures once and shuffles only
+    * `(band, hash, id, signature)`. `maxBucket` caps degenerate buckets
+    * (boilerplate-heavy corpora) so no single task explodes — the
+    * standard LSH skew guard at 100 TB.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -50,14 +64,22 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucket: Int = 500
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
 
+    // Documents often arrive in few fat input splits (one parquet file →
+    // one partition); fan out with an explicit partition count (AQE would
+    // coalesce a small shuffle back to one partition) so the CPU-heavy
+    // shingle/hash stages use the whole cluster.
     val sigs = docs
-      .select(col(idCol).as("id"),
-        TextFunctions.charShingles(col(textCol), shingleK).as("sh"))
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(parts, col("id"))
+      .select(col("id"),
+        TextFunctions.charShingles(col("t"), shingleK).as("sh"))
       .select(col("id"), MinHash.hashPairs(col("sh")).as("hp"))
       .select(col("id"), MinHash.signatureFromPairs(col("hp"), numHashes).as("sig"))
 
@@ -65,30 +87,35 @@ object Dedup {
       .select(col("id"), col("sig"),
         posexplode(MinHash.bandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
 
-    val a = banded.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        MinHash.estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+    banded
+      .groupBy("band", "bh")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(bucketPairs(col("xs"))).as("p"))
+      .select(
+        least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        MinHash.estJaccard(col("p.a.sig"), col("p.b.sig")).as("est_jaccard"))
       .groupBy("id_a", "id_b")
-      .agg(first("est_jaccard").as("est_jaccard"))
+      .agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
   /** SimHash near-duplicate pairs: sketch → 16-bit band buckets →
-    * candidates → Hamming-distance filter. */
+    * in-bucket pair expansion → Hamming-distance filter. Same one-shuffle
+    * bucket-collect shape as [[minhashPairs]]. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 6
+      maxHamming: Int = 6,
+      maxBucket: Int = 500
   ): DataFrame = {
-    val sketched = docs.select(col(idCol).as("id"),
-      SimHash.simhash(TextFunctions.wsTokens(col(textCol))).as("sh"))
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sketched = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(parts, col("id"))
+      .select(col("id"), SimHash.simhash(TextFunctions.wsTokens(col("t"))).as("sh"))
 
     val banded = sketched.select(col("id"), col("sh"),
       explode(array((0 until 4).map(j =>
@@ -96,13 +123,15 @@ object Dedup {
         .as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
 
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
-
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        SimHash.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+    banded
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(bucketPairs(col("xs"))).as("p"))
+      .select(
+        least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        SimHash.hamming(col("p.a.sh"), col("p.b.sh")).as("hamming"))
       .groupBy("id_a", "id_b")
       .agg(min("hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)

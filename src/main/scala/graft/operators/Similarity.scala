@@ -44,7 +44,11 @@ object Similarity {
   /** LSH-bucketed approximate neighbors: candidates share a hyperplane
     * sign-pattern bucket; cosine is computed only within buckets. Recall
     * is tuned by `numPlanes` (fewer planes → bigger buckets → higher
-    * recall, more work). */
+    * recall, more work).
+    *
+    * One shuffle (groupBy bucket) with in-bucket pair expansion — a
+    * self-join here would re-execute the projection pipeline per side.
+    * `maxBucket` guards degenerate buckets at scale. */
   def annBuckets(
       corpus: DataFrame,
       idCol: String,
@@ -52,20 +56,30 @@ object Similarity {
       numPlanes: Int = 12,
       dim: Int = 64,
       seed: Long = 42L,
-      minCos: Double = 0.0
+      minCos: Double = 0.0,
+      maxBucket: Int = 2000
   ): DataFrame = {
     val planes = VectorFunctions.hyperplanes(numPlanes, dim, seed)
-    val bucketed = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.lshBucket(col(vecCol), planes).as("bucket"))
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val bucketed = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(parts, col("id"))
+      .select(col("id"), col("v"),
+        VectorFunctions.lshBucket(col("v"), planes).as("bucket"))
 
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val pairs = flatten(transform(col("xs"), (x, i) =>
+      transform(slice(col("xs"), i + lit(2), size(col("xs"))),
+        y => struct(x.as("a"), y.as("b")))))
 
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(VectorFunctions.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+    bucketed
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(pairs).as("p"))
+      .select(
+        least(col("p.a.id"), col("p.b.id")).as("id_a"),
+        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
+        round(VectorFunctions.cosine(col("p.a.v"), col("p.b.v")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }
