@@ -88,6 +88,33 @@ object SparkEntry {
       where = Some("o_custkey % 10 = 3")
     )(t(s, dir, "orders"))
 
+  private def planNumericMode(s: SparkSession, dir: String): DataFrame = {
+    // Build a decimal-typed source (the test tables carry doubles), then
+    // let numeric_mode handle it: float64 → double, explicit colTypes wins.
+    val src = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(12,2)").as("qty_dec"),
+      col("l_extendedprice").cast("decimal(12,2)").as("price_dec"))
+    TablePlan(
+      numericMode = Some("float64"),
+      colTypes = Map("price_dec" -> "text")
+    )(src)
+  }
+
+  private def schemaExport(s: SparkSession, dir: String): DataFrame = {
+    val repo = PqRepo(s, Files.createTempDirectory("graft_schema_export").toString)
+    sources.SchemaExport.fromParquetDir(
+      s, dir, Seq("region", "nation", "supplier"), repo, "tpch",
+      modified = Some("x (Updated 2024-05-01)"))
+    val counts = Seq("region", "nation", "supplier").map { tbl =>
+      repo.table("tpch", tbl)
+        .groupBy().agg(count(lit(1)).as("n_rows"))
+        .select(lit(tbl).as("tbl"), col("n_rows"),
+          lit(repo.lastModified("tpch", tbl).getOrElse("")).as("last_modified"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+
   private def repoRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val repo = PqRepo(s, Files.createTempDirectory("graft_entry_repo").toString)
     repo.write(t(s, dir, "nation"), "tpch", "nation",
@@ -292,7 +319,9 @@ object SparkEntry {
       "plan_obs" -> (planObs _),
       "plan_tz" -> (planTz _),
       "plan_full" -> (planFull _),
+      "plan_numeric_mode" -> (planNumericMode _),
       "repo_roundtrip" -> (repoRoundtrip _),
+      "schema_export" -> (schemaExport _),
       "q1_agg" -> (q1Agg _),
       "q3_join_agg" -> (q3JoinAgg _),
       "q5_star_join" -> (q5StarJoin _),
@@ -366,8 +395,17 @@ object SparkEntry {
       "SELECT event_id, CAST(floor(epoch(ts AT TIME ZONE 'America/New_York')) AS BIGINT) AS ts_epoch FROM events",
     "plan_full" ->
       "SELECT o_orderkey, o_custkey, o_totalprice AS total, CAST(o_orderdate AS DATE) AS o_orderdate FROM orders WHERE o_custkey % 10 = 3",
+    "plan_numeric_mode" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec
+         FROM lineitem""",
     "repo_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey, 'x (Updated 2024-05-01)' AS last_modified FROM nation",
+    "schema_export" ->
+      """SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, 'x (Updated 2024-05-01)' AS last_modified FROM region
+         UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT), 'x (Updated 2024-05-01)' FROM nation
+         UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT), 'x (Updated 2024-05-01)' FROM supplier""",
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
           CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,

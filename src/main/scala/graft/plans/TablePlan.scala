@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
   * @param tz       time zone assumed for naive (NTZ) timestamp columns before
   *                 normalizing to UTC instants (reference `tz` / AT TIME ZONE,
   *                 select_sql.py:139)
+  * @param numericMode handling for decimal (NUMERIC) source columns not
+  *                 covered by an explicit colTypes entry: "text" casts to
+  *                 string, "float64" to double, "decimal"/None keeps the
+  *                 native decimal (reference numeric_mode, core.py:8,
+  *                 duckdb_pg.py:80 _merge_duckdb_col_types)
   */
 final case class TablePlan(
     keep: Seq[String] = Nil,
@@ -35,8 +40,30 @@ final case class TablePlan(
     colTypes: Map[String, String] = Map.empty,
     where: Option[String] = None,
     obs: Option[Long] = None,
-    tz: Option[String] = Some("UTC")
+    tz: Option[String] = Some("UTC"),
+    numericMode: Option[String] = None
 ) {
+
+  require(
+    numericMode.forall(Set("text", "float64", "decimal")),
+    "numeric_mode must be one of 'text', 'float64', or 'decimal'")
+
+  /** colTypes with numericMode folded in for the given decimal source
+    * columns (explicit colTypes entries take precedence). */
+  private def effectiveColTypes(decimalSources: Set[String]): Map[String, String] = {
+    val modeCasts = numericMode match {
+      case Some("text")    => Some("string")
+      case Some("float64") => Some("double")
+      case _               => None
+    }
+    modeCasts.fold(colTypes) { target =>
+      val extra = decimalSources
+        .map(c => rename.getOrElse(c, c))
+        .filterNot(colTypes.contains)
+        .map(_ -> target)
+      colTypes ++ extra
+    }
+  }
 
   /** Source columns selected from `allCols`, in source order. */
   def sourceColumns(allCols: Seq[String]): Seq[String] =
@@ -55,14 +82,16 @@ final case class TablePlan(
 
   /** colTypes keys must name selected output columns
     * (reference _normalize_output_col_types, select_sql.py:89-105). */
-  private def validateColTypes(allCols: Seq[String]): Map[String, String] = {
+  private def validateColTypes(
+      allCols: Seq[String],
+      types: Map[String, String]): Map[String, String] = {
     val outs = outputColumns(allCols).toSet
-    val unknown = colTypes.keySet.diff(outs)
+    val unknown = types.keySet.diff(outs)
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         "col_types keys must refer to selected output columns after rename: " +
           unknown.toSeq.sorted.mkString(", "))
-    Types.normalizeColTypes(colTypes)
+    Types.normalizeColTypes(types)
   }
 
   /** Null-safe boolean cast: normalizes common numeric/text/boolean encodings;
@@ -82,8 +111,11 @@ final case class TablePlan(
   def apply(df: DataFrame): DataFrame = {
     val srcCols = sourceColumns(df.columns.toSeq)
     val outCols = srcCols.map(c => rename.getOrElse(c, c))
-    val types = validateColTypes(df.columns.toSeq)
     val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val decimalSources = srcCols
+      .filter(c => fieldType(c).isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    val types = validateColTypes(df.columns.toSeq,
+      effectiveColTypes(decimalSources.toSet))
 
     val filtered = where.fold(df)(w => df.filter(expr(w)))
 
@@ -118,8 +150,10 @@ final case class TablePlan(
     val allCols = sourceSchema.fields.map(_.name).toSeq
     val srcCols = sourceColumns(allCols)
     val outCols = srcCols.map(c => rename.getOrElse(c, c))
-    val types = validateColTypes(allCols)
     val fieldType = sourceSchema.fields.map(f => f.name -> f.dataType).toMap
+    val decimalSources = srcCols
+      .filter(c => fieldType(c).isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    val types = validateColTypes(allCols, effectiveColTypes(decimalSources.toSet))
 
     val items = srcCols.zip(outCols).map { case (src, out) =>
       var e = q(src)

@@ -1,0 +1,50 @@
+package graft
+
+import graft.plans.TablePlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the plans we'd want at 100 TB, asserted at test
+  * scale — broadcasts where intended, pruned scans, pushed filters. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q5_star_join broadcasts the dimension joins") {
+    val p = physical("q5_star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins:\n$p")
+    // at most the fact-fact join may shuffle; dims must not
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("q3_join_agg broadcasts the filtered customer dim") {
+    val p = physical("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter not pushed:\n$p")
+  }
+
+  test("q1_agg does partial (map-side) aggregation before the shuffle") {
+    val p = physical("q1_agg")
+    // two HashAggregates around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    // column pruning: the 5 needed columns reach the scan, the rest don't
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double"),
+      s"lineitem scan not pruned:\n$p")
+    assert(!p.contains("l_orderkey"), s"unneeded column read:\n$p")
+  }
+
+  test("plan where-clauses reach the parquet scan") {
+    val p = TablePlan(keep = Seq("^l_(orderkey|quantity)$"),
+      where = Some("l_quantity > 30"))(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+  }
+
+  test("embed_cosine_topk broadcasts the query side (no shuffle of corpus)") {
+    val p = physical("embed_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

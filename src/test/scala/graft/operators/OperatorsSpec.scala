@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact keeps the first row per key under the given order") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    val out = Dedup.exact(df, Seq("k"), Seq(col("id"))).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "x"), (3L, "y")))
+  }
+
+  test("exactGroups groups by content hash and verifies content") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "c")
+    val groups = Dedup.exactGroups(df, col("id"), col("c")).collect()
+    assert(groups.length == 2)
+    val ns = groups.map(_.getAs[Long]("n")).sorted
+    assert(ns.toSeq == Seq(1L, 2L))
+  }
+
+  test("minhashPairs finds planted near-duplicates and not random pairs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val mutated = docs.select((col("doc_id") + 1000).as("doc_id"),
+      concat(col("text").substr(lit(1), length(col("text")) - 20),
+        lit(" tail")).as("text"))
+    val pairs = Dedup.minhashPairs(docs.unionByName(mutated), "doc_id", "text",
+      shingleK = 5, numHashes = 48, bands = 12, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 100).map(i => (i.toLong, i + 1000L)).toSet
+    val found = planted.intersect(pairs)
+    assert(found.size >= 95, s"recall ${found.size}/100")
+  }
+
+  test("ngram jaccard: identical = 1, disjoint = 0") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w"))
+      .toDF("x", "y")
+      .select(Dedup.ngramJaccard(
+        Dedup.wordNgrams(col("x"), 2), Dedup.wordNgrams(col("y"), 2)).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(df(0) == 1.0 && df(1) == 0.0)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("bruteForceTopK returns k ranked neighbors per query, self excluded") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 4)
+    val rows = out.collect()
+    assert(rows.length == 12)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("cand_id")))
+    // ranks are 1..4 per query and cos non-increasing in rank
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("annBuckets only pairs vectors sharing a bucket; cos bounded") {
+    val out = Similarity.annBuckets(emb.limit(300), "vec_id", "embedding",
+      numPlanes = 6, dim = 64, minCos = -1.0)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0))
+    assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nearestPrior attaches latest right payload at or before left ts") {
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, "r10"), (1L, 20L, "r20"), (2L, 7L, "r7"))
+      .toDF("rk", "rts", "payload")
+    val out = AsOfJoin.nearestPrior(left, right, "k", "rk", "ts", "rts",
+      Seq("payload"))
+      .select("name", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("e1").contains("r10")) // inclusive at equal ts
+    assert(out("e2").contains("r20"))
+    assert(out("e3").isEmpty) // right row is after left ts
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("byGap starts a new session when gap exceeded") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 02:00:00"), (2L, "2024-01-01 00:00:00"))
+      .toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val out = Sessionize.byGap(df, "user_id", "ts", gapSeconds = 1800)
+      .select("user_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.count(_ == (1L, 1L)) == 2) // first two events same session
+    assert(out.contains((1L, 2L)))        // 2h gap → new session
+    assert(out.contains((2L, 1L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("documentBytesPipeline emits one feature row per document") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Multimodal.documentBytesPipeline(spark, docs)
+    assert(out.count() == docs.count())
+    val r = out.head()
+    assert(r.getAs[String]("mime") == "text/plain")
+    assert(r.getAs[Long]("n_bytes") > 0)
+  }
+
+  test("decode stub is deterministic across runs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
+    val a = Multimodal.documentBytesPipeline(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val b = Multimodal.documentBytesPipeline(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(a == b)
+  }
+}

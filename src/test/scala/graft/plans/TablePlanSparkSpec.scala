@@ -58,6 +58,25 @@ class TablePlanSparkSpec extends SparkSpec {
     assert(epoch == java.time.Instant.parse("2024-06-01T16:00:00Z").getEpochSecond)
   }
 
+  test("numericMode casts uncovered decimal columns; explicit colTypes wins") {
+    import spark.implicits._
+    val df = Seq((1L, BigDecimal("12.34"), BigDecimal("56.78")))
+      .toDF("id", "a", "b")
+      .select($"id", $"a".cast("decimal(12,2)"), $"b".cast("decimal(12,2)"))
+    val out = TablePlan(numericMode = Some("float64"),
+      colTypes = Map("b" -> "text"))(df)
+    assert(out.schema("a").dataType == DoubleType)
+    assert(out.schema("b").dataType == StringType)
+    assert(out.schema("id").dataType == LongType)
+    val textOut = TablePlan(numericMode = Some("text"))(df)
+    assert(textOut.schema("a").dataType == StringType)
+    val keepOut = TablePlan(numericMode = Some("decimal"))(df)
+    assert(keepOut.schema("a").dataType.isInstanceOf[DecimalType])
+    assertThrows[IllegalArgumentException] {
+      TablePlan(numericMode = Some("bogus"))
+    }
+  }
+
   test("filter and projection reach the parquet scan (pushdown audit)") {
     val plan = TablePlan(keep = Seq("^l_(orderkey|quantity)$"),
       where = Some("l_quantity > 30"))
