@@ -124,6 +124,16 @@ object SparkEntry {
         lit(repo.lastModified("tpch", "nation").getOrElse("")))
   }
 
+  private def sqlPassthrough(s: SparkSession, dir: String): DataFrame = {
+    // process_sql / wrds_sql_to_pq analog: arbitrary SQL over the catalog.
+    Seq("orders", "customer").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql("""
+      SELECT c.c_mktsegment, o.o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice > 100000
+      GROUP BY c.c_mktsegment, o.o_orderpriority""")
+  }
+
   // ===== §2.2 analytics =====================================================
 
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
@@ -322,6 +332,7 @@ object SparkEntry {
       "plan_numeric_mode" -> (planNumericMode _),
       "repo_roundtrip" -> (repoRoundtrip _),
       "schema_export" -> (schemaExport _),
+      "sql_passthrough" -> (sqlPassthrough _),
       "q1_agg" -> (q1Agg _),
       "q3_join_agg" -> (q3JoinAgg _),
       "q5_star_join" -> (q5StarJoin _),
@@ -406,6 +417,11 @@ object SparkEntry {
       """SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, 'x (Updated 2024-05-01)' AS last_modified FROM region
          UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT), 'x (Updated 2024-05-01)' FROM nation
          UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT), 'x (Updated 2024-05-01)' FROM supplier""",
+    "sql_passthrough" ->
+      """SELECT c.c_mktsegment, o.o_orderpriority, CAST(count(*) AS BIGINT) AS n
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > 100000
+         GROUP BY c.c_mktsegment, o.o_orderpriority""",
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
           CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,

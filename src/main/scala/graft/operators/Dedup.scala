@@ -36,12 +36,22 @@ object Dedup {
       .agg(sort_array(collect_list("id")).as("ids"), count("*").as("n"))
       .drop("c")
 
-  /** All unordered (i<j) pairs within a collected bucket:
-    * array<struct<a,b>> from array<x> — pure expression, no self-join. */
-  private def bucketPairs(xs: Column): Column =
+  /** All unordered (i<j) pairs within a collected bucket, scored and
+    * thresholded *inside* the array expression: the explode then emits only
+    * surviving (id_a, id_b, score) structs — candidate pairs never
+    * materialize with their (wide) sketches attached. */
+  private def scoredBucketPairs(
+      xs: Column,
+      score: (Column, Column) => Column,
+      keepIf: Column => Column): Column =
     flatten(transform(xs, (x, i) =>
-      transform(slice(xs, i + lit(2), size(xs)),
-        y => struct(x.as("a"), y.as("b")))))
+      filter(
+        transform(slice(xs, i + lit(2), size(xs)), y =>
+          struct(
+            least(x.getField("id"), y.getField("id")).as("id_a"),
+            greatest(x.getField("id"), y.getField("id")).as("id_b"),
+            score(x, y).as("score"))),
+        s => keepIf(s.getField("score")))))
 
   /** MinHash-LSH near-duplicate pairs.
     *
@@ -91,14 +101,13 @@ object Dedup {
       .groupBy("band", "bh")
       .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-      .select(explode(bucketPairs(col("xs"))).as("p"))
-      .select(
-        least(col("p.a.id"), col("p.b.id")).as("id_a"),
-        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
-        MinHash.estJaccard(col("p.a.sig"), col("p.b.sig")).as("est_jaccard"))
+      .select(explode(scoredBucketPairs(col("xs"),
+        (x, y) => MinHash.estJaccard(x.getField("sig"), y.getField("sig")),
+        _ >= threshold)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.score").as("est_jaccard"))
       .groupBy("id_a", "id_b")
       .agg(max("est_jaccard").as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
   }
 
   /** SimHash near-duplicate pairs: sketch → 16-bit band buckets →
@@ -127,14 +136,13 @@ object Dedup {
       .groupBy("band", "key")
       .agg(collect_list(struct(col("id"), col("sh"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-      .select(explode(bucketPairs(col("xs"))).as("p"))
-      .select(
-        least(col("p.a.id"), col("p.b.id")).as("id_a"),
-        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
-        SimHash.hamming(col("p.a.sh"), col("p.b.sh")).as("hamming"))
+      .select(explode(scoredBucketPairs(col("xs"),
+        (x, y) => SimHash.hamming(x.getField("sh"), y.getField("sh")).cast("int"),
+        _ <= maxHamming)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.score").as("hamming"))
       .groupBy("id_a", "id_b")
       .agg(min("hamming").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: |A∩B| / |A∪B|

@@ -67,19 +67,24 @@ object Similarity {
       .select(col("id"), col("v"),
         VectorFunctions.lshBucket(col("v"), planes).as("bucket"))
 
+    // Score + threshold inside the bucket array expression so exploded
+    // rows are (id_a, id_b, cos) structs, never vector pairs.
     val pairs = flatten(transform(col("xs"), (x, i) =>
-      transform(slice(col("xs"), i + lit(2), size(col("xs"))),
-        y => struct(x.as("a"), y.as("b")))))
+      filter(
+        transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+          struct(
+            least(x.getField("id"), y.getField("id")).as("id_a"),
+            greatest(x.getField("id"), y.getField("id")).as("id_b"),
+            round(VectorFunctions.cosine(
+              x.getField("v"), y.getField("v")), 6).as("cos"))),
+        s => s.getField("cos") >= minCos)))
 
     bucketed
       .groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
       .select(explode(pairs).as("p"))
-      .select(
-        least(col("p.a.id"), col("p.b.id")).as("id_a"),
-        greatest(col("p.a.id"), col("p.b.id")).as("id_b"),
-        round(VectorFunctions.cosine(col("p.a.v"), col("p.b.v")), 6).as("cos"))
-      .filter(col("cos") >= minCos)
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.cos").as("cos"))
   }
 }

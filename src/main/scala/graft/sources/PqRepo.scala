@@ -156,6 +156,13 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     }
   }
 
+  /** Replace the embedded `last_modified` comment (the repo analog of
+    * reference set_table_comment, postgres/comments.py:35). Parquet footers
+    * are immutable, so this rewrites the table through the normal
+    * tmp+promote path — an admin-rate operation. */
+  def setComment(schema: String, table: String, comment: String): Path =
+    write(this.table(schema, table), schema, table, modified = Some(comment))
+
   /** Remove an active or archived table (reference pq_remove). */
   def remove(
       schema: String,

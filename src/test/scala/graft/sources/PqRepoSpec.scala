@@ -65,3 +65,28 @@ class PqRepoSpec extends SparkSpec {
     assert(!repo.remove("tpch", "nation"))
   }
 }
+class PqRepoCommentSpec extends graft.SparkSpec {
+  test("setComment replaces embedded last_modified") {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("graft_repo_c").toString)
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    repo.write(nation, "tpch", "nation", modified = Some("x (Updated 2024-05-01)"))
+    repo.setComment("tpch", "nation", "x (Updated 2024-07-01)")
+    assert(repo.lastModified("tpch", "nation").contains("x (Updated 2024-07-01)"))
+    assert(repo.table("tpch", "nation").count() == nation.count())
+  }
+}
+
+class GraftConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("data dir resolution order: explicit > env > cwd") {
+    assert(graft.GraftConfig.resolveDataDir(Some("/x")) == "/x")
+    assert(graft.GraftConfig.resolveDataDir(None).nonEmpty)
+  }
+  test("engine default round-trips and validates") {
+    graft.GraftConfig.setDefaultEngine("JDBC")
+    assert(graft.GraftConfig.getDefaultEngine == "jdbc")
+    assertThrows[IllegalArgumentException] {
+      graft.GraftConfig.setDefaultEngine("  ")
+    }
+  }
+}
