@@ -84,14 +84,19 @@ object Dedup {
     // Documents often arrive in few fat input splits (one parquet file →
     // one partition); fan out with an explicit partition count (AQE would
     // coalesce a small shuffle back to one partition) so the CPU-heavy
-    // shingle/hash stages use the whole cluster.
+    // signature stage uses the whole cluster. Signatures come from the
+    // fused native expression (byte-window shingling, zero per-shingle
+    // allocation) — the composed Column pipeline in
+    // graft.functions.MinHash stays available as the pure-API variant.
     val sigs = docs
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .repartition(parts, col("id"))
       .select(col("id"),
-        TextFunctions.charShingles(col("t"), shingleK).as("sh"))
-      .select(col("id"), MinHash.hashPairs(col("sh")).as("hp"))
-      .select(col("id"), MinHash.signatureFromPairs(col("hp"), numHashes).as("sig"))
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.MinHashSignature(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("t")),
+            shingleK, numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
 
     val banded = sigs
       .select(col("id"), col("sig"),
