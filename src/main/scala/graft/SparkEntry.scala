@@ -247,6 +247,29 @@ object SparkEntry {
       .select(unix_timestamp(col("w.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("value_sum_c"))
 
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    operators.Skew.saltedAgg(t(s, dir, "lineitem"),
+      keys = Seq("l_returnflag"),
+      sums = Map("sum_qty_c" -> cents(col("l_quantity"))),
+      numSalts = 16)
+
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    operators.Skew.saltedJoin(
+      t(s, dir, "lineitem"), t(s, dir, "supplier"),
+      skewedKey = "l_suppkey", otherKey = "s_suppkey", numSalts = 16)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+
+  private def qStatefulSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = t(s, dir, "events")
+      .select(col("user_id"), epochSec(col("ts")).as("ts_epoch"))
+      .as[graft.streaming.StatefulSessionize.EventIn]
+    graft.streaming.StatefulSessionize.assign(events, gapSeconds = 1800)
+      .groupBy("user_id")
+      .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
   // ===== §2.3 LLM-pipeline operators ========================================
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -343,6 +366,9 @@ object SparkEntry {
       "q_distinct" -> (qDistinct _),
       "q_asof" -> (qAsOf _),
       "q_sessionize" -> (qSessionize _),
+      "q_salted_agg" -> (qSaltedAgg _),
+      "q_salted_join" -> (qSaltedJoin _),
+      "q_stateful_sessionize" -> (qStatefulSessionize _),
       "stream_events" -> (streamEvents _),
       "dedup_exact" -> (dedupExact _),
       "token_count" -> (tokenCount _),
@@ -495,6 +521,27 @@ object SparkEntry {
            CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch,
            CAST(count(*) AS BIGINT) AS n_events
          FROM g GROUP BY 1, 2""",
+    "q_salted_agg" ->
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c
+          FROM lineitem GROUP BY 1""",
+    "q_salted_join" ->
+      s"""SELECT s.s_name, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(${centsSql("l.l_quantity")}) AS BIGINT) AS sum_qty_c
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1""",
+    "q_stateful_sessionize" ->
+      """WITH g AS (
+           SELECT user_id,
+             sum(CASE WHEN prev IS NULL
+                      OR floor(epoch(ts)) - floor(epoch(prev)) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                 FROM events))
+         SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM g GROUP BY 1""",
     "stream_events" ->
       s"""SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 hour, ts))) AS BIGINT) AS hour_epoch,
           event_type, CAST(count(*) AS BIGINT) AS n,
