@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.plans.TablePlan
+import graft.sources.{Jdbc, PqRepo}
+import graft.sync.Modified
+
+/** Top-level façade: the reference's workflow entry points re-expressed
+  * over graft's parts (reference db2pq/__init__.py public API). A db2pq
+  * user maps calls 1:1:
+  *
+  *  - `db_to_pq(table, schema, keep/drop/rename/col_types/where/obs/tz,
+  *    numeric_mode, archive)`            → [[dbToPq]]
+  *  - `pg_update_pq(...)` / `wrds_update_pq(...)` → [[dbUpdatePq]]
+  *  - `db_schema_to_pq(schema)`          → [[sources.SchemaExport]]
+  *  - `wrds_sql_to_pq(sql, ...)`         → [[sqlToPq]]
+  *  - `pq_to_pg(...)`                    → [[pqToDb]]
+  *  - `pq_update_pg(...)`                → [[pqUpdateDb]]
+  *  - `pq_list_files/pq_archive/pq_restore/pq_remove/pq_last_modified`
+  *                                       → [[sources.PqRepo]] methods
+  *
+  * The ingest side is plain `spark.read.jdbc` under the hood — on a
+  * cluster the partitioned read fans the SELECT out across executors,
+  * which is the scale story the single-connection reference lacks.
+  */
+object Graft {
+
+  /** Export a database table to the parquet repository (db_to_pq,
+    * core.py:43): plan pushed into the database, partitioned read,
+    * metadata-stamped atomic repo write. */
+  def dbToPq(
+      spark: SparkSession,
+      url: String,
+      schema: String,
+      table: String,
+      sourceSchema: StructType,
+      repo: PqRepo,
+      plan: TablePlan = TablePlan(),
+      altTableName: Option[String] = None,
+      modified: Option[String] = None,
+      partitionColumn: Option[String] = None,
+      lowerBound: Option[Long] = None,
+      upperBound: Option[Long] = None,
+      numPartitions: Int = 32,
+      archive: Boolean = false
+  ): Path = {
+    val df = Jdbc.readTable(spark, url, plan, schema, table, sourceSchema,
+      partitionColumn, lowerBound, upperBound, numPartitions)
+    repo.write(df, schema, altTableName.getOrElse(table),
+      modified = modified, archiveExisting = archive)
+  }
+
+  /** Update-gated export (pg_update_pq / wrds_update_pq, core.py:955/1028):
+    * runs [[dbToPq]] only when `sourceComment` is newer than the stored
+    * table's metadata. `source` is lazy — nothing is read when current. */
+  def dbUpdatePq(
+      repo: PqRepo,
+      schema: String,
+      table: String,
+      sourceComment: Option[String],
+      source: => DataFrame,
+      force: Boolean = false,
+      archive: Boolean = false
+  ): Option[Path] =
+    repo.updateWrite(source, schema, table, sourceComment,
+      force = force, archiveExisting = archive)
+
+  /** Run arbitrary SQL in the database, land the result in the repo
+    * (wrds_sql_to_pq, core.py:529). */
+  def sqlToPq(
+      spark: SparkSession,
+      url: String,
+      sql: String,
+      repo: PqRepo,
+      schema: String,
+      table: String,
+      modified: Option[String] = None,
+      archive: Boolean = false
+  ): Path =
+    repo.write(Jdbc.readSql(spark, url, sql), schema, table,
+      modified = modified, archiveExisting = archive)
+
+  /** Load a repo table into a database (pq_to_pg, postgres/update.py:480). */
+  def pqToDb(
+      repo: PqRepo,
+      url: String,
+      schema: String,
+      table: String,
+      colTypes: Map[String, String] = Map.empty,
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit =
+    Jdbc.writeTable(repo.table(schema, table), url, schema, table, colTypes, mode)
+
+  /** Update-gated reverse path (pq_update_pg, postgres/update.py:570):
+    * write to the database only when the repo copy is newer than the
+    * destination's comment. */
+  def pqUpdateDb(
+      repo: PqRepo,
+      url: String,
+      schema: String,
+      table: String,
+      destComment: Option[String],
+      colTypes: Map[String, String] = Map.empty,
+      force: Boolean = false,
+      write: DataFrame => Unit = null
+  ): Boolean = {
+    val src = Modified.info("pq", repo.lastModified(schema, table))
+    val dst = Modified.info("pg", destComment)
+    val proceed = force || (src.date.isDefined && Modified.updateAvailable(src, dst))
+    if (proceed) {
+      val df = repo.table(schema, table)
+      if (write != null) write(df)
+      else Jdbc.writeTable(df, url, schema, table, colTypes)
+    }
+    proceed
+  }
+}
