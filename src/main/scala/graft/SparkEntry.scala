@@ -247,6 +247,24 @@ object SparkEntry {
       .select(unix_timestamp(col("w.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("value_sum_c"))
 
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // Co-located join: both fact tables bucketed+sorted on the join key →
+    // the merge join needs no Exchange on either side (only the final
+    // aggregation shuffles). The bucketed layout is what a 100 TB
+    // deployment writes once and joins many times.
+    val repo = PqRepo(s, Files.createTempDirectory("graft_bucketed").toString)
+    val l = repo.writeBucketed(
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      "tpch", "lineitem_b", Seq("l_orderkey"), 8)
+    val o = repo.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      "tpch", "orders_b", Seq("o_orderkey"), 8)
+    s.table(l).hint("merge")
+      .join(s.table(o), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+  }
+
   private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
     operators.Skew.saltedAgg(t(s, dir, "lineitem"),
       keys = Seq("l_returnflag"),
@@ -366,6 +384,7 @@ object SparkEntry {
       "q_distinct" -> (qDistinct _),
       "q_asof" -> (qAsOf _),
       "q_sessionize" -> (qSessionize _),
+      "q_bucketed_join" -> (qBucketedJoin _),
       "q_salted_agg" -> (qSaltedAgg _),
       "q_salted_join" -> (qSaltedJoin _),
       "q_stateful_sessionize" -> (qStatefulSessionize _),
@@ -521,6 +540,11 @@ object SparkEntry {
            CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch,
            CAST(count(*) AS BIGINT) AS n_events
          FROM g GROUP BY 1, 2""",
+    "q_bucketed_join" ->
+      s"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(${centsSql("l.l_quantity")}) AS BIGINT) AS sum_qty_c
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1""",
     "q_salted_agg" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c

@@ -63,6 +63,54 @@ object Multimodal {
     }
   }
 
+  /** ??? real resize goes here — STUB: "resizes" by deterministic byte
+    * subsampling to `targetBytes`, preserving the batched per-partition
+    * shape a real image-resize (JNI/codec) call would use. */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (payload.length <= targetBytes) payload
+    else {
+      val out = new Array[Byte](targetBytes)
+      val stride = payload.length.toDouble / targetBytes
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = payload((i * stride).toInt.min(payload.length - 1))
+        i += 1
+      }
+      out
+    }
+
+  /** ??? real frame extraction goes here — STUB: samples `n` evenly-spaced
+    * fixed-size "frames" from a video-like payload. Output is one row per
+    * frame — the explode shape a real decoder produces. */
+  def sampleFramesStub(payload: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] =
+    (0 until n).map { f =>
+      val start = ((payload.length.max(1) - 1).toLong * f / n.max(1)).toInt
+      payload.slice(start, (start + frameBytes).min(payload.length))
+    }
+
+  /** Resize pass over a media Dataset (batched mapPartitions, stub kernel). */
+  def resize(ds: Dataset[MediaRow], targetBytes: Int, batchSize: Int = 256): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(r =>
+      r.copy(payload = resizeStub(r.payload, targetBytes)))))
+  }
+
+  /** Frame sampling: one output row per sampled frame, keyed by media_id. */
+  def sampleFrames(
+      ds: Dataset[MediaRow],
+      framesPerAsset: Int,
+      frameBytes: Int,
+      batchSize: Int = 256
+  ): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
+      sampleFramesStub(r.payload, framesPerAsset, frameBytes).zipWithIndex.map {
+        case (frame, i) =>
+          MediaRow(r.media_id * 1000 + i, frame, r.mime, r.width, r.height)
+      }
+    }))
+  }
+
   /** Demo pipeline over the `documents` table: treat each document's bytes
     * as an opaque media payload, run the batched decode path, and emit a
     * features table. Proves the plumbing (binary column → typed Dataset →

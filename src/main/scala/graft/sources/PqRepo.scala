@@ -156,6 +156,28 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     }
   }
 
+  /** Write a table bucketed (and per-bucket sorted) on join/grouping keys,
+    * registered in the session catalog with its data under the repo layout.
+    * Joins and aggregations between tables bucketed the same way need no
+    * shuffle — the 100 TB co-location pattern (see `q_bucketed_join`).
+    * Catalog name: `<schema>_<table>` (session-scoped). */
+  def writeBucketed(
+      df: DataFrame,
+      schema: String,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int
+  ): String = {
+    val catalogName = s"${schema}_$table"
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", new Path(new Path(dataDir, schema), s"$table.bucketed").toString)
+      .saveAsTable(catalogName)
+    catalogName
+  }
+
   /** Replace the embedded `last_modified` comment (the repo analog of
     * reference set_table_comment, postgres/comments.py:35). Parquet footers
     * are immutable, so this rewrites the table through the normal

@@ -43,6 +43,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
   }
 
+  test("q_bucketed_join: co-located merge join without a join-side shuffle") {
+    val p = physical("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // the only Exchange allowed is the final aggregation's
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 Exchange (agg only), got $exchanges:\n$p")
+  }
+
   test("embed_cosine_topk broadcasts the query side (no shuffle of corpus)") {
     val p = physical("embed_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

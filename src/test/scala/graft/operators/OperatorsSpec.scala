@@ -123,6 +123,26 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bytes") > 0)
   }
 
+  test("resize bounds payloads; frame sampling yields n rows per asset") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val media = docs.select(
+      org.apache.spark.sql.functions.col("doc_id").as("media_id"),
+      org.apache.spark.sql.functions.encode(
+        org.apache.spark.sql.functions.col("text"), "UTF-8").as("payload"),
+      org.apache.spark.sql.functions.lit("video/fake").as("mime"),
+      org.apache.spark.sql.functions.lit(0).as("width"),
+      org.apache.spark.sql.functions.lit(0).as("height"))
+      .as[Multimodal.MediaRow]
+
+    val resized = Multimodal.resize(media, targetBytes = 64)
+    assert(resized.collect().forall(_.payload.length <= 64))
+
+    val frames = Multimodal.sampleFrames(media, framesPerAsset = 4, frameBytes = 16)
+    assert(frames.count() == 80)
+    assert(frames.collect().forall(_.payload.length <= 16))
+  }
+
   test("decode stub is deterministic across runs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
     val a = Multimodal.documentBytesPipeline(spark, docs).collect()
