@@ -356,6 +356,22 @@ object SparkEntry {
     Similarity.annBuckets(t(s, dir, "embeddings"), "vec_id", "embedding",
       numPlanes = 8, dim = 64, minCos = 0.15)
 
+  private def embedIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = Similarity.ivfBuild(e, "vec_id", "embedding", numCentroids = 16)
+    Similarity.ivfSearch(index, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 4)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
+  private def dedupGroups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    Dedup.exactGroups(d.unionByName(dup), col("doc_id"), col("text"))
+      .select(col("ids"), col("n"))
+  }
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBytesPipeline(s, t(s, dir, "documents"))
 
@@ -399,6 +415,8 @@ object SparkEntry {
       "dedup_minhash" -> (dedupMinhash _),
       "dedup_simhash" -> (dedupSimhash _),
       "embed_lsh_ann" -> (embedLshAnn _),
+      "embed_ivf_ann" -> (embedIvfAnn _),
+      "dedup_groups" -> (dedupGroups _),
       "multimodal_meta" -> (multimodalMeta _)
     )
 
@@ -571,6 +589,11 @@ object SparkEntry {
           event_type, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(${centsSql("value")}) AS BIGINT) AS value_sum_c
           FROM events GROUP BY 1, 2""",
+    "dedup_groups" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         SELECT list_sort(list(doc_id)) AS ids, CAST(count(*) AS BIGINT) AS n
+         FROM u GROUP BY text""",
     "dedup_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents
                     UNION ALL SELECT doc_id + 1000000, text FROM documents)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,83 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** An IVF (inverted-file) index: `numCentroids` centroid vectors chosen
+    * deterministically from the corpus (strided sample — at real scale,
+    * replace with a k-means pass), plus the corpus with an assigned
+    * nearest-centroid `cluster` column. The index build collects only the
+    * centroid vectors (kilobytes); assignment is a broadcast argmax. */
+  final case class IvfIndex(centroids: Seq[(Int, Seq[Double])], assigned: DataFrame)
+
+  private def centroidCols(centroids: Seq[(Int, Seq[Double])], v: Column): Column = {
+    // argmax over cosine(v, centroid_c): fold the (tiny) centroid list
+    // into a single struct-max expression — fully codegen'd, no UDF.
+    val scored = centroids.map { case (cid, c) =>
+      struct(
+        round(VectorFunctions.cosine(v, array(c.map(lit): _*)), 9).as("cos"),
+        lit(-cid).as("negid"))
+    }
+    -greatest(scored: _*).getField("negid")
+  }
+
+  /** Build an IVF index over the corpus. */
+  def ivfBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 16
+  ): IvfIndex = {
+    val n = corpus.count()
+    val stride = math.max(n / numCentroids, 1L)
+    val centroids = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id")
+      .limit(numCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](1).map(_.toDouble).toSeq
+      }.toSeq
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cluster", centroidCols(centroids, col("v")))
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Probe the IVF index: each query scans only its `nprobe` nearest
+    * clusters — the corpus fraction touched is ~nprobe/numCentroids,
+    * which is what makes ANN tractable at 100 TB. Returns top-k per
+    * query from the probed subset. */
+  def ivfSearch(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // per-query nprobe nearest centroids (tiny cross product, broadcast)
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(slice(sort_array(array(index.centroids.map { case (cid, c) =>
+        struct(
+          (-round(VectorFunctions.cosine(col("qv"), array(c.map(lit): _*)), 9))
+            .as("negcos"),
+          lit(cid).as("cid"))
+      }: _*)), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cid").as("cluster"))
+
+    val scored = broadcast(probes)
+      .join(index.assigned, Seq("cluster"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        round(VectorFunctions.cosine(col("qv"), col("v")), 6).as("cos"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id").asc)

@@ -66,6 +66,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf: probing all clusters reproduces brute force; partial probe recalls") {
+    val corpus = emb.limit(400)
+    val queries = emb.filter(col("vec_id") < 5)
+    val index = Similarity.ivfBuild(corpus, "vec_id", "embedding", numCentroids = 8)
+
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val full = Similarity.ivfSearch(index, queries, "vec_id", "embedding", 5,
+      nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(full == exact, "nprobe = numCentroids must equal brute force")
+
+    val partial = Similarity.ivfSearch(index, queries, "vec_id", "embedding", 5,
+      nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = partial.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("annBuckets only pairs vectors sharing a bucket; cos bounded") {
     val out = Similarity.annBuckets(emb.limit(300), "vec_id", "embedding",
       numPlanes = 6, dim = 64, minCos = -1.0)
