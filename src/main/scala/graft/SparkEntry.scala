@@ -178,8 +178,6 @@ object SparkEntry {
   }
 
   private def qTopN(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     t(s, dir, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"),
         cents(col("o_totalprice")).as("price_c"))

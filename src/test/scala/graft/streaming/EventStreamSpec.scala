@@ -50,3 +50,37 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == static.count())
   }
 }
+
+class ClosedSessionsSpec extends graft.SparkSpec {
+  import graft.streaming.StatefulSessionize._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000)
+
+  test("sessions close by gap and by watermark timeout, emitted exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[TsEvent]
+    val name = s"closed_${System.nanoTime()}"
+    val q = closedSessions(input.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(TsEvent(1, ts(100)), TsEvent(1, ts(130)))
+      q.processAllAvailable()
+      // same key past the gap: closes the first session inline
+      input.addData(TsEvent(1, ts(10000)))
+      q.processAllAvailable()
+      // advance watermark far past 10000+60 so the open session times out
+      input.addData(TsEvent(2, ts(20000)))
+      q.processAllAvailable()
+      input.addData(TsEvent(2, ts(20001)))
+      q.processAllAvailable()
+
+      val rows = spark.table(name).as[ClosedSession].collect().toSet
+      assert(rows.contains(ClosedSession(1, 100, 130, 2)), rows.toString)
+      assert(rows.contains(ClosedSession(1, 10000, 10000, 1)), rows.toString)
+      // no duplicates
+      assert(rows.size == spark.table(name).count())
+    } finally q.stop()
+  }
+}
