@@ -83,16 +83,21 @@ object Graft {
     repo.write(Jdbc.readSql(spark, url, sql), schema, table,
       modified = modified, archiveExisting = archive)
 
-  /** Load a repo table into a database (pq_to_pg, postgres/update.py:480). */
+  /** Load a repo table into a database (pq_to_pg, postgres/update.py:480).
+    * `dstSchema`/`dstTable` default to the repo names (reference
+    * `dst_schema` / `alt_table_name`). */
   def pqToDb(
       repo: PqRepo,
       url: String,
       schema: String,
       table: String,
+      dstSchema: Option[String] = None,
+      dstTable: Option[String] = None,
       colTypes: Map[String, String] = Map.empty,
       mode: SaveMode = SaveMode.Overwrite
   ): Unit =
-    Jdbc.writeTable(repo.table(schema, table), url, schema, table, colTypes, mode)
+    Jdbc.writeTable(repo.table(schema, table), url,
+      dstSchema.getOrElse(schema), dstTable.getOrElse(table), colTypes, mode)
 
   /** Update-gated reverse path (pq_update_pg, postgres/update.py:570):
     * write to the database only when the repo copy is newer than the

@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import graft.{Graft, SparkSpec}
+import graft.plans.TablePlan
+
+/** End-to-end JDBC integration against embedded Derby (ships with Spark):
+  * the database→parquet and parquet→database paths run for real, not just
+  * at the plan-SQL level. The PostgreSQL-flavored pushdown rendering
+  * (::casts, AT TIME ZONE) is exercised separately in TablePlanSparkSpec;
+  * here plans stick to engine-neutral SQL (projection, rename, where). */
+class JdbcIntegrationSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private def withStatement[A](f: java.sql.Statement => A): A = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn.createStatement()) finally conn.close()
+  }
+
+  private def setupTable(): Unit = {
+    withStatement { st =>
+      try st.execute("DROP TABLE GRAFT.DSI") catch { case _: Exception => }
+      try st.execute("CREATE SCHEMA GRAFT") catch { case _: Exception => }
+      st.execute(
+        "CREATE TABLE GRAFT.DSI (ID BIGINT NOT NULL, NAME VARCHAR(40), VAL DOUBLE)")
+      (1 to 100).foreach { i =>
+        st.execute(s"INSERT INTO GRAFT.DSI VALUES ($i, 'row_$i', ${i * 1.5})")
+      }
+    }
+  }
+
+  test("dbToPq: database table lands in the repo with plan + metadata applied") {
+    setupTable()
+    val repo = PqRepo(spark, Files.createTempDirectory("graft_jdbc").toString)
+    val sourceSchema = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "GRAFT.DSI").load().schema
+
+    val plan = TablePlan(
+      keep = Seq("^(ID|VAL)$"),
+      rename = Map("VAL" -> "VALUE"),
+      where = Some("ID > 90"))
+    val path = Graft.dbToPq(spark, url, "GRAFT", "DSI", sourceSchema, repo,
+      plan = plan, altTableName = Some("dsi"),
+      modified = Some("x (Updated 2024-05-01)"))
+
+    val back = repo.table("GRAFT", "dsi")
+    assert(back.columns.toSeq == Seq("ID", "VALUE"))
+    assert(back.count() == 10)
+    assert(repo.lastModified("GRAFT", "dsi").contains("x (Updated 2024-05-01)"))
+    assert(path.toString.endsWith("GRAFT/dsi.parquet"))
+  }
+
+  test("partitioned read fans out into stride queries and loses no rows") {
+    setupTable()
+    val sourceSchema = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "GRAFT.DSI").load().schema
+    val df = Jdbc.readTable(spark, url, TablePlan(), "GRAFT", "DSI",
+      sourceSchema, partitionColumn = Some("ID"),
+      lowerBound = Some(1L), upperBound = Some(101L), numPartitions = 7)
+    assert(df.rdd.getNumPartitions == 7)
+    assert(df.count() == 100)
+    assert(df.agg(sum("ID")).head().getLong(0) == 5050L)
+  }
+
+  test("pqToDb writes a repo table into the database and pqUpdateDb gates") {
+    setupTable()
+    val repo = PqRepo(spark, Files.createTempDirectory("graft_jdbc2").toString)
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey").as("NK"), col("n_name").as("NNAME"))
+    repo.write(nation, "tpch", "nation", modified = Some("x (Updated 2024-06-01)"))
+
+    Graft.pqToDb(repo, url, "tpch", "nation",
+      dstSchema = Some("GRAFT"), dstTable = Some("NATION_OUT"))
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "GRAFT.NATION_OUT").load()
+    assert(back.count() == nation.count())
+
+    // destination newer → gate skips the JDBC write
+    assert(!Graft.pqUpdateDb(repo, url, "tpch", "nation",
+      destComment = Some("x (Updated 2024-07-01)")))
+    // destination older → writes through the real JDBC path
+    assert(Graft.pqUpdateDb(repo, url, "tpch", "nation",
+      destComment = Some("x (Updated 2024-05-01)"),
+      write = df => Jdbc.writeTable(df, url, "GRAFT", "NATION_OUT2")))
+    val out2 = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "GRAFT.NATION_OUT2").load()
+    assert(out2.count() == nation.count())
+  }
+
+  test("readSql runs arbitrary SQL inside the database") {
+    setupTable()
+    val df = Jdbc.readSql(spark, url,
+      "SELECT NAME, VAL * 2 AS V2 FROM GRAFT.DSI WHERE ID <= 3")
+    assert(df.count() == 3)
+    assert(df.columns.toSeq == Seq("NAME", "V2"))
+  }
+}
