@@ -68,6 +68,41 @@ object Graft {
     repo.updateWrite(source, schema, table, sourceComment,
       force = force, archiveExisting = archive)
 
+  /** Mirror a table between databases (db_to_pg / wrds_pg_to_pg,
+    * core.py:269/663): planned partitioned read from the source, JDBC
+    * write to the destination. */
+  def dbToDb(
+      spark: SparkSession,
+      srcUrl: String,
+      dstUrl: String,
+      schema: String,
+      table: String,
+      sourceSchema: StructType,
+      plan: TablePlan = TablePlan(),
+      dstSchema: Option[String] = None,
+      dstTable: Option[String] = None,
+      colTypes: Map[String, String] = Map.empty
+  ): Unit =
+    Jdbc.writeTable(
+      Jdbc.readTable(spark, srcUrl, plan, schema, table, sourceSchema),
+      dstUrl, dstSchema.getOrElse(schema), dstTable.getOrElse(table), colTypes)
+
+  /** Export every table of a database schema to the repo
+    * (db_schema_to_pq, core.py:765) — discovery via JDBC catalog metadata,
+    * each table through [[dbToPq]]. */
+  def dbSchemaToPq(
+      spark: SparkSession,
+      url: String,
+      schema: String,
+      repo: PqRepo,
+      plan: TablePlan = TablePlan()
+  ): Seq[(String, Path)] =
+    Jdbc.schemaTables(url, schema).map { table =>
+      val srcSchema = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", s"$schema.$table").load().schema
+      table -> dbToPq(spark, url, schema, table, srcSchema, repo, plan)
+    }
+
   /** Run arbitrary SQL in the database, land the result in the repo
     * (wrds_sql_to_pq, core.py:529). */
   def sqlToPq(

@@ -82,6 +82,38 @@ object Jdbc {
       .option("query", sql)
       .load()
 
+  /** List table names in a database schema (reference db_schema_tables,
+    * postgres/schema.py:35) via JDBC catalog metadata — engine-agnostic. */
+  def schemaTables(url: String, schema: String): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) out += rs.getString("TABLE_NAME")
+      out.toSeq.sorted
+    } finally conn.close()
+  }
+
+  /** Table existence (reference table_exists, postgres/introspect.py:1). */
+  def tableExists(url: String, schema: String, table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.getMetaData.getTables(null, schema, table, Array("TABLE")).next()
+    finally conn.close()
+  }
+
+  /** Column name → database type name, in ordinal order (reference
+    * get_table_columns + get_table_column_types, introspect.py:7-28). */
+  def tableColumns(url: String, schema: String, table: String): Seq[(String, String)] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getColumns(null, schema, table, "%")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+      while (rs.next()) out += ((rs.getInt("ORDINAL_POSITION"),
+        rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME")))
+      out.sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    } finally conn.close()
+  }
+
   /** PostgreSQL column DDL for `createTableColumnTypes` on the write path
     * (reference pq_to_pg / postgres_write_pg type mapping). */
   def createTableColumnTypes(colTypes: Map[String, String]): String =

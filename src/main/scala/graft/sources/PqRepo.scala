@@ -156,6 +156,19 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     }
   }
 
+  /** Like [[write]] but skips entirely when the frame is empty, mirroring
+    * the reference's "No rows returned; no parquet file created"
+    * (files/parquet.py:713). Costs one cheap `isEmpty` probe. */
+  def writeNonEmpty(
+      df: DataFrame,
+      schema: String,
+      table: String,
+      modified: Option[String] = None,
+      archiveExisting: Boolean = false
+  ): Option[Path] =
+    if (df.isEmpty) None
+    else Some(write(df, schema, table, modified, archiveExisting))
+
   /** Write a table bucketed (and per-bucket sorted) on join/grouping keys,
     * registered in the session catalog with its data under the repo layout.
     * Joins and aggregations between tables bucketed the same way need no

@@ -99,3 +99,59 @@ class JdbcIntegrationSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("NAME", "V2"))
   }
 }
+
+class JdbcIntrospectionSpec extends SparkSpec {
+  private val url = "jdbc:derby:memory:graftmeta;create=true"
+
+  test("schemaTables / tableExists / tableColumns via catalog metadata") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("CREATE SCHEMA META") catch { case _: Exception => }
+      try st.execute("DROP TABLE META.T1") catch { case _: Exception => }
+      try st.execute("DROP TABLE META.T2") catch { case _: Exception => }
+      st.execute("CREATE TABLE META.T1 (A BIGINT, B VARCHAR(10))")
+      st.execute("CREATE TABLE META.T2 (C DOUBLE)")
+    } finally conn.close()
+
+    assert(Jdbc.schemaTables(url, "META") == Seq("T1", "T2"))
+    assert(Jdbc.tableExists(url, "META", "T1"))
+    assert(!Jdbc.tableExists(url, "META", "NOPE"))
+    assert(Jdbc.tableColumns(url, "META", "T1") ==
+      Seq(("A", "BIGINT"), ("B", "VARCHAR")))
+  }
+
+  test("dbSchemaToPq exports every discovered table; dbToDb mirrors") {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("graft_schema_jdbc").toString)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("CREATE SCHEMA SRC") catch { case _: Exception => }
+      try st.execute("DROP TABLE SRC.SMALL") catch { case _: Exception => }
+      st.execute("CREATE TABLE SRC.SMALL (ID BIGINT)")
+      (1 to 5).foreach(i => st.execute(s"INSERT INTO SRC.SMALL VALUES ($i)"))
+    } finally conn.close()
+
+    val exported = graft.Graft.dbSchemaToPq(spark, url, "SRC", repo)
+    assert(exported.map(_._1) == Seq("SMALL"))
+    assert(repo.table("SRC", "SMALL").count() == 5)
+
+    val srcSchema = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "SRC.SMALL").load().schema
+    graft.Graft.dbToDb(spark, url, url, "SRC", "SMALL", srcSchema,
+      dstTable = Some("SMALL_COPY"))
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "SRC.SMALL_COPY").load().count() == 5)
+  }
+
+  test("writeNonEmpty skips empty frames like the reference") {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("graft_empty").toString)
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    assert(repo.writeNonEmpty(nation.filter("n_nationkey < 0"), "tpch", "none").isEmpty)
+    assert(repo.list("tpch").isEmpty)
+    assert(repo.writeNonEmpty(nation, "tpch", "nation").isDefined)
+    assert(repo.list("tpch") == Seq("nation"))
+  }
+}
