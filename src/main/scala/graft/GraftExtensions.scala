@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expressions.MinHashSignature
+import graft.functions.expressions.{MinHashSignature, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions. Activate with
@@ -16,8 +16,10 @@ import graft.functions.expressions.MinHashSignature
   * SQL: `graft_minhash_signature(text, k, numHashes)` → array<bigint>.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashSignatureFn)
+    ext.injectFunction(GraftExtensions.simhash64Fn)
+  }
 }
 
 object GraftExtensions {
@@ -40,10 +42,19 @@ object GraftExtensions {
     }
   )
 
+  private[graft] val simhash64Fn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "graft_simhash64(text) takes 1 argument")
+      SimHash64(exprs.head)
+    }
+  )
+
   /** Register on a live session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = minhashSignatureFn
-    spark.sessionState.functionRegistry
-      .registerFunction(ident, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(minhashSignatureFn, simhash64Fn).foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -126,10 +126,15 @@ object Dedup {
       maxBucket: Int = 500
   ): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // Sketch with the native one-pass expression (provably equal to the
+    // composed SimHash.simhash(wsTokens(..)) — see SimHash64Spec).
     val sketched = docs
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .repartition(parts, col("id"))
-      .select(col("id"), SimHash.simhash(TextFunctions.wsTokens(col("t"))).as("sh"))
+      .select(col("id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.SimHash64(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("t")))).as("sh"))
 
     val banded = sketched.select(col("id"), col("sh"),
       explode(array((0 until 4).map(j =>

@@ -77,3 +77,39 @@ class MinHashSignatureSpec extends SparkSpec {
     assert(raw"\*\(\d+\) Project".r.findFirstIn(p).isDefined, p)
   }
 }
+
+class SimHash64Spec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.functions.expressions.SimHash64
+
+  private def nativeCol(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SimHash64(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  test("native kernel equals the composed Column pipeline on real docs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val both = docs.select(
+      nativeCol(col("text")).as("native"),
+      SimHash.simhash(TextFunctions.wsTokens(col("text"))).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("edge cases: null, empty, whitespace-only") {
+    import spark.implicits._
+    val out = Seq[String](null, "", "   \t\n  ", "one")
+      .toDF("t").select(nativeCol($"t").as("s")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getLong(0) == 0L)
+    assert(out(2).getLong(0) == 0L)
+    assert(out(3).getLong(0) >= 0L)
+  }
+
+  test("registered as graft_simhash64 SQL function") {
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(3)
+      .createOrReplaceTempView("sh_docs")
+    val vals = spark.sql("SELECT graft_simhash64(text) AS s FROM sh_docs")
+      .collect().map(_.getLong(0))
+    assert(vals.forall(_ >= 0L))
+  }
+}
