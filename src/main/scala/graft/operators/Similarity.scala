@@ -49,11 +49,15 @@ object Similarity {
   final case class IvfIndex(centroids: Seq[(Int, Seq[Double])], assigned: DataFrame)
 
   private def centroidCols(centroids: Seq[(Int, Seq[Double])], v: Column): Column = {
-    // argmax over cosine(v, centroid_c): fold the (tiny) centroid list
-    // into a single struct-max expression — fully codegen'd, no UDF.
+    // argmax over cosine(v, centroid_c) — but ||v|| is a common positive
+    // factor across centroids, so argmax needs only dot(v,c)/||c||, and
+    // ||c|| is a Scala-side constant. One dot product per centroid, fully
+    // codegen'd, no UDF, no repeated norm(v).
     val scored = centroids.map { case (cid, c) =>
+      val cnorm = math.sqrt(c.map(x => x * x).sum)
       struct(
-        round(VectorFunctions.cosine(v, array(c.map(lit): _*)), 9).as("cos"),
+        round(VectorFunctions.dot(v, array(c.map(lit): _*)) / lit(cnorm), 9)
+          .as("score"),
         lit(-cid).as("negid"))
     }
     -greatest(scored: _*).getField("negid")
@@ -96,12 +100,14 @@ object Similarity {
       nprobe: Int = 4
   ): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    // per-query nprobe nearest centroids (tiny cross product, broadcast)
+    // per-query nprobe nearest centroids (tiny cross product, broadcast);
+    // same norm-free argmax trick as assignment
     val probes = q.select(col("query_id"), col("qv"),
       explode(slice(sort_array(array(index.centroids.map { case (cid, c) =>
+        val cnorm = math.sqrt(c.map(x => x * x).sum)
         struct(
-          (-round(VectorFunctions.cosine(col("qv"), array(c.map(lit): _*)), 9))
-            .as("negcos"),
+          (-round(VectorFunctions.dot(col("qv"), array(c.map(lit): _*))
+            / lit(cnorm), 9)).as("negscore"),
           lit(cid).as("cid"))
       }: _*)), 1, nprobe)).as("p"))
       .select(col("query_id"), col("qv"), col("p.cid").as("cluster"))
