@@ -363,6 +363,17 @@ object SparkEntry {
         col("rank").cast("bigint").as("rank"))
   }
 
+  private def dedupDrop(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val near = d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text").substr(lit(1),
+        greatest(length(col("text")) - 30, lit(50))), lit(" appended tail"))
+        .as("text"))
+    operators.Dedup.dropNearDuplicates(d.unionByName(near), "doc_id", "text",
+      numHashes = 48, bands = 12, threshold = 0.4)
+      .select("doc_id")
+  }
+
   private def dedupGroups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
     val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
@@ -414,6 +425,7 @@ object SparkEntry {
       "dedup_simhash" -> (dedupSimhash _),
       "embed_lsh_ann" -> (embedLshAnn _),
       "embed_ivf_ann" -> (embedIvfAnn _),
+      "dedup_drop" -> (dedupDrop _),
       "dedup_groups" -> (dedupGroups _),
       "multimodal_meta" -> (multimodalMeta _)
     )

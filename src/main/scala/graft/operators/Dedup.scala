@@ -155,6 +155,62 @@ object Dedup {
       .agg(min("hamming").as("hamming"))
   }
 
+  /** Connected components over an undirected pair list by label
+    * propagation: every node's label converges to the smallest id in its
+    * component. Near-dup components are tiny (pairs/short chains), so the
+    * loop converges in a few iterations; `maxIters` bounds pathological
+    * chains. Each iteration is one self-contained shuffle round — no
+    * driver-side data, only a convergence check. */
+  def components(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // Materialize the edge list once: the iteration joins against it every
+    // round and would otherwise re-execute the (expensive) upstream
+    // pair-generation lineage per iteration.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.label") =!= col("l.label")).limit(1).count()
+      labels = updated.localCheckpoint(eager = true)
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate REMOVAL: MinHash-LSH candidate pairs →
+    * connected components → keep only the smallest-id member of each
+    * component. This is the operator a training-data pipeline actually
+    * runs; [[minhashPairs]] is its observable intermediate. */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, shingleK, numHashes,
+      bands, threshold)
+    val losers = components(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs: |A∩B| / |A∪B|
     * over distinct word n-grams. Joins two doc sets on a provided pair
     * frame; used to verify near-dup candidates exactly. */

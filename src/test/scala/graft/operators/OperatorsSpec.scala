@@ -36,6 +36,37 @@ class DedupSpec extends SparkSpec {
     assert(found.size >= 95, s"recall ${found.size}/100")
   }
 
+  test("components: label propagation finds min-id per component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 23L)).toDF("id_a", "id_b")
+    val labels = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(Seq(20L, 21L, 22L, 23L).forall(labels(_) == 20L))
+  }
+
+  test("dropNearDuplicates removes planted mutants, keeps originals") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val mutated = docs.select((col("doc_id") + 5000).as("doc_id"),
+      concat(col("text").substr(lit(1), length(col("text")) - 15),
+        lit(" zz")).as("text"))
+    val out = Dedup.dropNearDuplicates(docs.unionByName(mutated),
+      "doc_id", "text", numHashes = 48, bands = 12, threshold = 0.5)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // something was dropped, and survivors exist
+    assert(kept.nonEmpty && kept.size < 120)
+    // a planted (original, mutant) pair almost never both survives —
+    // misses only on LSH recall failures
+    val bothSurvived = (0 until 60).count(i =>
+      kept.contains(i.toLong) && kept.contains(i + 5000L))
+    assert(bothSurvived <= 3, s"$bothSurvived planted pairs both survived")
+    // survivors are component minima: no kept mutant without its original
+    // having been removed by an (original, original) merge
+    assert(kept.count(_ < 5000) >= kept.count(_ >= 5000))
+  }
+
   test("ngram jaccard: identical = 1, disjoint = 0") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w"))
       .toDF("x", "y")
