@@ -26,10 +26,15 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches
     try run("q1_agg") catch { case _: Throwable => () }
 
+    // best of 2: first execution pays JIT/codegen compilation for that
+    // query's operators; the minimum approximates steady-state latency
     val results = SparkEntry.queries.keys.toSeq.map { name =>
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
