@@ -35,15 +35,21 @@ object AsOfJoin {
   ): DataFrame = {
     val leftCols = left.columns.toSeq
 
+    // Key and ts types unify to the LEFT side's types (no silent bigint
+    // cast — string/decimal keys work too).
+    val keyType = left.schema(leftKey).dataType
+    val tsType = left.schema(leftTs).dataType
+
     val rightSel: Seq[Column] =
-      Seq(col(rightKey).cast("bigint").as("__k"), col(rightTs).as("__t"),
+      Seq(col(rightKey).cast(keyType).as("__k"),
+        col(rightTs).cast(tsType).as("__t"),
         lit(0).as("__side")) ++
         payloads.map(p => col(p).as(s"__p_$p")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
     val taggedRight = right.select(rightSel: _*)
 
     val leftSel: Seq[Column] =
-      Seq(col(leftKey).cast("bigint").as("__k"), col(leftTs).as("__t"),
+      Seq(col(leftKey).as("__k"), col(leftTs).as("__t"),
         lit(1).as("__side")) ++
         payloads.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")) ++
         leftCols.map(col)

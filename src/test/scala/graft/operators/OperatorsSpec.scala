@@ -202,3 +202,28 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 }
+
+class AsOfStringKeySpec extends graft.SparkSpec {
+  import spark.implicits._
+  test("as-of join works with string keys (no silent numeric cast)") {
+    val left = Seq(("u1", 10L, "e1"), ("u2", 5L, "e2")).toDF("k", "ts", "name")
+    val right = Seq(("u1", 8L, "p8"), ("u2", 9L, "p9")).toDF("rk", "rts", "payload")
+    val out = AsOfJoin.nearestPrior(left, right, "k", "rk", "ts", "rts",
+      Seq("payload"))
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[String]("payload"))).toMap
+    assert(out("e1").contains("p8"))
+    assert(out("e2").isEmpty)
+  }
+}
+
+class EntrySpec extends graft.SparkSpec {
+  test("driver smoke contract: entry returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+  test("every oracleSql key has a queries entry") {
+    val q = graft.SparkEntry.queries.keySet
+    val missing = graft.SparkEntry.oracleSql.keySet.diff(q)
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}
