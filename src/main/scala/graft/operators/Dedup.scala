@@ -177,13 +177,16 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min("label").as("nlabel"))
+      // checkpoint BEFORE the convergence probe so the probe reads
+      // materialized data instead of re-executing the join lineage
       val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
       val changed = updated.as("u")
         .join(labels.as("l"), col("u.id") === col("l.id"))
         .filter(col("u.label") =!= col("l.label")).limit(1).count()
-      labels = updated.localCheckpoint(eager = true)
+      labels = updated
       converged = changed == 0
       i += 1
     }
