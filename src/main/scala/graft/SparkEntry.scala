@@ -220,6 +220,19 @@ object SparkEntry {
   private def qDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
+  private def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("pc"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(pc, 0.5)"), 4).as("med"),
+        round(expr("percentile(pc, 0.9)"), 4).as("p90"))
+
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_price_c"))
+
   private def qAsOf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").select("event_id", "user_id", "ts")
     val o = t(s, dir, "orders")
@@ -406,6 +419,8 @@ object SparkEntry {
       "q_window" -> (qWindow _),
       "q_semi_anti" -> (qSemiAnti _),
       "q_rollup" -> (qRollup _),
+      "q_percentile" -> (qPercentile _),
+      "q_cube" -> (qCube _),
       "q_distinct" -> (qDistinct _),
       "q_asof" -> (qAsOf _),
       "q_sessionize" -> (qSessionize _),
@@ -546,6 +561,15 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c
           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_percentile" ->
+      s"""SELECT o_orderpriority,
+          round(quantile_cont(${centsSql("o_totalprice")}, 0.5), 4) AS med,
+          round(quantile_cont(${centsSql("o_totalprice")}, 0.9), 4) AS p90
+          FROM orders GROUP BY 1""",
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c
+          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
     "q_asof" ->
