@@ -376,6 +376,17 @@ object SparkEntry {
         col("rank").cast("bigint").as("rank"))
   }
 
+  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    // plant exact-duplicate vectors under shifted ids; the ANN pipeline
+    // must collapse each (original, copy) component to the original
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val copies = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    Similarity.dropEmbeddingDuplicates(e.unionByName(copies),
+      "vec_id", "embedding", minCos = 0.999)
+      .select("vec_id")
+  }
+
   private def dedupDrop(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
     val near = d.select((col("doc_id") + 1000000).as("doc_id"),
@@ -441,6 +452,7 @@ object SparkEntry {
       "embed_lsh_ann" -> (embedLshAnn _),
       "embed_ivf_ann" -> (embedIvfAnn _),
       "dedup_drop" -> (dedupDrop _),
+      "dedup_embed" -> (dedupEmbed _),
       "dedup_groups" -> (dedupGroups _),
       "multimodal_meta" -> (multimodalMeta _)
     )
@@ -623,6 +635,10 @@ object SparkEntry {
           event_type, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(${centsSql("value")}) AS BIGINT) AS value_sum_c
           FROM events GROUP BY 1, 2""",
+    "dedup_embed" ->
+      // identical vectors always share every LSH bucket → recall is exact,
+      // components collapse to the original ids deterministically
+      "SELECT vec_id FROM embeddings",
     "dedup_groups" ->
       """WITH u AS (SELECT doc_id, text FROM documents
                     UNION ALL SELECT doc_id + 1000000, text FROM documents)

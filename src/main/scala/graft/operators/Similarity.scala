@@ -124,6 +124,26 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate REMOVAL: hyperplane-LSH candidate
+    * pairs above `minCos` → connected components → keep each component's
+    * smallest id. The embedding-space sibling of
+    * [[Dedup.dropNearDuplicates]]. */
+  def dropEmbeddingDuplicates(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val pairs = annBuckets(corpus, idCol, vecCol, numPlanes, dim, seed, minCos)
+    val losers = Dedup.components(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__loser"))
+    corpus.join(losers, corpus(idCol) === col("__loser"), "left_anti")
+  }
+
   /** LSH-bucketed approximate neighbors: candidates share a hyperplane
     * sign-pattern bucket; cosine is computed only within buckets. Recall
     * is tuned by `numPlanes` (fewer planes → bigger buckets → higher
