@@ -202,6 +202,65 @@ object SparkEntry {
       .drop("od")
   }
 
+  private def qRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr(s"unix_timestamp(cast(o_orderdate as timestamp)) div 86400").as("day"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("s30", sum(col("price_c")).over(w))
+      .drop("price_c")
+  }
+
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val orderCust = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+    val building = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    orderCust.intersect(building).withColumn("op", lit("intersect"))
+      .unionByName(building.except(orderCust).withColumn("op", lit("except")))
+  }
+
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+
+  private def qMinMaxBy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (cents(col("o_totalprice")) * 10000000 + col("o_orderkey")).as("rk"))
+      .groupBy("o_orderpriority")
+      .agg(expr("max_by(o_orderkey, rk)").as("best_order"),
+        expr("min_by(o_orderkey, rk)").as("worst_order"))
+
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      upper(col("c_name")).as("u"),
+      lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+      regexp_replace(col("c_name"), "#", "_").as("repl"),
+      substring(col("c_name"), 2, 5).as("sub"),
+      length(col("c_name")).as("len"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+
+  private def qDateFuncs(s: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(d).as("y"), month(d).as("m"), dayofmonth(d).as("dom"),
+      quarter(d).as("q"),
+      date_add(d, 30).as("plus30"),
+      last_day(d).as("eom"),
+      trunc(d, "month").as("som"),
+      datediff(d, lit("1995-01-01").cast("date")).as("days_since"))
+  }
+
   private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").select("c_custkey")
     val o = t(s, dir, "orders").select("o_custkey")
@@ -429,6 +488,12 @@ object SparkEntry {
       "q_topn" -> (qTopN _),
       "q_window" -> (qWindow _),
       "q_semi_anti" -> (qSemiAnti _),
+      "q_range_window" -> (qRangeWindow _),
+      "q_setops" -> (qSetOps _),
+      "q_pivot" -> (qPivot _),
+      "q_minmax_by" -> (qMinMaxBy _),
+      "q_string_funcs" -> (qStringFuncs _),
+      "q_date_funcs" -> (qDateFuncs _),
       "q_rollup" -> (qRollup _),
       "q_percentile" -> (qPercentile _),
       "q_cube" -> (qCube _),
@@ -569,6 +634,52 @@ object SparkEntry {
          UNION ALL
          SELECT c_custkey, 'no_orders' AS status FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q_range_window" ->
+      s"""SELECT o_custkey, o_orderkey,
+          CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+          CAST(sum(${centsSql("o_totalprice")}) OVER (
+            PARTITION BY o_custkey
+            ORDER BY CAST(epoch(o_orderdate) // 86400 AS BIGINT)
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS s30
+          FROM orders""",
+    "q_setops" ->
+      """SELECT custkey, 'intersect' AS op FROM (
+           SELECT o_custkey AS custkey FROM orders
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         UNION ALL
+         SELECT custkey, 'except' AS op FROM (
+           SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           EXCEPT
+           SELECT o_custkey FROM orders)""",
+    "q_pivot" -> {
+      val cols = Priorities.map(p =>
+        s"""CAST(NULLIF(count(*) FILTER (WHERE o_orderpriority = '$p'), 0) AS BIGINT) AS "$p"""")
+        .mkString(", ")
+      s"SELECT o_orderstatus, $cols FROM orders GROUP BY 1"
+    },
+    "q_minmax_by" ->
+      s"""SELECT o_orderpriority,
+          CAST(arg_max(o_orderkey, ${centsSql("o_totalprice")} * 10000000 + o_orderkey) AS BIGINT) AS best_order,
+          CAST(arg_min(o_orderkey, ${centsSql("o_totalprice")} * 10000000 + o_orderkey) AS BIGINT) AS worst_order
+          FROM orders GROUP BY 1""",
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS u,
+         lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+         regexp_replace(c_name, '#', '_', 'g') AS repl,
+         substr(c_name, 2, 5) AS sub,
+         CAST(len(c_name) AS INT) AS len,
+         concat_ws('|', c_mktsegment, c_name) AS joined
+         FROM customer""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+         CAST(day(o_orderdate) AS INT) AS dom, CAST(quarter(o_orderdate) AS INT) AS q,
+         CAST(o_orderdate AS DATE) + 30 AS plus30,
+         CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS som,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+         FROM orders""",
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c
