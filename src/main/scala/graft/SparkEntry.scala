@@ -360,6 +360,22 @@ object SparkEntry {
 
   // ===== §2.3 LLM-pipeline operators ========================================
 
+  private def qWordcount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextFunctions.wsTokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  private def qJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k").cast("bigint")).as("k_sum"),
+        max(col("k")).as("k_max"))
+
   private def dedupExact(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
     val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
@@ -505,6 +521,8 @@ object SparkEntry {
       "q_salted_join" -> (qSaltedJoin _),
       "q_stateful_sessionize" -> (qStatefulSessionize _),
       "stream_events" -> (streamEvents _),
+      "q_wordcount" -> (qWordcount _),
+      "q_json" -> (qJson _),
       "dedup_exact" -> (dedupExact _),
       "token_count" -> (tokenCount _),
       "text_quality" -> (textQuality _),
@@ -746,6 +764,16 @@ object SparkEntry {
           event_type, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(${centsSql("value")}) AS BIGINT) AS value_sum_c
           FROM events GROUP BY 1, 2""",
+    "q_wordcount" ->
+      raw"""SELECT token, n FROM (
+            SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(${wsTokensSql("text")}) AS t FROM documents)
+            GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20)""",
+    "q_json" ->
+      raw"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+          CAST(max(CAST(json_extract(props, '$$.k') AS INTEGER)) AS INT) AS k_max
+          FROM events GROUP BY 1""",
     "dedup_embed" ->
       // identical vectors always share every LSH bucket → recall is exact,
       // components collapse to the original ids deterministically
