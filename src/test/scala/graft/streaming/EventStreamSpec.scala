@@ -84,3 +84,42 @@ class ClosedSessionsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamJoinSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000)
+
+  test("stream-stream interval join correlates within the window, watermark-bounded") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val name = s"sj_${System.nanoTime()}"
+
+    val c = clicks.toDF().toDF("user_id", "cts").withWatermark("cts", "10 seconds")
+    val b = buys.toDF().toDF("buser_id", "bts").withWatermark("bts", "10 seconds")
+    val q = graft.streaming.StreamJoin.within(c, b,
+      "user_id", "buser_id", "cts", "bts", maxDelaySeconds = 3600)
+      .select("user_id", "cts", "bts")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(1000)), (2L, ts(1000)))
+      buys.addData((1L, ts(2000)))    // within 1h of click → joins
+      buys.addData((2L, ts(9000)))    // 8000s later → outside window
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 1L)
+    } finally q.stop()
+  }
+
+  test("same operator on static frames is a plain interval join") {
+    import spark.implicits._
+    val c = Seq((1L, ts(1000)), (2L, ts(1000))).toDF("user_id", "cts")
+    val b = Seq((1L, ts(2000)), (2L, ts(9000))).toDF("buser_id", "bts")
+    val out = graft.streaming.StreamJoin.within(c, b,
+      "user_id", "buser_id", "cts", "bts", 3600).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+  }
+}
