@@ -108,3 +108,23 @@ class TablePlanSparkSpec extends SparkSpec {
     assert(!sql.contains("name"))
   }
 }
+
+class TablePlanErrorSpec extends graft.SparkSpec {
+  import graft.plans.TablePlan
+  lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  test("where referencing a missing column fails with analysis error") {
+    val e = intercept[Exception] { TablePlan(where = Some("no_such_col > 1"))(li).collect() }
+    assert(e.getMessage.contains("no_such_col"))
+  }
+
+  test("malformed where SQL fails at parse") {
+    assertThrows[Exception] { TablePlan(where = Some("l_quantity >>> 1"))(li).collect() }
+  }
+
+  test("cast to an invalid type name fails clearly") {
+    assertThrows[Exception] {
+      TablePlan(colTypes = Map("l_quantity" -> "not_a_type"))(li).collect()
+    }
+  }
+}

@@ -155,3 +155,35 @@ class JdbcIntrospectionSpec extends SparkSpec {
     assert(repo.list("tpch") == Seq("nation"))
   }
 }
+
+class PushdownEquivalenceSpec extends SparkSpec {
+  private val url = "jdbc:derby:memory:graftequiv;create=true"
+
+  test("in-database pushdown and in-Spark plan application agree") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("CREATE SCHEMA EQ") catch { case _: Exception => }
+      try st.execute("DROP TABLE EQ.T") catch { case _: Exception => }
+      st.execute("CREATE TABLE EQ.T (ID BIGINT, GRP VARCHAR(8), VAL DOUBLE)")
+      (1 to 200).foreach(i =>
+        st.execute(s"INSERT INTO EQ.T VALUES ($i, 'g${i % 7}', ${i * 0.25})"))
+    } finally conn.close()
+
+    val full = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "EQ.T").load()
+    val plan = graft.plans.TablePlan(
+      keep = Seq("^(ID|VAL)$"),
+      rename = Map("VAL" -> "V"),
+      where = Some("MOD(ID, 3) = 0"))
+
+    // path 1: plan applied by Spark on the full JDBC read
+    val inSpark = plan(full).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // path 2: plan rendered as SQL and executed inside the database
+    val pushed = Jdbc.readTable(spark, url, plan, "EQ", "T", full.schema)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    assert(inSpark == pushed && inSpark.nonEmpty)
+  }
+}
