@@ -360,6 +360,18 @@ object SparkEntry {
 
   // ===== §2.3 LLM-pipeline operators ========================================
 
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    operators.Profile.nullsAndDistinct(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority"))
+
+  private def qSample(s: SparkSession, dir: String): DataFrame =
+    // modulo-based deterministic sample (SQL-expressible twin of the
+    // hash-based Sampling operator, which is spec-verified instead)
+    t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) < 3)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   private def qWordcount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(TextFunctions.wsTokens(col("text"))).as("token"))
@@ -523,6 +535,8 @@ object SparkEntry {
       "stream_events" -> (streamEvents _),
       "q_wordcount" -> (qWordcount _),
       "q_json" -> (qJson _),
+      "q_profile" -> (qProfile _),
+      "q_sample" -> (qSample _),
       "dedup_exact" -> (dedupExact _),
       "token_count" -> (tokenCount _),
       "text_quality" -> (textQuality _),
@@ -764,6 +778,21 @@ object SparkEntry {
           event_type, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(${centsSql("value")}) AS BIGINT) AS value_sum_c
           FROM events GROUP BY 1, 2""",
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+         UNION ALL SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+         UNION ALL SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+         UNION ALL SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders""",
+    "q_sample" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 3",
     "q_wordcount" ->
       raw"""SELECT token, n FROM (
             SELECT t AS token, CAST(count(*) AS BIGINT) AS n

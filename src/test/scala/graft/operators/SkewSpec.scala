@@ -55,3 +55,40 @@ class StatefulSessionizeSpec extends SparkSpec {
     assert(stateful == windowed && stateful.nonEmpty)
   }
 }
+
+class SamplingSpec extends SparkSpec {
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("hashSample is deterministic, partition-independent, and composable") {
+    val a = Sampling.hashSample(docs, col("doc_id"), 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "partitioning must not change membership")
+    val small = Sampling.hashSample(docs, col("doc_id"), 0.1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a), "samples must nest across fractions")
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.2 && frac < 0.4, s"fraction off: $frac")
+  }
+
+  test("stratifiedHashSample respects per-stratum fractions") {
+    val sampled = Sampling.stratifiedHashSample(docs, col("lang"),
+      col("doc_id"), Map("en" -> 1.0, "de" -> 0.0))
+    val langs = sampled.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"))
+    val enTotal = docs.filter(col("lang") === "en").count()
+    assert(sampled.count() == enTotal)
+  }
+}
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+  test("nullsAndDistinct computes exact per-column stats in one pass") {
+    val df = Seq((1, Some("a")), (2, Some("a")), (3, None)).toDF("id", "v")
+    val out = Profile.nullsAndDistinct(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("id") == ((3L, 0L, 3L)))
+    assert(out("v") == ((3L, 1L, 1L)))
+  }
+}
