@@ -19,14 +19,14 @@ object Profile {
         (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
         countDistinct(col(c)).as(s"__dist_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     val rows = df.columns.map { c =>
       struct(lit(c).as("column"),
         col(s"__rows_$c").as("n_rows"),
         col(s"__nulls_$c").as("n_nulls"),
         col(s"__dist_$c").as("n_distinct"))
     }
-    wide.select(explode(array(rows: _*)).as("p"))
+    wide.select(explode(array(rows.toIndexedSeq: _*)).as("p"))
       .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
         col("p.n_distinct"))
   }

@@ -72,7 +72,7 @@ object StatefulSessionize {
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(math.max(
-                state.getCurrentWatermarkMs + 1,
+                state.getCurrentWatermarkMs() + 1,
                 (s.last + gapSeconds) * 1000 + 1))
             }
             closed.reverse.iterator
