@@ -372,6 +372,13 @@ object SparkEntry {
       .filter(pmod(col("doc_id"), lit(10)) < 3)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  private def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokenChunks(col("text"), chunkSize = 32,
+          overlap = 8)).as("c"))
+      .select(col("doc_id"), col("c.idx"), col("c.chunk"), col("c.n_tokens"))
+
   private def qWordcount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(TextFunctions.wsTokens(col("text"))).as("token"))
@@ -537,6 +544,7 @@ object SparkEntry {
       "q_json" -> (qJson _),
       "q_profile" -> (qProfile _),
       "q_sample" -> (qSample _),
+      "chunk_documents" -> (chunkDocuments _),
       "dedup_exact" -> (dedupExact _),
       "token_count" -> (tokenCount _),
       "text_quality" -> (textQuality _),
@@ -778,6 +786,16 @@ object SparkEntry {
           event_type, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(${centsSql("value")}) AS BIGINT) AS value_sum_c
           FROM events GROUP BY 1, 2""",
+    "chunk_documents" ->
+      raw"""WITH d AS (SELECT doc_id, ${wsTokensSql("text")} AS toks FROM documents),
+          n AS (SELECT doc_id, toks, len(toks) AS nt,
+                  CASE WHEN len(toks) <= 32 THEN 1
+                       ELSE CAST((len(toks) - 32 + 24 - 1) // 24 + 1 AS INT) END AS nc
+                FROM d)
+          SELECT doc_id, CAST(i AS INT) AS idx,
+            array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk,
+            CAST(len(list_slice(toks, i*24 + 1, i*24 + 32)) AS INT) AS n_tokens
+          FROM n, unnest(range(0, nc)) AS t(i)""",
     "q_profile" ->
       """SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,

@@ -102,6 +102,29 @@ object TextFunctions {
         ))
   }
 
+  /** Overlapping token chunks — the standard long-document split for
+    * training/RAG pipelines. Chunk i covers tokens
+    * `[i*(chunkSize-overlap), i*(chunkSize-overlap)+chunkSize)`; the last
+    * chunk may be short; documents shorter than one chunk yield exactly
+    * one. Pure integer arithmetic → reproducible in the SQL oracle.
+    * Returns array<struct<idx int, chunk string, n_tokens int>>. */
+  def tokenChunks(c: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = wsTokens(c)
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1))
+      .otherwise((n - lit(chunkSize) + lit(step) - 1) / lit(step) + 1)
+      .cast("int")
+    transform(sequence(lit(0), nChunks - 1), i => {
+      val piece = slice(toks, i * step + 1, lit(chunkSize))
+      struct(i.cast("int").as("idx"),
+        concat_ws(" ", piece).as("chunk"),
+        size(piece).as("n_tokens"))
+    })
+  }
+
   /** Distinct character k-shingles (the MinHash input unit). */
   def charShingles(c: Column, k: Int): Column =
     when(length(c) < lit(k), array().cast("array<string>"))

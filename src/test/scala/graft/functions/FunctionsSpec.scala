@@ -138,3 +138,42 @@ class VectorSpec extends SparkSpec {
     assert(df.head().getLong(0) == b1 && b1 >= 0 && b1 < 256)
   }
 }
+
+class TokenChunksSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def chunksOf(text: String, size: Int, overlap: Int) =
+    Seq(text).toDF("t")
+      .select(explode(TextFunctions.tokenChunks(col("t"), size, overlap)).as("c"))
+      .select("c.idx", "c.chunk", "c.n_tokens")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+
+  test("short document yields exactly one chunk") {
+    val out = chunksOf("a b c", 32, 8)
+    assert(out.toSeq == Seq((0, "a b c", 3)))
+  }
+
+  test("chunks overlap by the configured amount and cover all tokens") {
+    val words = (1 to 10).map(i => s"w$i")
+    val out = chunksOf(words.mkString(" "), 4, 2)
+    // ceil((10-4)/2)+1 = 4 chunks, starts 0,2,4,6 — the last is full
+    assert(out.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(out.head._2 == "w1 w2 w3 w4")
+    assert(out(1)._2 == "w3 w4 w5 w6")
+    assert(out.last._2 == "w7 w8 w9 w10" && out.last._3 == 4)
+    // every token appears in at least one chunk
+    val covered = out.flatMap(_._2.split(" ")).toSet
+    assert(covered == words.toSet)
+    // an 11th token forces a short trailing chunk
+    val out11 = chunksOf((words :+ "w11").mkString(" "), 4, 2)
+    assert(out11.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(out11.last._2 == "w9 w10 w11" && out11.last._3 == 3)
+  }
+
+  test("invalid parameters rejected") {
+    assertThrows[IllegalArgumentException] {
+      TextFunctions.tokenChunks(col("t"), 4, 4)
+    }
+  }
+}
