@@ -169,6 +169,35 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     if (df.isEmpty) None
     else Some(write(df, schema, table, modified, archiveExisting))
 
+  /** Hive-style partitioned write: `<table>.parquet/<col>=<value>/...`.
+    * At lake scale, partitioning on coarse keys (date, source) lets every
+    * downstream filter on those keys prune whole directories before any
+    * I/O (PartitionFilters in the scan, not data filters) — see the
+    * partition-pruning plan audit. */
+  def writePartitioned(
+      df: DataFrame,
+      schema: String,
+      table: String,
+      partitionCols: Seq[String],
+      modified: Option[String] = None
+  ): Path = {
+    val dest = tablePath(schema, table)
+    val out = modified match {
+      case None => df
+      case Some(m) =>
+        val dataCols = df.columns.filterNot(partitionCols.contains)
+        val first = dataCols.head
+        val md = new MetadataBuilder()
+          .withMetadata(df.schema(first).metadata)
+          .putString(MetadataKey, m).build()
+        df.withColumn(first, col(first).as(first, md))
+    }
+    out.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(dest.toString)
+    dest
+  }
+
   /** Write a table bucketed (and per-bucket sorted) on join/grouping keys,
     * registered in the session catalog with its data under the repo layout.
     * Joins and aggregations between tables bucketed the same way need no

@@ -90,3 +90,31 @@ class GraftConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class PartitionedRepoSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("partitioned write lays out hive dirs and filters prune partitions") {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("graft_part").toString)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate").cast("date")))
+    repo.writePartitioned(orders, "tpch", "orders_part", Seq("o_year"))
+
+    val back = repo.table("tpch", "orders_part")
+    assert(back.count() == orders.count())
+
+    val filtered = back.filter(col("o_year") === 1997)
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the year filter must be a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan)
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_year)"), plan)
+    assert(filtered.count() ==
+      orders.filter(col("o_year") === 1997).count())
+    // partition directories exist on disk
+    val dirs = new java.io.File(
+      repo.tablePath("tpch", "orders_part").toString).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("o_year=")))
+  }
+}
