@@ -495,8 +495,11 @@ object SparkEntry {
   private def dedupGroups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
     val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    // ids serialized to a csv string: the driver's pandas canonicalizer
+    // cannot hash array cells (round-1 comparator crash)
     Dedup.exactGroups(d.unionByName(dup), col("doc_id"), col("text"))
-      .select(col("ids"), col("n"))
+      .select(array_join(col("ids").cast("array<string>"), ",").as("ids"),
+        col("n"))
   }
 
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -828,7 +831,8 @@ object SparkEntry {
     "dedup_groups" ->
       """WITH u AS (SELECT doc_id, text FROM documents
                     UNION ALL SELECT doc_id + 1000000, text FROM documents)
-         SELECT list_sort(list(doc_id)) AS ids, CAST(count(*) AS BIGINT) AS n
+         SELECT array_to_string(list_sort(list(doc_id)), ',') AS ids,
+                CAST(count(*) AS BIGINT) AS n
          FROM u GROUP BY text""",
     "dedup_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents

@@ -15,15 +15,23 @@ import graft.functions.{MinHash, SimHash, TextFunctions}
   */
 object Dedup {
 
-  /** Keep the first row per key under `order` — deterministic exact dedup
-    * (`row_number() = 1`). The shuffle key is the key columns only;
-    * map-side nothing is dropped, but Spark's window exec sorts within
-    * partitions once. */
+  /** Keep the first row per key under `order` — deterministic exact dedup.
+    *
+    * Hash-first at scale: the window partitions on `xxhash64(keys)`, so the
+    * shuffle partition key is 8 bytes even when the dedup key is a
+    * megabyte document. The within-partition sort prefix is the hash too —
+    * full key columns are compared only between rows whose hashes already
+    * collide (i.e. almost exclusively true duplicates). A row survives iff
+    * its key tuple differs (null-safely) from the previous row's in the
+    * (hash, keys, order) sort — the first row of each key run, which is the
+    * minimum under `order` within its key group. */
   def exact(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val h = xxhash64(keys.map(col): _*)
+    val kt = struct(keys.map(col): _*)
+    val w = Window.partitionBy(h).orderBy(keys.map(col) ++ order: _*)
+    df.withColumn("__kprev", lag(kt, 1).over(w))
+      .filter(!(col("__kprev") <=> kt))
+      .drop("__kprev")
   }
 
   /** Exact-dup groups: for content dedup at scale, group on the 8-byte
@@ -88,15 +96,23 @@ object Dedup {
     // fused native expression (byte-window shingling, zero per-shingle
     // allocation) — the composed Column pipeline in
     // graft.functions.MinHash stays available as the pure-API variant.
+    //
+    // The signature is null exactly when the input is null or shorter than
+    // k bytes (MinHashSignature.compute), so filtering on octet_length
+    // BEFORE the projection is equivalent to filtering on sig.isNotNull
+    // after it — without the latter's catastrophic plan: Catalyst pushes a
+    // deterministic sig-based predicate through the repartition into the
+    // scan, computing the most expensive kernel in the repo twice per row,
+    // once before the fan-out.
     val sigs = docs
       .select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(col("t").isNotNull && octet_length(col("t")) >= shingleK)
       .repartition(parts, col("id"))
       .select(col("id"),
         org.apache.spark.sql.graft.ColumnBridge.column(
           graft.functions.expressions.MinHashSignature(
             org.apache.spark.sql.graft.ColumnBridge.expression(col("t")),
             shingleK, numHashes)).as("sig"))
-      .filter(col("sig").isNotNull)
 
     val banded = sigs
       .select(col("id"), col("sig"),
@@ -190,6 +206,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components: labels still changing after maxIters=$maxIters — " +
+          "components with chains longer than the iteration budget may be " +
+          "under-merged; raise maxIters for this corpus")
     labels
   }
 

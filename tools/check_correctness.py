@@ -14,13 +14,21 @@ from pathlib import Path
 import duckdb
 
 
-def canon(rows, cols):
+def canon(rows, cols, name=""):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in idx:
             v = r[i]
+            # The driver's pandas-based canonicalizer crashes on unhashable
+            # cells (round-1 dedup_groups: array column -> numpy.ndarray in
+            # sort_values). Refuse them locally so the gap is caught here.
+            if isinstance(v, (list, dict, set)):
+                raise TypeError(
+                    f"{name}: column {cols[i]!r} holds {type(v).__name__} "
+                    "cells — the driver comparator cannot hash these; "
+                    "serialize (e.g. array_join) in both query and oracle")
             if isinstance(v, float):
                 v = ("f", repr(v))
             elif v is None:
@@ -49,9 +57,14 @@ def main(sfdir, outdir):
             failures += 1
             continue
         sq = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
-        scols, srows = canon(sq.fetchall(), sq.columns)
-        oq = con.sql(oracle[name])
-        ocols, orows = canon(oq.fetchall(), oq.columns)
+        try:
+            scols, srows = canon(sq.fetchall(), sq.columns, name)
+            oq = con.sql(oracle[name])
+            ocols, orows = canon(oq.fetchall(), oq.columns, name)
+        except TypeError as e:
+            print(f"{name:22s} UNHASHABLE {e}")
+            failures += 1
+            continue
         if scols != ocols:
             print(f"{name:22s} SCHEMA MISMATCH spark={scols} oracle={ocols}")
             failures += 1
