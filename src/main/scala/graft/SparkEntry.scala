@@ -437,35 +437,49 @@ object SparkEntry {
         col("rank").cast("bigint").as("rank"))
   }
 
+  // Planted-duplicate construction (the dedup_embed model): identical
+  // texts/vectors produce identical signatures, sketches, and buckets, so
+  // at threshold 1.0 / hamming 0 / cos 1.0 the expected pair set is exactly
+  // the text-equality (resp. vector-identity) pairs — SQL-expressible, and
+  // recall is 1 by construction. Near-dup (non-identical) recall is
+  // property-specced in DedupSpec/SimilaritySpec instead.
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
-    val near = d.select((col("doc_id") + 1000000).as("doc_id"),
-      concat(col("text").substr(lit(1),
-        greatest(length(col("text")) - 30, lit(50))), lit(" appended tail"))
-        .as("text"))
-    Dedup.minhashPairs(d.unionByName(near), "doc_id", "text",
-      shingleK = 5, numHashes = 48, bands = 12, threshold = 0.4)
+    val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val u = d.unionByName(dup)
+    val candidates = Dedup.minhashPairs(u, "doc_id", "text",
+      shingleK = 5, numHashes = 48, bands = 12, threshold = 1.0)
+    // the corpus plants near-identical (templated) docs whose signatures
+    // can fully collide — exact verification prunes them, as in production
+    Dedup.verifyPairsExact(candidates, u, "doc_id", "text")
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
-    val near = d.select((col("doc_id") + 1000000).as("doc_id"),
-      concat(col("text").substr(lit(1),
-        greatest(length(col("text")) - 30, lit(50))), lit(" appended tail"))
-        .as("text"))
-    Dedup.simhashPairs(d.unionByName(near), "doc_id", "text", maxHamming = 4)
+    val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val u = d.unionByName(dup)
+    val candidates = Dedup.simhashPairs(u, "doc_id", "text", maxHamming = 0)
+    Dedup.verifyPairsExact(candidates, u, "doc_id", "text")
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
-  private def embedLshAnn(s: SparkSession, dir: String): DataFrame =
-    Similarity.annBuckets(t(s, dir, "embeddings"), "vec_id", "embedding",
-      numPlanes = 8, dim = 64, minCos = 0.15)
+  private def embedLshAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val dup = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    Similarity.annBuckets(e.unionByName(dup), "vec_id", "embedding",
+      numPlanes = 8, dim = 64, minCos = 1.0)
+  }
 
   private def embedIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    // nprobe = numCentroids probes every cluster, making the search exact
+    // (≡ brute force — also the IvfSpec property), hence oracle-able; the
+    // approximate nprobe<numCentroids path is spec-verified instead.
     val e = t(s, dir, "embeddings")
     val index = Similarity.ivfBuild(e, "vec_id", "embedding", numCentroids = 16)
     Similarity.ivfSearch(index, e.filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = 5, nprobe = 4)
+      "vec_id", "embedding", k = 5, nprobe = 16)
       .select(col("query_id"), col("cand_id"), col("cos"),
         col("rank").cast("bigint").as("rank"))
   }
@@ -483,12 +497,9 @@ object SparkEntry {
 
   private def dedupDrop(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
-    val near = d.select((col("doc_id") + 1000000).as("doc_id"),
-      concat(col("text").substr(lit(1),
-        greatest(length(col("text")) - 30, lit(50))), lit(" appended tail"))
-        .as("text"))
-    operators.Dedup.dropNearDuplicates(d.unionByName(near), "doc_id", "text",
-      numHashes = 48, bands = 12, threshold = 0.4)
+    val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    operators.Dedup.dropNearDuplicates(d.unionByName(dup), "doc_id", "text",
+      numHashes = 48, bands = 12, threshold = 1.0, verifyExact = true)
       .select("doc_id")
   }
 
@@ -828,6 +839,47 @@ object SparkEntry {
       // identical vectors always share every LSH bucket → recall is exact,
       // components collapse to the original ids deterministically
       "SELECT vec_id FROM embeddings",
+    "dedup_minhash" ->
+      // identical texts → identical signatures → collide in every band and
+      // agree in all slots (est = 1.0); distinct texts cannot reach 1.0
+      // (requires all 48 independent min-hash slots equal)
+      """WITH u AS (SELECT doc_id, text FROM documents WHERE strlen(text) >= 5
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents WHERE strlen(text) >= 5)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS est_jaccard
+         FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id""",
+    "dedup_simhash" ->
+      // identical texts → identical 64-bit sketches → hamming 0
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+         FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id""",
+    "dedup_drop" ->
+      // each exact-dup component keeps its smallest id; texts shorter than
+      // the shingle width produce no signature, so both copies survive
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         SELECT min(doc_id) AS doc_id FROM u WHERE strlen(text) >= 5 GROUP BY text
+         UNION ALL
+         SELECT doc_id FROM u WHERE strlen(text) < 5""",
+    "embed_lsh_ann" ->
+      // identical vectors share the sign pattern of every hyperplane →
+      // same bucket, cosine exactly 1.0 after 6-dp rounding
+      "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cos FROM embeddings",
+    "embed_ivf_ann" ->
+      // nprobe = numCentroids ≡ exact brute-force top-k
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+          pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              round(CASE WHEN sqrt(${dotSql("q.embedding", "q.embedding")})
+                              * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN 0.0
+                         ELSE ${dotSql("q.embedding", "c.embedding")}
+                              / (sqrt(${dotSql("q.embedding", "q.embedding")})
+                                 * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cos
+            FROM q, embeddings c WHERE c.vec_id != q.vec_id)
+          SELECT query_id, cand_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+          FROM pairs QUALIFY rank <= 5""",
     "dedup_groups" ->
       """WITH u AS (SELECT doc_id, text FROM documents
                     UNION ALL SELECT doc_id + 1000000, text FROM documents)

@@ -171,6 +171,25 @@ object Dedup {
       .agg(min("hamming").as("hamming"))
   }
 
+  /** Exact content verification of candidate pairs: keep only pairs whose
+    * documents are byte-identical. The step a production dedup pipeline
+    * runs between LSH candidate generation and any destructive action —
+    * sketch agreement (even a full signature match) is probabilistic;
+    * only content equality proves an exact duplicate. The joins move text
+    * for candidate ids only (a tiny fraction of the corpus), never
+    * all-pairs. */
+  def verifyPairsExact(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
+    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("__text_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .filter(col("__text_a") === col("__text_b"))
+      .select(pairs.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Connected components over an undirected pair list by label
     * propagation: every node's label converges to the smallest id in its
     * component. Near-dup components are tiny (pairs/short chains), so the
@@ -225,10 +244,14 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      verifyExact: Boolean = false
   ): DataFrame = {
-    val pairs = minhashPairs(docs, idCol, textCol, shingleK, numHashes,
+    val candidates = minhashPairs(docs, idCol, textCol, shingleK, numHashes,
       bands, threshold)
+    val pairs =
+      if (verifyExact) verifyPairsExact(candidates, docs, idCol, textCol)
+      else candidates
     val losers = components(pairs)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("__loser"))
