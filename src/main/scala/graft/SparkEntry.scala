@@ -839,6 +839,15 @@ object SparkEntry {
       // identical vectors always share every LSH bucket → recall is exact,
       // components collapse to the original ids deterministically
       "SELECT vec_id FROM embeddings",
+    "multimodal_meta" ->
+      // documents are ASCII (one byte per char), so the UTF-8 byte sum is
+      // the ascii-code sum; the stub decoder's feature fold is that exact
+      // integer (see Multimodal.decodeStub)
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(list_reduce(list_transform(string_split(text, ''),
+                  c -> CAST(ascii(c) AS BIGINT)), (a, x) -> a + x) AS BIGINT) AS checksum
+         FROM documents""",
     "dedup_minhash" ->
       // identical texts → identical signatures → collide in every band and
       // agree in all slots (est = 1.0); distinct texts cannot reach 1.0

@@ -1,16 +1,24 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in fixed-size batches.
   *
-  * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape, feature-vector output — while the actual media decode is a
-  * STUB (this environment ships no image/audio codecs): `decodeStub`
-  * derives deterministic pseudo-features from the bytes. Swapping in a real
-  * decoder is a one-function change with the same `Iterator` shape a JNI or
+  * Image decode and resize are REAL kernels over `javax.imageio.ImageIO`
+  * (PNG/JPEG/BMP/GIF — ships with the JDK, no external dependency):
+  * [[decodeImage]] → dimensions + per-channel means, [[resizeImage]] →
+  * re-encoded PNG at target dimensions, both lifted to Datasets through the
+  * same batched `mapPartitions` shape. Audio/video kernels remain STUBS
+  * (no codecs in the JDK): `decodeStub`/`sampleFramesStub` derive
+  * deterministic pseudo-features so the full pipeline stays exercised
+  * end-to-end; a real codec slots into the same `Iterator` shape a JNI or
   * process-per-partition decoder would use (the Scala analog of
   * `mapInPandas` batch processing).
   */
@@ -31,14 +39,101 @@ object Multimodal {
       n_bytes: Long,
       features: Array[Float])
 
-  /** ??? real decoder goes here — STUB: deterministic byte-statistics
-    * features so the full pipeline (schema → partition batches → feature
-    * table) is exercised end-to-end without codecs. */
+  /** Decoded image metadata + per-channel statistics. `ok = false` rows
+    * carry the undecodable payloads (corrupt bytes, unsupported codec) —
+    * kept rather than dropped so a pipeline can quarantine them. */
+  final case class ImageMeta(
+      media_id: Long,
+      mime: String,
+      n_bytes: Long,
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      channels: Int,
+      channel_mean: Array[Double])
+
+  /** REAL image decode (ImageIO): dimensions, band count, per-channel mean
+    * sample value. Returns None when the payload is not a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val ch = raster.getNumBands
+        val sums = new Array[Double](ch)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < ch) { sums(c) += raster.getSample(x, y, c); c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h.toDouble
+        (w, h, ch, sums.map(_ / n))
+      }
+    } catch { case _: Exception => None }
+
+  /** Batched image decode over a media Dataset — the real-codec twin of
+    * [[extractFeatures]]. Undecodable rows come back with `ok = false`. */
+  def decodeImages(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      decodeImage(r.payload) match {
+        case Some((w, h, ch, means)) =>
+          ImageMeta(r.media_id, r.mime, r.payload.length.toLong, ok = true,
+            w, h, ch, means)
+        case None =>
+          ImageMeta(r.media_id, r.mime, r.payload.length.toLong, ok = false,
+            0, 0, 0, Array.empty[Double])
+      }
+    }))
+  }
+
+  /** REAL image resize (ImageIO + Graphics2D): decode, scale to
+    * `targetW`×`targetH`, re-encode as PNG. None when not decodable. */
+  def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+        val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, targetW, targetH, null)
+        finally g.dispose()
+        val baos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", baos)
+        baos.toByteArray
+      }
+    } catch { case _: Exception => None }
+
+  /** Batched image resize; undecodable payloads pass through unchanged. */
+  def resizeImages(
+      ds: Dataset[MediaRow],
+      targetW: Int,
+      targetH: Int,
+      batchSize: Int = 64
+  ): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      resizeImage(r.payload, targetW, targetH) match {
+        case Some(png) => MediaRow(r.media_id, png, "image/png", targetW, targetH)
+        case None      => r
+      }
+    }))
+  }
+
+  /** STUB (non-image modalities): deterministic byte-statistics features so
+    * the full pipeline (schema → partition batches → feature table) stays
+    * exercised end-to-end for payloads the JDK cannot decode. */
   private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    // raw byte values, not normalized: per-slot sums stay exact integers
+    // (< 2^24) in Float, so downstream integer checksums are exact
     val out = new Array[Float](dim)
     var i = 0
     while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xFF) / 255.0f
+      out(i % dim) += (payload(i) & 0xFF)
       i += 1
     }
     out
@@ -63,9 +158,9 @@ object Multimodal {
     }
   }
 
-  /** ??? real resize goes here — STUB: "resizes" by deterministic byte
-    * subsampling to `targetBytes`, preserving the batched per-partition
-    * shape a real image-resize (JNI/codec) call would use. */
+  /** STUB (non-image payloads — see [[resizeImage]] for the real image
+    * kernel): "resizes" by deterministic byte subsampling to `targetBytes`,
+    * preserving the batched per-partition shape a real codec call uses. */
   def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
     if (payload.length <= targetBytes) payload
     else {
@@ -79,7 +174,7 @@ object Multimodal {
       out
     }
 
-  /** ??? real frame extraction goes here — STUB: samples `n` evenly-spaced
+  /** STUB (no video codec in the JDK): samples `n` evenly-spaced
     * fixed-size "frames" from a video-like payload. Output is one row per
     * frame — the explode shape a real decoder produces. */
   def sampleFramesStub(payload: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] =
@@ -125,10 +220,13 @@ object Multimodal {
       lit(0).as("height")
     ).as[MediaRow]
 
+    // feature slots are exact integer-valued floats (decodeStub), so the
+    // fold is an exact byte-sum checksum — oracle-able against an engine
+    // that sums the document's bytes
     extractFeatures(media, dim)
       .toDF()
       .select(col("media_id"), col("mime"), col("n_bytes"),
-        round(aggregate(col("features"),
-          lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))
+        aggregate(col("features"), lit(0.0), (acc, x) => acc + x.cast("double"))
+          .cast("bigint").as("checksum"))
   }
 }

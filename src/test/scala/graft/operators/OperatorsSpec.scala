@@ -196,10 +196,50 @@ class MultimodalSpec extends SparkSpec {
   test("decode stub is deterministic across runs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
     val a = Multimodal.documentBytesPipeline(spark, docs).collect()
-      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
     val b = Multimodal.documentBytesPipeline(spark, docs).collect()
-      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(a == b)
+  }
+
+  /** Deterministic RGB test image: pixel (x, y) = (x%256, y%256, (x+y)%256). */
+  private def testPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x % 256 << 16) | (y % 256 << 8) | ((x + y) % 256))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("decodeImages: real PNG decode recovers dimensions and channel means") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, testPng(32, 16), "image/png", 32, 16),
+      Multimodal.MediaRow(2L, testPng(8, 8), "image/png", 8, 8),
+      Multimodal.MediaRow(3L, "not an image".getBytes("UTF-8"), "text/plain", 0, 0)
+    ).toDS().repartition(2)
+    val out = Multimodal.decodeImages(media).collect().map(m => m.media_id -> m).toMap
+
+    assert(out(1L).ok && out(1L).width == 32 && out(1L).height == 16 &&
+      out(1L).channels == 3)
+    // red channel of image 1 = x % 256 with x in [0, 32) → mean 15.5
+    assert(math.abs(out(1L).channel_mean(0) - 15.5) < 1e-9)
+    // green channel = y % 256, y in [0, 16) → mean 7.5
+    assert(math.abs(out(1L).channel_mean(1) - 7.5) < 1e-9)
+    assert(out(2L).ok && out(2L).width == 8 && out(2L).height == 8)
+    assert(!out(3L).ok) // undecodable payload quarantined, not dropped
+  }
+
+  test("resizeImages: real resize re-encodes at target dimensions") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, testPng(64, 64), "image/png", 64, 64)).toDS()
+    val resized = Multimodal.resizeImages(media, targetW = 16, targetH = 12).collect()
+    assert(resized.length == 1 && resized.head.mime == "image/png")
+    val Some((w, h, ch, _)) = Multimodal.decodeImage(resized.head.payload)
+    assert(w == 16 && h == 12 && ch == 3)
   }
 }
 
