@@ -68,6 +68,34 @@ object Graft {
     repo.updateWrite(source, schema, table, sourceComment,
       force = force, archiveExisting = archive)
 
+  /** Fully self-contained update gate (wrds_update_pq, core.py:1028): the
+    * source comment is read FROM THE DATABASE ITSELF (JDBC REMARKS, or a
+    * dialect query like [[Jdbc.postgresCommentSql]]), compared against the
+    * repo table's embedded metadata, and the export runs only when newer.
+    * Nothing is read from the source when the repo copy is current. */
+  def dbUpdatePqFromDb(
+      spark: SparkSession,
+      url: String,
+      schema: String,
+      table: String,
+      sourceSchema: StructType,
+      repo: PqRepo,
+      plan: TablePlan = TablePlan(),
+      commentSql: Option[String] = None,
+      force: Boolean = false,
+      archive: Boolean = false,
+      partitionColumn: Option[String] = None,
+      lowerBound: Option[Long] = None,
+      upperBound: Option[Long] = None,
+      numPartitions: Int = 32
+  ): Option[Path] = {
+    val comment = Jdbc.tableComment(url, schema, table, commentSql)
+    dbUpdatePq(repo, schema, table, comment,
+      Jdbc.readTable(spark, url, plan, schema, table, sourceSchema,
+        partitionColumn, lowerBound, upperBound, numPartitions),
+      force = force, archive = archive)
+  }
+
   /** Mirror a table between databases (db_to_pg / wrds_pg_to_pg,
     * core.py:269/663): planned partitioned read from the source, JDBC
     * write to the destination. */

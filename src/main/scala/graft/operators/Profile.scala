@@ -30,4 +30,33 @@ object Profile {
       .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
         col("p.n_distinct"))
   }
+
+  /** Scale-path profiling: identical output shape to [[nullsAndDistinct]]
+    * but with `approx_count_distinct` (HyperLogLog++) instead of exact
+    * `countDistinct`.
+    *
+    * Exact multi-column countDistinct compiles to an `Expand` node that
+    * multiplies every scanned row ×(n_cols+1) before aggregation — on a
+    * 100 TB, 300-column table that is a 301× row blowup. The HLL sketch
+    * variant is one pass with no Expand (each sketch is a fixed-width
+    * buffer merged map-side), the only profiling default that survives
+    * wide tables at scale; `rsd` trades sketch size for accuracy. */
+  def nullsAndDistinctApprox(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val aggs = df.columns.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__rows_$c"),
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__dist_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val rows = df.columns.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__rows_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__dist_$c").as("n_distinct"))
+    }
+    wide.select(explode(array(rows.toIndexedSeq: _*)).as("p"))
+      .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"))
+  }
 }

@@ -51,7 +51,7 @@ object Jdbc {
       .format("jdbc")
       .option("url", url)
       .option("dbtable", pushdownSubquery(plan, schema, table, sourceSchema))
-      .option("fetchsize", "10000")
+      .option("fetchsize", adaptiveFetchSize(sourceSchema).toString)
     val partitioned = (partitionColumn, lowerBound, upperBound) match {
       case (Some(c), Some(lo), Some(hi)) =>
         reader
@@ -81,6 +81,93 @@ object Jdbc {
       .option("url", url)
       .option("query", sql)
       .load()
+
+  /** Estimated bytes per row from the source schema (Catalyst per-type
+    * `defaultSize`; strings/binary use their conservative defaults). */
+  def estimatedRowBytes(schema: StructType): Long =
+    math.max(schema.fields.map(_.dataType.defaultSize.toLong).sum, 1L)
+
+  /** Row-width-adaptive JDBC fetch size (reference duckdb_pg.py / adbc.py
+    * scale batch rows by estimated row width): target a fixed byte budget
+    * per network round trip so narrow tables fetch many rows while very
+    * wide rows cannot blow up per-task memory. */
+  def adaptiveFetchSize(
+      schema: StructType,
+      targetBytes: Long = 4L << 20,
+      minRows: Int = 100,
+      maxRows: Int = 100000
+  ): Int =
+    math.min(math.max(targetBytes / estimatedRowBytes(schema), minRows.toLong),
+      maxRows.toLong).toInt
+
+  /** Table comment from the database itself (reference get_table_comment,
+    * postgres/comments.py:21 — the incremental-sync gate reads the comment
+    * from the DB, core.py:1028). Engine-agnostic default: JDBC catalog
+    * `REMARKS`; `commentSql` overrides with a dialect-specific query
+    * returning one string column (see [[postgresCommentSql]]) for engines
+    * whose driver does not surface comments in REMARKS. */
+  def tableComment(
+      url: String,
+      schema: String,
+      table: String,
+      commentSql: Option[String] = None
+  ): Option[String] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      commentSql match {
+        case Some(sql) =>
+          val st = conn.createStatement()
+          try {
+            val rs = st.executeQuery(sql)
+            if (rs.next()) Option(rs.getString(1)).filter(_.nonEmpty) else None
+          } finally st.close()
+        case None =>
+          val rs = conn.getMetaData.getTables(null, schema, table, Array("TABLE"))
+          if (rs.next()) Option(rs.getString("REMARKS")).filter(_.nonEmpty)
+          else None
+      }
+    } finally conn.close()
+  }
+
+  /** The PostgreSQL comment lookup the reference issues (pg_description
+    * via obj_description; comments.py:21) for use as `commentSql`. */
+  def postgresCommentSql(schema: String, table: String): String =
+    s"""SELECT d.description
+        FROM pg_catalog.pg_class c
+        JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+        JOIN pg_catalog.pg_description d ON d.objoid = c.oid AND d.objsubid = 0
+        WHERE n.nspname = '$schema' AND c.relname = '$table'"""
+
+  /** Full column metadata incl. numeric precision/scale (reference
+    * postgres/introspect.py:28 precision-bound introspection used for
+    * decimal repair): (name, typeName, precision, scale, nullable) in
+    * ordinal order. Precision/scale are None where the driver reports
+    * none (non-numeric types). */
+  final case class ColumnMeta(
+      name: String,
+      typeName: String,
+      precision: Option[Int],
+      scale: Option[Int],
+      nullable: Boolean)
+
+  def tableColumnsMeta(url: String, schema: String, table: String): Seq[ColumnMeta] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getColumns(null, schema, table, "%")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, ColumnMeta)]
+      while (rs.next()) {
+        val size = rs.getInt("COLUMN_SIZE")
+        val sizeOpt = if (rs.wasNull()) None else Some(size)
+        val dd = rs.getInt("DECIMAL_DIGITS")
+        val ddOpt = if (rs.wasNull()) None else Some(dd)
+        out += ((rs.getInt("ORDINAL_POSITION"), ColumnMeta(
+          rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME"),
+          sizeOpt, ddOpt,
+          rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)))
+      }
+      out.sortBy(_._1).map(_._2).toSeq
+    } finally conn.close()
+  }
 
   /** List table names in a database schema (reference db_schema_tables,
     * postgres/schema.py:35) via JDBC catalog metadata — engine-agnostic. */

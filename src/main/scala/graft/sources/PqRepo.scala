@@ -43,14 +43,24 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
 
   /** Write `df` as `<schema>/<table>.parquet`, embedding `modified` in the
     * schema metadata, with temp-write + atomic promote and optional archive
-    * of the replaced table. Returns the final path. */
+    * of the replaced table. Returns the final path.
+    *
+    * File/row-group budgets (reference parquet.py:221
+    * `_write_batches_with_target_row_groups` + :671 `write_parquet` bounds
+    * row groups by row count AND bytes): `maxRecordsPerFile` caps rows per
+    * output file, `parquetBlockBytes` caps the parquet row-group byte
+    * size. At 100 TB uncontrolled file sizes break downstream split
+    * planning (one 50 GB file = one unsplittable-row-group straggler);
+    * bounded files keep every scan partition-parallel. */
   def write(
       df: DataFrame,
       schema: String,
       table: String,
       modified: Option[String] = None,
       archiveExisting: Boolean = false,
-      archiveDir: String = "archive"
+      archiveDir: String = "archive",
+      maxRecordsPerFile: Option[Long] = None,
+      parquetBlockBytes: Option[Long] = None
   ): Path = {
     val dest = tablePath(schema, table)
     val tmp = new Path(new Path(dataDir, schema), s"_tmp_$table.parquet")
@@ -70,7 +80,10 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     }
 
     if (f.exists(tmp)) f.delete(tmp, true)
-    out.write.mode("overwrite").parquet(tmp.toString)
+    val writer = out.write.mode("overwrite")
+    maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n))
+    parquetBlockBytes.foreach(b => writer.option("parquet.block.size", b))
+    writer.parquet(tmp.toString)
 
     if (f.exists(dest)) {
       if (archiveExisting) archive(schema, table, archiveDir)

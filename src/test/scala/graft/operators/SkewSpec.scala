@@ -91,4 +91,32 @@ class ProfileSpec extends SparkSpec {
     assert(out("id") == ((3L, 0L, 3L)))
     assert(out("v") == ((3L, 1L, 1L)))
   }
+
+  test("nullsAndDistinctApprox: no Expand in the plan, counts within rsd") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+
+    // the exact variant pays an Expand (row blowup ×(n_cols+1)); the HLL
+    // variant must not — that is its entire reason to exist
+    val exactPlan = Profile.nullsAndDistinct(docs)
+      .queryExecution.executedPlan.toString
+    val approxPlan = Profile.nullsAndDistinctApprox(docs)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"))
+    assert(!approxPlan.contains("Expand"))
+
+    val exact = Profile.nullsAndDistinct(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.nullsAndDistinctApprox(docs, rsd = 0.02).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    for ((c, n) <- exact) {
+      val a = approx(c)
+      assert(math.abs(a - n).toDouble <= math.max(n * 0.1, 2.0),
+        s"column $c: approx $a vs exact $n")
+    }
+    // null counts remain exact in both variants
+    val nulls = Profile.nullsAndDistinctApprox(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(nulls.values.forall(_ == 0L))
+  }
 }

@@ -187,3 +187,102 @@ class PushdownEquivalenceSpec extends SparkSpec {
     assert(inSpark == pushed && inSpark.nonEmpty)
   }
 }
+
+/** The reference's headline feature end-to-end: the update gate reads the
+  * source comment FROM THE DATABASE (wrds_update_pq, core.py:1028 via
+  * get_table_comment, comments.py:21). Derby has no COMMENT ON, so the
+  * dialect `commentSql` hook points at a comments table — exactly how the
+  * postgres variant points at pg_description. */
+class JdbcCommentGateSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftcomments;create=true"
+
+  private def exec(sqls: String*): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      sqls.foreach(s => try st.execute(s) catch { case _: Exception => })
+    } finally conn.close()
+  }
+
+  private val commentSql =
+    "SELECT REMARK FROM CG.COMMENTS WHERE TBL = 'SRC'"
+
+  test("comment read from the DB drives the update gate end-to-end") {
+    exec(
+      "CREATE SCHEMA CG",
+      "DROP TABLE CG.SRC", "DROP TABLE CG.COMMENTS",
+      "CREATE TABLE CG.SRC (ID BIGINT, V DOUBLE)",
+      "CREATE TABLE CG.COMMENTS (TBL VARCHAR(32), REMARK VARCHAR(200))",
+      "INSERT INTO CG.SRC VALUES (1, 1.5), (2, 2.5)",
+      "INSERT INTO CG.COMMENTS VALUES ('SRC', 'Last modified: 05/01/2024 10:00:00')")
+
+    assert(Jdbc.tableComment(url, "CG", "SRC", Some(commentSql))
+      .contains("Last modified: 05/01/2024 10:00:00"))
+    // Derby reports no REMARKS for tables — generic path returns None
+    assert(Jdbc.tableComment(url, "CG", "SRC").isEmpty)
+
+    val repo = PqRepo(spark, java.nio.file.Files
+      .createTempDirectory("graft_cgate").toString)
+    val sourceSchema = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "CG.SRC").load().schema
+
+    // 1) repo empty → update taken, comment stamped into the metadata
+    val first = Graft.dbUpdatePqFromDb(spark, url, "CG", "SRC", sourceSchema,
+      repo, commentSql = Some(commentSql))
+    assert(first.isDefined)
+    assert(repo.lastModified("CG", "SRC")
+      .contains("Last modified: 05/01/2024 10:00:00"))
+    assert(repo.table("CG", "SRC").count() == 2)
+
+    // 2) same DB comment → up to date → skipped
+    assert(Graft.dbUpdatePqFromDb(spark, url, "CG", "SRC", sourceSchema,
+      repo, commentSql = Some(commentSql)).isEmpty)
+
+    // 3) newer DB comment → taken again
+    exec("UPDATE CG.COMMENTS SET REMARK = 'Last modified: 06/01/2024 10:00:00'")
+    assert(Graft.dbUpdatePqFromDb(spark, url, "CG", "SRC", sourceSchema,
+      repo, commentSql = Some(commentSql)).isDefined)
+    assert(repo.lastModified("CG", "SRC")
+      .contains("Last modified: 06/01/2024 10:00:00"))
+
+    // 4) no parseable comment → skipped unless forced
+    exec("UPDATE CG.COMMENTS SET REMARK = 'no timestamp here'")
+    assert(Graft.dbUpdatePqFromDb(spark, url, "CG", "SRC", sourceSchema,
+      repo, commentSql = Some(commentSql)).isEmpty)
+    assert(Graft.dbUpdatePqFromDb(spark, url, "CG", "SRC", sourceSchema,
+      repo, commentSql = Some(commentSql), force = true).isDefined)
+  }
+
+  test("tableColumnsMeta surfaces numeric precision and scale") {
+    exec(
+      "CREATE SCHEMA CG",
+      "DROP TABLE CG.NUMS",
+      "CREATE TABLE CG.NUMS (A DECIMAL(12,2) NOT NULL, B INTEGER, C VARCHAR(7))")
+    val meta = Jdbc.tableColumnsMeta(url, "CG", "NUMS")
+    assert(meta.map(_.name) == Seq("A", "B", "C"))
+    val a = meta.head
+    assert(a.typeName.toUpperCase.contains("DECIMAL") &&
+      a.precision.contains(12) && a.scale.contains(2) && !a.nullable)
+    assert(meta(1).precision.contains(10) && meta(1).scale.contains(0))
+    assert(meta(2).precision.contains(7) && meta(2).nullable)
+  }
+}
+
+class AdaptiveFetchSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.types._
+
+  test("fetch size scales inversely with estimated row width, clamped") {
+    val narrow = StructType(Seq(StructField("id", LongType)))
+    val wide = StructType((1 to 400).map(i =>
+      StructField(s"c$i", StringType)))
+    val narrowFetch = Jdbc.adaptiveFetchSize(narrow)
+    val wideFetch = Jdbc.adaptiveFetchSize(wide)
+    assert(narrowFetch == 100000)          // clamped at max
+    assert(wideFetch < narrowFetch)        // wide rows fetch fewer
+    assert(wideFetch >= 100)               // never below min
+    // a pathologically wide schema clamps at the floor
+    val huge = StructType((1 to 100000).map(i => StructField(s"c$i", StringType)))
+    assert(Jdbc.adaptiveFetchSize(huge) == 100)
+  }
+}

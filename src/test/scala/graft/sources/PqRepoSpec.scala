@@ -118,3 +118,19 @@ class PartitionedRepoSpec extends graft.SparkSpec {
     assert(dirs.exists(_.startsWith("o_year=")))
   }
 }
+
+class WriteSizingSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("maxRecordsPerFile bounds rows per output file") {
+    val repo = PqRepo(spark, java.nio.file.Files
+      .createTempDirectory("graft_sizing").toString)
+    val df = spark.range(1000).select(col("id"), (col("id") * 2).as("v"))
+    repo.write(df, "s", "bounded", maxRecordsPerFile = Some(100L),
+      parquetBlockBytes = Some(1L << 20))
+    val dir = new java.io.File(repo.tablePath("s", "bounded").toString)
+    val parts = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts >= 10, s"expected >= 10 bounded files, got $parts")
+    assert(repo.table("s", "bounded").count() == 1000)
+  }
+}
