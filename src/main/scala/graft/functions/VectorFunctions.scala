@@ -9,10 +9,16 @@ import scala.util.Random
   *
   * Dot/norm/cosine are sequential left-folds in double precision —
   * the same operation order an engine-side `list_*` fold uses, so results
-  * are reproducible for the correctness oracle. No UDFs: `zip_with` +
-  * `aggregate` stay inside codegen and vectorize over the parquet scan.
+  * are reproducible for the correctness oracle. No UDFs. The hot kernels
+  * (cosine, LSH bucket) are fused native expressions
+  * ([[graft.functions.expressions.VectorKernels]]) — one pass, zero
+  * intermediate arrays — bit-identical to the composed `zip_with` +
+  * `aggregate` folds kept here as the spec baseline
+  * (VectorExpressionsSpec).
   */
 object VectorFunctions {
+
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 
   private def d(a: Column): Column = transform(a, x => x.cast("double"))
 
@@ -22,8 +28,14 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0.0 when either vector has zero norm. Fused
+    * single-pass native expression. */
+  def cosine(a: Column, b: Column): Column =
+    toCol(graft.functions.expressions.CosineSimilarity(toExpr(a), toExpr(b)))
+
+  /** The composed-Column cosine (three folds) — the provably-equivalent
+    * baseline the native kernel is specced against. */
+  private[graft] def cosineComposed(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)
     when(denom === lit(0.0), lit(0.0)).otherwise(dot(a, b) / denom)
   }
@@ -38,8 +50,14 @@ object VectorFunctions {
   /** Sign-pattern LSH bucket id (bigint) for a vector: bit j is the sign of
     * `v · plane_j`. Vectors within a small angle share buckets with high
     * probability; candidate generation is then a co-partitioned groupBy on
-    * an 8-byte key instead of an O(n²) cross join. */
+    * an 8-byte key instead of an O(n²) cross join. Fused native expression
+    * (plane matrix shipped as a codegen constant). */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    toCol(graft.functions.expressions.HyperplaneBucket(
+      toExpr(v), planes.map(_.toArray).toArray))
+
+  /** Composed-Column LSH bucket — the spec baseline for the native kernel. */
+  private[graft] def lshBucketComposed(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val proj = aggregate(
         zip_with(d(v), array(p.map(lit): _*), (x, w) => x * w),

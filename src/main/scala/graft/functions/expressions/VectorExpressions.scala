@@ -1,0 +1,150 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Fused native kernels for the embedding operators.
+  *
+  * The composed Column pipelines in [[graft.functions.VectorFunctions]]
+  * (`zip_with` + `aggregate` folds) are codegen'd but still materialize an
+  * intermediate array per fold — cosine allocates three (products, a², b²),
+  * an LSH bucket one per hyperplane. These expressions walk the input
+  * `ArrayData` once with zero allocation. Accumulation order matches the
+  * composed sequential folds exactly (left-to-right, double precision), so
+  * results are bit-identical — asserted in VectorExpressionsSpec — and the
+  * DuckDB `list_reduce` oracles keep matching.
+  */
+object VectorKernels {
+
+  /** Cosine similarity of two float/double arrays.
+    * Mirrors `VectorFunctions.cosine`'s composed semantics: 0.0 when either
+    * norm is zero; null when lengths differ or any element is null (the
+    * composed `zip_with` pads with nulls, which poison the fold). */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var xy = 0.0
+    var xx = 0.0
+    var yy = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      xy += x * y
+      xx += x * x
+      yy += y * y
+      i += 1
+    }
+    val denom = Math.sqrt(xx) * Math.sqrt(yy)
+    if (denom == 0.0) 0.0 else xy / denom
+  }
+
+  /** Sign-pattern LSH bucket: bit j = (v · plane_j >= 0). Mirrors the
+    * composed `lshBucket`: any null element or dimension mismatch makes
+    * every projection null, whose `when` falls to 0 — bucket 0. */
+  def lshBucket(v: ArrayData, planes: Array[Array[Double]], vFloat: Boolean): Long = {
+    val n = v.numElements()
+    if (planes.length == 0) return 0L
+    if (n != planes(0).length) return 0L
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return 0L
+      i += 1
+    }
+    var bucket = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var proj = 0.0
+      var k = 0
+      while (k < n) {
+        val x = if (vFloat) v.getFloat(k).toDouble else v.getDouble(k)
+        proj += x * p(k)
+        k += 1
+      }
+      if (proj >= 0.0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+
+  private[expressions] def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"expected array<float> or array<double>, got ${other.simpleString}")
+  }
+}
+
+/** cosine(a, b) as one fused pass — see [[VectorKernels.cosine]]. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  private lazy val lFloat = VectorKernels.isFloatArray(left.dataType)
+  private lazy val rFloat = VectorKernels.isFloatArray(right.dataType)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    VectorKernels.cosine(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], lFloat, rFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    val boxed = ctx.freshName("cosBoxed")
+    ev.copy(code = code"""
+      ${lGen.code}
+      ${rGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${lGen.isNull} && !${rGen.isNull}) {
+        java.lang.Double $boxed = graft.functions.expressions.VectorKernels.cosine(
+          ${lGen.value}, ${rGen.value}, $lFloat, $rFloat);
+        if ($boxed != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = $boxed.doubleValue();
+        }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hyperplane-sign LSH bucket as one fused pass over the vector — see
+  * [[VectorKernels.lshBucket]]. The plane matrix is a driver-side constant
+  * shipped as a codegen reference object (it is per-query, a few KB). */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lsh_bucket"
+
+  private lazy val vFloat = VectorKernels.isFloatArray(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.lshBucket(input.asInstanceOf[ArrayData], planes, vFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("graftLshPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.VectorKernels.lshBucket($c, $planesRef, $vFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The fused native vector kernels must be bit-identical to the composed
+  * Column folds they replace — same sequential accumulation order, same
+  * null/zero edge semantics — or the DuckDB oracles would drift. */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecDf(seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("id", "v")
+  }
+
+  test("native cosine is bit-identical to the composed fold on random vectors") {
+    val a = vecDf(1).withColumnRenamed("v", "a")
+    val b = vecDf(2).withColumnRenamed("v", "b")
+    val both = a.join(b, "id")
+    val out = both.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("fused"),
+      VectorFunctions.cosineComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    assert(out.length == 200)
+    out.foreach { r =>
+      // bit-identical, not approximately equal
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native cosine edge cases: zero vector, mismatched dims, null element") {
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f), Array(1f, 2f, 3f)),        // identical
+      (2L, Array(0f, 0f, 0f), Array(1f, 2f, 3f)),        // zero norm -> 0.0
+      (3L, Array(1f, 2f), Array(1f, 2f, 3f))             // dim mismatch -> null
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      VectorFunctions.cosine(col("a"), col("b")).as("c"),
+      VectorFunctions.cosineComposed(col("a"), col("b")).as("cc"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L)._1.contains(1.0) && out(1L)._2.contains(1.0))
+    assert(out(2L)._1.contains(0.0) && out(2L)._2.contains(0.0))
+    assert(out(3L)._1.isEmpty && out(3L)._2.isEmpty)
+
+    // null vector -> null through both paths
+    val nv = Seq((1L, Option.empty[Array[Float]], Some(Array(1f, 2f))))
+      .toDF("id", "a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    assert(nv.head().isNullAt(0))
+  }
+
+  test("native lshBucket matches the composed bucket on random vectors") {
+    val planes = VectorFunctions.hyperplanes(numPlanes = 12, dim = 64, seed = 7)
+    val out = vecDf(3).select(
+      VectorFunctions.lshBucket(col("v"), planes).as("fused"),
+      VectorFunctions.lshBucketComposed(col("v"), planes).as("composed"))
+      .collect()
+    assert(out.length == 200)
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // buckets actually spread (not everything collapsing to one value)
+    assert(out.map(_.getLong(0)).distinct.length > 20)
+  }
+
+  test("native lshBucket dim mismatch mirrors composed null-poisoned folds") {
+    val planes = VectorFunctions.hyperplanes(numPlanes = 4, dim = 8, seed = 7)
+    val df = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "v") // dim 3 != 8
+    val fused = df.select(VectorFunctions.lshBucket(col("v"), planes)).head().getLong(0)
+    val composed = df.select(VectorFunctions.lshBucketComposed(col("v"), planes))
+      .head().getLong(0)
+    assert(fused == composed && fused == 0L)
+  }
+}
