@@ -477,7 +477,8 @@ object SparkEntry {
     // (≡ brute force — also the IvfSpec property), hence oracle-able; the
     // approximate nprobe<numCentroids path is spec-verified instead.
     val e = t(s, dir, "embeddings")
-    val index = Similarity.ivfBuild(e, "vec_id", "embedding", numCentroids = 16)
+    val index = Similarity.ivfBuild(e, "vec_id", "embedding",
+      numCentroids = 16, kmeansIters = 1)
     Similarity.ivfSearch(index, e.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 16)
       .select(col("query_id"), col("cand_id"), col("cos"),

@@ -41,11 +41,11 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** An IVF (inverted-file) index: `numCentroids` centroid vectors chosen
-    * deterministically from the corpus (strided sample — at real scale,
-    * replace with a k-means pass), plus the corpus with an assigned
-    * nearest-centroid `cluster` column. The index build collects only the
-    * centroid vectors (kilobytes); assignment is a broadcast argmax. */
+  /** An IVF (inverted-file) index: `numCentroids` centroid vectors seeded
+    * deterministically from the corpus and optionally refined by
+    * distributed k-means, plus the corpus with an assigned
+    * nearest-centroid `cluster` column. The index build collects only
+    * centroid-sized data (kilobytes); assignment is a broadcast argmax. */
   final case class IvfIndex(centroids: Seq[(Int, Seq[Double])], assigned: DataFrame)
 
   private def centroidCols(centroids: Seq[(Int, Seq[Double])], v: Column): Column = {
@@ -63,27 +63,53 @@ object Similarity {
     -greatest(scored: _*).getField("negid")
   }
 
-  /** Build an IVF index over the corpus. */
+  /** Build an IVF index over the corpus.
+    *
+    * Seeding orders by `xxhash64(id)` and takes the first `numCentroids`
+    * rows — a deterministic pseudo-random sample that makes no density
+    * assumption about the ids and compiles to TakeOrderedAndProject (a
+    * top-k per partition + driver merge of `numCentroids` rows, NOT a full
+    * sort, and no separate count pass).
+    *
+    * `kmeansIters` > 0 runs that many distributed Lloyd iterations
+    * (spherical: cosine-argmax assignment, per-cluster mean update): each
+    * iteration is one corpus pass whose aggregate result is only
+    * `numCentroids × dim` doubles — the driver never sees corpus data.
+    * Empty clusters keep their previous centroid. */
   def ivfBuild(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      numCentroids: Int = 16
+      numCentroids: Int = 16,
+      kmeansIters: Int = 0
   ): IvfIndex = {
-    val n = corpus.count()
-    val stride = math.max(n / numCentroids, 1L)
-    val centroids = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .filter(pmod(col("id"), lit(stride)) === 0)
-      .orderBy("id")
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var centroids: Seq[(Int, Seq[Double])] = vecs
+      .orderBy(xxhash64(col("id")), col("id"))
       .limit(numCentroids)
       .collect()
       .zipWithIndex
-      .map { case (r, i) =>
-        i -> r.getSeq[Float](1).map(_.toDouble).toSeq
-      }.toSeq
-    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("cluster", centroidCols(centroids, col("v")))
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toSeq }
+      .toSeq
+
+    for (_ <- 1 to kmeansIters) {
+      val perDim = vecs
+        .withColumn("cluster", centroidCols(centroids, col("v")))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byCluster = perDim.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        byCluster.get(cid) match {
+          case Some(rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None => cid -> old
+        }
+      }
+    }
+
+    val assigned = vecs.withColumn("cluster", centroidCols(centroids, col("v")))
     IvfIndex(centroids, assigned)
   }
 

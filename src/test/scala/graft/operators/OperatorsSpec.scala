@@ -116,6 +116,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("ivf k-means refinement tightens clusters; exactness unaffected") {
+    val corpus = emb.limit(400)
+    val queries = emb.filter(col("vec_id") < 5)
+
+    def meanAssignedCos(index: Similarity.IvfIndex): Double = {
+      // mean cosine between each vector and its assigned centroid
+      val cents = index.centroids.toMap
+      index.assigned.collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val c = cents(r.getInt(2))
+        val dot = v.zip(c).map { case (x, y) => x * y }.sum
+        val d = math.sqrt(v.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum)
+        if (d == 0) 0.0 else dot / d
+      }.sum / 400.0
+    }
+
+    val seeded = Similarity.ivfBuild(corpus, "vec_id", "embedding",
+      numCentroids = 8, kmeansIters = 0)
+    val refined = Similarity.ivfBuild(corpus, "vec_id", "embedding",
+      numCentroids = 8, kmeansIters = 3)
+    // Lloyd iterations must not make the assignment looser
+    assert(meanAssignedCos(refined) >= meanAssignedCos(seeded) - 1e-9)
+
+    // nprobe = all stays exactly brute force regardless of centroids
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val full = Similarity.ivfSearch(refined, queries, "vec_id", "embedding", 5,
+      nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(full == exact)
+  }
+
   test("annBuckets only pairs vectors sharing a bucket; cos bounded") {
     val out = Similarity.annBuckets(emb.limit(300), "vec_id", "embedding",
       numPlanes = 6, dim = 64, minCos = -1.0)
