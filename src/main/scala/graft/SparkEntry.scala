@@ -517,6 +517,40 @@ object SparkEntry {
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBytesPipeline(s, t(s, dir, "documents"))
 
+  private def scrubPii(s: SparkSession, dir: String): DataFrame =
+    // inject synthetic PII (deterministic per doc) so the redaction paths
+    // all fire, then scrub
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.redactPii(concat_ws(" ",
+        col("text"),
+        concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")),
+        concat(lit("https://example.org/doc/"), col("doc_id").cast("string")),
+        lit("555-867-5309"))).as("clean"))
+
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      round(TextFunctions.duplicateNgramFraction(col("text"), 2), 6).as("dup2"),
+      round(TextFunctions.duplicateNgramFraction(col("text"), 3), 6).as("dup3"))
+
+  private def contaminationQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // treat the first docs as the "benchmark" set; hashed=false so the
+    // n-gram join is string-exact for the oracle (hash≡string is specced)
+    operators.Contamination.ngramOverlap(
+      d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+      "doc_id", "text", n = 5, hashed = false)
+  }
+
+  private def tfidfTopK(s: SparkSession, dir: String): DataFrame =
+    operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(when(col("lang") === "en", pmod(col("doc_id"), lit(10)) < 5)
+        .otherwise(pmod(col("doc_id"), lit(10)) < 2))
+      .select(col("doc_id"), col("lang"))
+
   // ===== registry ===========================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -574,7 +608,12 @@ object SparkEntry {
       "dedup_drop" -> (dedupDrop _),
       "dedup_embed" -> (dedupEmbed _),
       "dedup_groups" -> (dedupGroups _),
-      "multimodal_meta" -> (multimodalMeta _)
+      "multimodal_meta" -> (multimodalMeta _),
+      "scrub_pii" -> (scrubPii _),
+      "q_repetition" -> (qRepetition _),
+      "contamination" -> (contaminationQ _),
+      "tfidf_topk" -> (tfidfTopK _),
+      "q_stratified_sample" -> (qStratifiedSample _)
     )
 
   // ===== oracles ============================================================
@@ -936,6 +975,56 @@ object SparkEntry {
                        ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                             / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6) AS jaccard
           FROM d a JOIN d b ON a.doc_id < b.doc_id""",
+    "scrub_pii" ->
+      raw"""SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+               ' https://example.org/doc/' || CAST(doc_id AS VARCHAR) ||
+               ' 555-867-5309',
+             'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean
+           FROM documents""",
+    "q_repetition" ->
+      raw"""WITH tok AS (SELECT doc_id, ${wsTokensSql("text")} AS toks FROM documents)
+          SELECT doc_id,
+            CASE WHEN greatest(len(toks) - 1, 0) <= 0 THEN 0.0
+                 ELSE round(1.0 - CAST(len(list_distinct(list_transform(
+                        range(1, len(toks) - 1 + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS DOUBLE)
+                      / CAST(len(toks) - 1 AS DOUBLE), 6) END AS dup2,
+            CASE WHEN greatest(len(toks) - 2, 0) <= 0 THEN 0.0
+                 ELSE round(1.0 - CAST(len(list_distinct(list_transform(
+                        range(1, len(toks) - 2 + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS DOUBLE)
+                      / CAST(len(toks) - 2 AS DOUBLE), 6) END AS dup3
+          FROM tok""",
+    "contamination" ->
+      raw"""WITH g AS (
+            SELECT doc_id, list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 4, 0) + 1),
+                     i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS grams
+            FROM (SELECT doc_id, ${wsTokensSql("text")} AS toks FROM documents)),
+          bg AS (SELECT DISTINCT unnest(grams) AS ng FROM g WHERE doc_id < 20),
+          cg AS (SELECT doc_id, unnest(grams) AS ng FROM g WHERE doc_id >= 20)
+          SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM cg JOIN bg ON cg.ng = bg.ng GROUP BY 1""",
+    "tfidf_topk" ->
+      raw"""WITH terms AS (SELECT doc_id, unnest(${wsTokensSql("lower(text)")}) AS term
+                           FROM documents),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM terms GROUP BY 1, 2),
+          df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM terms GROUP BY 1)
+          SELECT doc_id, term, tf, df,
+            CAST(tf * (1000000 // df) AS BIGINT) AS score,
+            CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tf * (1000000 // df) DESC, term ASC) AS BIGINT) AS rank
+          FROM tf JOIN df USING (term) QUALIFY rank <= 3""",
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CASE WHEN lang = 'en' THEN doc_id % 10 < 5
+                    ELSE doc_id % 10 < 2 END""",
     "embed_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
           pairs AS (

@@ -125,6 +125,38 @@ object TextFunctions {
     })
   }
 
+  /** PII/URL redaction patterns — written to the common Java-regex/RE2
+    * subset so the SQL oracle's `regexp_replace` matches byte-for-byte. */
+  val UrlRegex = raw"https?://[^\s]+"
+  val EmailRegex = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+  val PhoneRegex = raw"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+  /** Redact URLs, then emails, then phone-shaped numbers (order matters:
+    * URLs can contain '@'). The pre-training scrub every public-web corpus
+    * runs before anything else sees the text. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRegex, "<URL>"),
+        EmailRegex, "<EMAIL>"),
+      PhoneRegex, "<PHONE>")
+
+  /** Duplicate word-n-gram fraction — the Gopher-style repetition signal:
+    * 1 - distinct/total over the document's n-grams (0.0 when fewer than
+    * one n-gram). High values flag boilerplate/looping text. Integer
+    * counts + one fixed-order division → oracle-exact. */
+  def duplicateNgramFraction(c: Column, n: Int): Column = {
+    val toks = wsTokens(c)
+    val total = greatest(size(toks) - lit(n - 1), lit(0))
+    val grams = when(total <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), total - 1),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / total.cast("double"))
+  }
+
   /** Distinct character k-shingles (the MinHash input unit). */
   def charShingles(c: Column, k: Int): Column =
     when(length(c) < lit(k), array().cast("array<string>"))

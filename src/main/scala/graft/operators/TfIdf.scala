@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Rarity-weighted term extraction — tf-idf-shaped keyword ranking per
+  * document.
+  *
+  * The idf factor is `scale div df` in INTEGER arithmetic rather than
+  * `ln(N/df)`: real-valued logs differ in the last ulp across libm
+  * implementations, which would break bit-exact cross-engine verification,
+  * while the integer form preserves the ranking structure (monotone
+  * decreasing in document frequency). Ties are broken by term order, so
+  * the top-k is fully deterministic.
+  *
+  * Scale shape: tf is a map-side-combined groupBy on (doc, term); df is a
+  * groupBy on term whose result is vocabulary-sized (≪ corpus) and
+  * broadcasts into the scoring join.
+  */
+object TfIdf {
+
+  /** Top-`k` terms per document by `tf * (scale div df)`.
+    * Output: (id, term, tf, df, score, rank). */
+  def topTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    val terms = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.wsTokens(lower(col(textCol)))).as("term"))
+
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("score", col("tf") * expr(s"$scale div df"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"), col("score"),
+        col("rank"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class ScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii scrubs urls, emails and phone numbers, in that order") {
+    val df = Seq(
+      "mail me at a.b+c@test.org today",
+      "see https://x.y/z?a=1&u=n@h.io for details",
+      "call 555-123-4567 or 555 123 4567",
+      "clean text stays clean"
+    ).toDF("t").select(TextFunctions.redactPii(col("t")).as("r"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    // the email-shaped tail inside the URL is already swallowed by <URL>
+    assert(out(1) == "see <URL> for details")
+    assert(out(2) == "call <PHONE> or <PHONE>")
+    assert(out(3) == "clean text stays clean")
+  }
+}
+
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicateNgramFraction: 0 for unique text, high for loops, 0 for short") {
+    val df = Seq(
+      ("unique", "one two three four five six"),
+      ("loop", "spam spam spam spam spam spam spam spam"),
+      ("short", "hi")
+    ).toDF("id", "t").select(col("id"),
+      TextFunctions.duplicateNgramFraction(col("t"), 2).as("d2"))
+    val out = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("unique") == 0.0)
+    // 7 bigrams, all "spam spam" -> 1 - 1/7
+    assert(math.abs(out("loop") - (1.0 - 1.0 / 7.0)) < 1e-12)
+    assert(out("short") == 0.0)
+  }
+}
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramOverlap finds planted benchmark leaks; hashed ≡ string keys") {
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "pack my box with five dozen liquor jugs now then")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains an exact 10-token window from bench doc 1
+      (100L, "intro words the quick brown fox jumps over the lazy dog tonight outro"),
+      // no 5-gram overlap
+      (101L, "completely different content with no shared phrases at all"),
+      // shares a 5-gram with bench doc 2
+      (102L, "he did pack my box with five dozen things")
+    ).toDF("doc_id", "text")
+
+    val hashed = Contamination.ngramOverlap(corpus, bench, "doc_id", "text",
+      n = 5, hashed = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strings = Contamination.ngramOverlap(corpus, bench, "doc_id", "text",
+      n = 5, hashed = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(hashed == strings)
+    // doc 100 embeds a 10-token window -> six distinct shared 5-grams
+    assert(hashed(100L) == 6L)
+    // "pack my box with five" + "my box with five dozen"
+    assert(hashed(102L) == 2L)
+    assert(!hashed.contains(101L))
+  }
+
+  test("benchmark n-gram set broadcasts (no shuffle on the corpus side)") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = Contamination.ngramOverlap(
+      d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
+
+class TfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topTerms ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "alpha common common common"),
+      (2L, "beta common common"),
+      (3L, "gamma common")
+    ).toDF("doc_id", "text")
+    val out = TfIdf.topTerms(docs, "doc_id", "text", k = 1).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("term")).toMap
+    // "common" appears in every doc (df=3); each rare term (df=1) wins
+    assert(out == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
+  test("rank is deterministic: score desc then term asc, k bound respected") {
+    val docs = Seq((1L, "zz aa zz aa bb")).toDF("doc_id", "text")
+    val out = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    // aa and zz tie on tf=2, df=1 -> term asc breaks the tie
+    assert(out(0).getAs[String]("term") == "aa" && out(0).getAs[Long]("rank") == 1L)
+    assert(out(1).getAs[String]("term") == "zz")
+  }
+}
