@@ -212,16 +212,16 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min("label").as("nlabel"))
-      // checkpoint BEFORE the convergence probe so the probe reads
-      // materialized data instead of re-executing the join lineage
+      // carry the old label through the update so the convergence probe is
+      // a filter on the checkpointed frame, not another join; checkpoint
+      // BEFORE the probe so it reads materialized data
       val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.label") =!= col("l.label")).limit(1).count()
-      labels = updated
+      val changed =
+        updated.filter(col("label") =!= col("__old")).limit(1).count()
+      labels = updated.drop("__old")
       converged = changed == 0
       i += 1
     }

@@ -123,3 +123,55 @@ class StreamJoinSpec extends graft.SparkSpec {
     assert(out.length == 1 && out.head.getLong(0) == 1L)
   }
 }
+
+class StreamDedupSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000)
+
+  test("dropDuplicatesWithinWatermark suppresses dups across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val name = s"sd_${System.nanoTime()}"
+
+    val deduped = graft.streaming.StreamDedup.withinWatermark(
+      input.toDF().toDF("doc_id", "ts", "text"),
+      tsCol = "ts", delay = "10 minutes", keys = Seq("doc_id"))
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(100), "a"), (2L, ts(110), "b"))
+      q.processAllAvailable()
+      // duplicate keys inside the watermark horizon, same and later batch
+      input.addData((1L, ts(120), "a-dup"), (3L, ts(130), "c"), (3L, ts(131), "c-dup"))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("hashKey dedups by content hash: 8-byte state, not documents") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val name = s"sdh_${System.nanoTime()}"
+
+    val keyed = graft.streaming.StreamDedup.hashKey(
+      input.toDF().toDF("doc_id", "ts", "text"), Seq("text"))
+    val q = graft.streaming.StreamDedup.withinWatermark(
+      keyed, "ts", "10 minutes", Seq("__dedup_key"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // different ids, identical content -> one survivor
+      input.addData((1L, ts(100), "same text"), (2L, ts(101), "same text"),
+        (3L, ts(102), "other text"))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.length == 2)
+      assert(rows.map(r => r.getString(2)).sorted.toSeq ==
+        Seq("other text", "same text"))
+    } finally q.stop()
+  }
+}
