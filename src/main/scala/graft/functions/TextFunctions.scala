@@ -90,8 +90,16 @@ object TextFunctions {
     * `h = h*257 + code(char) mod 1e9+7`, seeded with the first character —
     * a "fold from first element" so engines without fold-initial-value
     * (DuckDB 1.0 `list_reduce`) can reproduce it exactly. Pure integer
-    * arithmetic: bit-identical across engines. */
-  def fingerprint(c: Column): Column = {
+    * arithmetic: bit-identical across engines. Fused native expression
+    * (one pass over the bytes — the composed form allocates a string per
+    * character); [[fingerprintComposed]] is the specced baseline. */
+  def fingerprint(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.RollingFingerprint(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Composed-Column fingerprint — the spec baseline for the native kernel. */
+  private[graft] def fingerprintComposed(c: Column): Column = {
     val codes = transform(split(c, ""), ch => ascii(ch).cast("bigint"))
     when(length(c) === lit(0), lit(0L))
       .otherwise(

@@ -59,4 +59,39 @@ object Profile {
       .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
         col("p.n_distinct"))
   }
+
+  /** One-pass numeric summary at scale — min/max/mean + approximate
+    * quantiles (KLL-style sketch via `percentile_approx`) for every listed
+    * column simultaneously. The exact `percentile` aggregate buffers every
+    * value per group, which a 100 TB column cannot do; the sketch is
+    * fixed-size and merges map-side. Output: one row per column
+    * (column, min, max, mean, p50, p90, p99). */
+  def numericSummaryApprox(
+      df: DataFrame,
+      cols: Seq[String],
+      accuracy: Int = 10000
+  ): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        avg(col(c)).as(s"__avg_$c"),
+        percentile_approx(col(c),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy))
+          .as(s"__q_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__min_$c").as("min"),
+        col(s"__max_$c").as("max"),
+        col(s"__avg_$c").as("mean"),
+        element_at(col(s"__q_$c"), 1).cast("double").as("p50"),
+        element_at(col(s"__q_$c"), 2).cast("double").as("p90"),
+        element_at(col(s"__q_$c"), 3).cast("double").as("p99"))
+    }
+    wide.select(explode(array(rows.toIndexedSeq: _*)).as("p"))
+      .select(col("p.column"), col("p.min"), col("p.max"), col("p.mean"),
+        col("p.p50"), col("p.p90"), col("p.p99"))
+  }
 }

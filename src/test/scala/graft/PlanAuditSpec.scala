@@ -56,3 +56,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 }
+
+class PipelinePlanAuditSpec extends SparkSpec {
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("tfidf_topk broadcasts the vocabulary-sized df side") {
+    val p = physical("tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), s"df side should broadcast:\n$p")
+  }
+
+  test("contamination broadcasts the benchmark n-gram set") {
+    val p = physical("contamination")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark grams should broadcast:\n$p")
+    // the corpus side must not shuffle for the join itself
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_exact shuffles on the key hash, not the raw text") {
+    val p = physical("dedup_exact")
+    // the hash is pre-projected (xxhash64(text) AS _wN) and the window
+    // Exchange partitions on that 8-byte alias, never on text itself
+    assert(p.contains("xxhash64(text"), s"hash projection missing:\n$p")
+    val exchange = p.linesIterator
+      .find(_.contains("Exchange hashpartitioning"))
+      .getOrElse(fail(s"no exchange in plan:\n$p"))
+    assert(!exchange.contains("text"),
+      s"window exchange must partition on the hash alias, not text:\n$exchange")
+  }
+
+  test("dedup_minhash computes the signature expression exactly once") {
+    val p = physical("dedup_minhash")
+    val occurrences = "graft_minhash_signature".r.findAllIn(p).length
+    assert(occurrences == 1,
+      s"signature should appear once in the plan, found $occurrences:\n$p")
+  }
+
+  test("scrub_pii stays one codegen projection over the scan (no shuffle)") {
+    val p = physical("scrub_pii")
+    assert(!p.contains("Exchange"), s"a pure projection must not shuffle:\n$p")
+  }
+}

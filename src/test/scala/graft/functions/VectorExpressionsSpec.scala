@@ -76,3 +76,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(fused == composed && fused == 0L)
   }
 }
+
+/** Native rolling fingerprint must match the composed fold bit-for-bit —
+  * including multibyte code points (ascii() yields code points, and so
+  * must the byte-walking kernel). */
+class RollingFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native fingerprint equals composed on corpus docs and edge strings") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+      .select(col("text").as("t"))
+    val edge = Seq("", "a", "ab", "héllo wörld", "日本語テキスト", "mixed é 語 x",
+      "   spaces   ", "\ttabs\n").toDF("t")
+    val all = docs.unionByName(edge)
+    val out = all.select(
+      TextFunctions.fingerprint(col("t")).as("fused"),
+      TextFunctions.fingerprintComposed(col("t")).as("composed"))
+      .collect()
+    assert(out.length == 108)
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+}

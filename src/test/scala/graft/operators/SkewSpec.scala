@@ -119,4 +119,24 @@ class ProfileSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(nulls.values.forall(_ == 0L))
   }
+
+  test("numericSummaryApprox: one-pass sketch quantiles near exact") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Profile.numericSummaryApprox(docs, Seq("doc_id", "n_chars"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+
+    val exact = docs.selectExpr(
+      "percentile(n_chars, 0.5)",
+      "cast(min(n_chars) as double)", "cast(max(n_chars) as double)")
+      .head()
+    val nc = out("n_chars")
+    assert(nc.getAs[Double]("min") == exact.getDouble(1))
+    assert(nc.getAs[Double]("max") == exact.getDouble(2))
+    // sketch p50 within 5% of exact median
+    assert(math.abs(nc.getAs[Double]("p50") - exact.getDouble(0))
+      <= exact.getDouble(0) * 0.05)
+    assert(nc.getAs[Double]("p50") <= nc.getAs[Double]("p90"))
+    assert(nc.getAs[Double]("p90") <= nc.getAs[Double]("p99"))
+  }
 }
