@@ -152,8 +152,16 @@ object TextFunctions {
   /** Duplicate word-n-gram fraction — the Gopher-style repetition signal:
     * 1 - distinct/total over the document's n-grams (0.0 when fewer than
     * one n-gram). High values flag boilerplate/looping text. Integer
-    * counts + one fixed-order division → oracle-exact. */
-  def duplicateNgramFraction(c: Column, n: Int): Column = {
+    * counts + one fixed-order division → oracle-exact. Fused native
+    * kernel (the composed gram building dominated the round-2 bench);
+    * [[duplicateNgramFractionComposed]] is the specced baseline. */
+  def duplicateNgramFraction(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.DuplicateNgramFraction(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
+
+  /** Composed-Column baseline for the native repetition kernel. */
+  private[graft] def duplicateNgramFractionComposed(c: Column, n: Int): Column = {
     val toks = wsTokens(c)
     val total = greatest(size(toks) - lit(n - 1), lit(0))
     val grams = when(total <= 0, array().cast("array<string>"))

@@ -267,8 +267,16 @@ object Dedup {
     when(union === 0.0, lit(1.0)).otherwise(inter / union)
   }
 
-  /** Distinct word n-grams of a text column. */
-  def wordNgrams(c: Column, n: Int): Column = {
+  /** Distinct word n-grams of a text column (first-occurrence order).
+    * Fused native kernel — one pass, exact byte-verified distinctness;
+    * [[wordNgramsComposed]] is the specced baseline. */
+  def wordNgrams(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.WordNgrams(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
+
+  /** Composed-Column baseline for the native n-gram kernel. */
+  private[graft] def wordNgramsComposed(c: Column, n: Int): Column = {
     val toks = TextFunctions.wsTokens(c)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** The native n-gram kernels must match the composed Column forms exactly:
+  * same distinct sets in the same (first-occurrence) order, same fractions
+  * bit-for-bit — on corpus text, repetitive text, and edge strings. */
+class NgramExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def texts = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+      .select(col("text").as("t"))
+    val edge = Seq(
+      "", "one", "one two", "a a a a a a", "x y x y x y x",
+      "  leading and   irregular\tspacing\nhere  ",
+      "héllo wörld héllo wörld tokens múltibyte").toDF("t")
+    docs.unionByName(edge)
+  }
+
+  test("WordNgrams equals the composed form (order included)") {
+    for (n <- Seq(2, 3, 5)) {
+      val out = texts.select(
+        Dedup.wordNgrams(col("t"), n).as("fused"),
+        Dedup.wordNgramsComposed(col("t"), n).as("composed"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n fused=${r.getSeq[String](0)} composed=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("DuplicateNgramFraction equals the composed form bit-for-bit") {
+    for (n <- Seq(2, 3)) {
+      val out = texts.select(
+        TextFunctions.duplicateNgramFraction(col("t"), n).as("fused"),
+        TextFunctions.duplicateNgramFractionComposed(col("t"), n).as("composed"))
+        .collect()
+      out.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+    }
+  }
+
+  test("known values: all-same tokens, alternating pattern") {
+    val out = Seq("spam spam spam spam spam spam spam spam")
+      .toDF("t")
+      .select(TextFunctions.duplicateNgramFraction(col("t"), 2).as("d"))
+      .head().getDouble(0)
+    assert(math.abs(out - (1.0 - 1.0 / 7.0)) < 1e-15)
+
+    val grams = Seq("x y x y").toDF("t")
+      .select(Dedup.wordNgrams(col("t"), 2).as("g"))
+      .head().getSeq[String](0)
+    assert(grams == Seq("x y", "y x")) // first-occurrence order
+  }
+}
