@@ -6,20 +6,24 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expressions.{MinHashSignature, SimHash64}
+import graft.functions.expressions.{CosineSimilarity, DuplicateNgramFraction, MinHashSignature, RollingFingerprint, SimHash64, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions. Activate with
   * `spark.sql.extensions=graft.GraftExtensions` or call
   * [[GraftExtensions.register]] on a live session.
   *
-  * SQL: `graft_minhash_signature(text, k, numHashes)` → array<bigint>.
+  * SQL surface:
+  *  - `graft_minhash_signature(text, k, numHashes)` → array<bigint>
+  *  - `graft_simhash64(text)` → bigint
+  *  - `graft_cosine(vec, vec)` → double
+  *  - `graft_fingerprint(text)` → bigint
+  *  - `graft_word_ngrams(text, n)` → array<string>
+  *  - `graft_dup_ngram_fraction(text, n)` → double
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.minhashSignatureFn)
-    ext.injectFunction(GraftExtensions.simhash64Fn)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -52,9 +56,54 @@ object GraftExtensions {
     }
   )
 
+  private[graft] val cosineFn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "graft_cosine(a, b) takes 2 arguments")
+      CosineSimilarity(exprs.head, exprs(1))
+    }
+  )
+
+  private[graft] val fingerprintFn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_fingerprint"),
+    new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "graft_fingerprint(text) takes 1 argument")
+      RollingFingerprint(exprs.head)
+    }
+  )
+
+  private[graft] val wordNgramsFn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_word_ngrams"),
+    new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "graft_word_ngrams(text, n) takes 2 arguments")
+      WordNgrams(exprs.head, intLit(exprs(1), "n"))
+    }
+  )
+
+  private[graft] val dupNgramFractionFn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dup_ngram_fraction"),
+    new ExpressionInfo(classOf[DuplicateNgramFraction].getName,
+      "graft_dup_ngram_fraction"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        "graft_dup_ngram_fraction(text, n) takes 2 arguments")
+      DuplicateNgramFraction(exprs.head, intLit(exprs(1), "n"))
+    }
+  )
+
+  private[graft] val all = Seq(minhashSignatureFn, simhash64Fn, cosineFn,
+    fingerprintFn, wordNgramsFn, dupNgramFractionFn)
+
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =
-    Seq(minhashSignatureFn, simhash64Fn).foreach { case (ident, info, builder) =>
+    all.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
 }

@@ -287,6 +287,28 @@ object SparkEntry {
         round(expr("percentile(pc, 0.5)"), 4).as("med"),
         round(expr("percentile(pc, 0.9)"), 4).as("p90"))
 
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    // explicit grouping sets: (status, priority), (status), () — a shape
+    // neither rollup nor cube produces
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_price_c"))
+
+  private def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val o = t(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    AsOfJoin.nearestPriorWithin(e, o,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTs = "ts", rightTs = "o_orderdate",
+      payloads = Seq("o_orderkey"), toleranceSeconds = 30L * 86400)
+      .select(col("event_id"), epochSec(col("ts")).as("ts_epoch"), col("o_orderkey"))
+  }
+
   private def qCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
@@ -579,6 +601,8 @@ object SparkEntry {
       "q_string_funcs" -> (qStringFuncs _),
       "q_date_funcs" -> (qDateFuncs _),
       "q_rollup" -> (qRollup _),
+      "q_grouping_sets" -> (qGroupingSets _),
+      "q_asof_tolerance" -> (qAsofTolerance _),
       "q_percentile" -> (qPercentile _),
       "q_cube" -> (qCube _),
       "q_distinct" -> (qDistinct _),
@@ -783,6 +807,19 @@ object SparkEntry {
           round(quantile_cont(${centsSql("o_totalprice")}, 0.5), 4) AS med,
           round(quantile_cont(${centsSql("o_totalprice")}, 0.9), 4) AS p90
           FROM orders GROUP BY 1""",
+    "q_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""",
+    "q_asof_tolerance" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, CAST(max(o_orderkey) AS BIGINT) AS o_orderkey
+                    FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+           CASE WHEN floor(epoch(e.ts)) - floor(epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+                     > 30 * 86400 THEN NULL ELSE o.o_orderkey END AS o_orderkey
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
     "q_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c

@@ -67,4 +67,32 @@ object AsOfJoin {
 
     swept.filter(col("__side") === 1).drop("__side")
   }
+
+  /** [[nearestPrior]] with a staleness bound — the feature-store contract:
+    * a match older than `toleranceSeconds` before the left event is
+    * discarded (payloads null), exactly like pandas `merge_asof(...,
+    * tolerance=...)`. Implemented by carrying the matched right timestamp
+    * through the same single-sweep window, so the bound adds no extra
+    * shuffle. `rightTs` must not collide with a left column name. */
+  def nearestPriorWithin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payloads: Seq[String],
+      toleranceSeconds: Long
+  ): DataFrame = {
+    require(!left.columns.contains(rightTs),
+      s"rightTs '$rightTs' collides with a left column")
+    val matched = nearestPrior(left, right, leftKey, rightKey, leftTs, rightTs,
+      payloads :+ rightTs)
+    val stale =
+      unix_timestamp(col(leftTs).cast("timestamp")) -
+        unix_timestamp(col(rightTs).cast("timestamp")) > toleranceSeconds
+    payloads.foldLeft(matched) { (df, p) =>
+      df.withColumn(p, when(stale, lit(null)).otherwise(col(p)))
+    }.drop(rightTs)
+  }
 }

@@ -68,6 +68,31 @@ object Jdbc {
     partitioned.load()
   }
 
+  /** Partitioned read via explicit predicates — the fan-out for tables
+    * with no numeric stride column (string/composite keys): each predicate
+    * becomes one partition's WHERE clause, so `predicates.length` parallel
+    * range-free queries run against the database. Caller guarantees the
+    * predicates are disjoint and covering (e.g. `MOD(hash, k) = i`, date
+    * buckets, key prefixes). The planned SELECT still pushes down. */
+  def readTablePredicates(
+      spark: SparkSession,
+      url: String,
+      plan: TablePlan,
+      schema: String,
+      table: String,
+      sourceSchema: StructType,
+      predicates: Seq[String],
+      properties: java.util.Properties = new java.util.Properties()
+  ): DataFrame = {
+    val props = new java.util.Properties()
+    props.putAll(properties)
+    if (props.getProperty("fetchsize") == null)
+      props.setProperty("fetchsize", adaptiveFetchSize(sourceSchema).toString)
+    spark.read.jdbc(url,
+      pushdownSubquery(plan, schema, table, sourceSchema),
+      predicates.toArray, props)
+  }
+
   /** Read the result of an arbitrary SQL query (reference wrds_sql_to_pq,
     * core.py:529): the query runs inside the database. */
   def readSql(

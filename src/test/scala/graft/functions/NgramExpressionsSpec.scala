@@ -60,3 +60,29 @@ class NgramExpressionsSpec extends SparkSpec {
     assert(grams == Seq("x y", "y x")) // first-occurrence order
   }
 }
+
+class SqlFunctionRegistrationSpec extends SparkSpec {
+  test("all native kernels register as SQL functions") {
+    graft.GraftExtensions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+      .createOrReplaceTempView("sqlreg_docs")
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
+      .createOrReplaceTempView("sqlreg_emb")
+
+    val text = spark.sql("""
+      SELECT graft_fingerprint(text) AS fp,
+             graft_word_ngrams(text, 3) AS g,
+             graft_dup_ngram_fraction(text, 2) AS d,
+             graft_simhash64(text) AS sh,
+             graft_minhash_signature(text, 5, 16) AS sig
+      FROM sqlreg_docs""").collect()
+    assert(text.length == 20)
+    assert(text.forall(r => !r.isNullAt(0) && !r.isNullAt(3) &&
+      r.getSeq[Long](4).length == 16))
+
+    val cos = spark.sql("""
+      SELECT graft_cosine(a.embedding, b.embedding) AS c
+      FROM sqlreg_emb a JOIN sqlreg_emb b ON a.vec_id < b.vec_id""").collect()
+    assert(cos.nonEmpty && cos.forall(r => math.abs(r.getDouble(0)) <= 1.0))
+  }
+}

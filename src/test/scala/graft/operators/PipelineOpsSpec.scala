@@ -108,3 +108,28 @@ class TfIdfSpec extends SparkSpec {
     assert(out(1).getAs[String]("term") == "zz")
   }
 }
+
+class AsOfToleranceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000)
+
+  test("nearestPriorWithin nulls matches older than the tolerance") {
+    val left = Seq(
+      (1L, ts(1000), "fresh"),   // prior right at 900 -> 100s stale, kept
+      (1L, ts(5000), "stale"),   // prior right at 900 -> 4100s stale, nulled
+      (2L, ts(1000), "none")     // no prior right at all
+    ).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(900), 42L)).toDF("k", "rts", "payload")
+
+    val out = AsOfJoin.nearestPriorWithin(left, right,
+      leftKey = "k", rightKey = "k", leftTs = "ts", rightTs = "rts",
+      payloads = Seq("payload"), toleranceSeconds = 1000)
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Long]("payload"))).toMap
+
+    assert(out("fresh").contains(42L))
+    assert(out("stale").isEmpty)
+    assert(out("none").isEmpty)
+  }
+}

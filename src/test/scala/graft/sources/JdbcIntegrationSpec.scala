@@ -286,3 +286,31 @@ class AdaptiveFetchSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Jdbc.adaptiveFetchSize(huge) == 100)
   }
 }
+
+class JdbcPredicatesSpec extends SparkSpec {
+  private val url = "jdbc:derby:memory:graftpreds;create=true"
+
+  test("predicate-partitioned read fans out without a numeric stride column") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("CREATE SCHEMA PR") catch { case _: Exception => }
+      try st.execute("DROP TABLE PR.T") catch { case _: Exception => }
+      st.execute("CREATE TABLE PR.T (NAME VARCHAR(20), VAL DOUBLE)")
+      (1 to 90).foreach(i =>
+        st.execute(s"INSERT INTO PR.T VALUES ('k${i % 9}_$i', ${i * 1.0})"))
+    } finally conn.close()
+
+    val sourceSchema = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "PR.T").load().schema
+    // disjoint + covering predicates over a string key (no lower/upper bound)
+    val preds = Seq(
+      "NAME < 'k3'", "NAME >= 'k3' AND NAME < 'k6'", "NAME >= 'k6'")
+    val df = graft.sources.Jdbc.readTablePredicates(spark, url,
+      graft.plans.TablePlan(), "PR", "T", sourceSchema, preds)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 90)
+    assert(df.agg(org.apache.spark.sql.functions.sum("VAL")).head().getDouble(0)
+      == (1 to 90).map(_.toDouble).sum)
+  }
+}
