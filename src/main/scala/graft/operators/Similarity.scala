@@ -178,6 +178,53 @@ object Similarity {
     * One shuffle (groupBy bucket) with in-bucket pair expansion — a
     * self-join here would re-execute the projection pipeline per side.
     * `maxBucket` guards degenerate buckets at scale. */
+  /** Multi-table LSH ANN: `numTables` independent hyperplane tables, each
+    * vector bucketed once per table in a single pass (posexplode over the
+    * per-table bucket ids — the corpus is scanned once, not L times).
+    * A candidate pair surfaces if it collides in ANY table, so recall is
+    * `1-(1-p^numPlanes)^numTables` instead of `p^numPlanes` — the standard
+    * recall lever when one table's single bucket per vector is too lossy.
+    * Pairs deduplicate across tables via a final (id_a, id_b) max. */
+  def annBucketsMulti(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numTables: Int = 4,
+      numPlanes: Int = 12,
+      dim: Int = 64,
+      seed: Long = 42L,
+      minCos: Double = 0.0,
+      maxBucket: Int = 2000
+  ): DataFrame = {
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val tablePlanes = (0 until numTables).map(t =>
+      VectorFunctions.hyperplanes(numPlanes, dim, seed + t))
+    val bucketed = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(parts, col("id"))
+      .select(col("id"), col("v"),
+        posexplode(array(tablePlanes.map(p =>
+          VectorFunctions.lshBucket(col("v"), p)): _*)).as(Seq("tbl", "bucket")))
+
+    val pairs = flatten(transform(col("xs"), (x, i) =>
+      filter(
+        transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+          struct(
+            least(x.getField("id"), y.getField("id")).as("id_a"),
+            greatest(x.getField("id"), y.getField("id")).as("id_b"),
+            round(VectorFunctions.cosine(
+              x.getField("v"), y.getField("v")), 6).as("cos"))),
+        s => s.getField("cos") >= minCos)))
+
+    bucketed
+      .groupBy("tbl", "bucket")
+      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(max(col("p.cos")).as("cos"))
+  }
+
   def annBuckets(
       corpus: DataFrame,
       idCol: String,

@@ -240,6 +240,26 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
   def setComment(schema: String, table: String, comment: String): Path =
     write(this.table(schema, table), schema, table, modified = Some(comment))
 
+  /** Compact a table to a bounded file layout — the maintenance pass after
+    * many incremental/small writes (task-sized files accumulate; small
+    * files break scan parallelism planning and metadata caches at scale).
+    * Rewrites through the same tmp+promote path (readers never see a
+    * half-compacted table) and preserves the embedded `last_modified`. */
+  def compact(
+      schema: String,
+      table: String,
+      targetPartitions: Option[Int] = None,
+      maxRecordsPerFile: Option[Long] = None,
+      parquetBlockBytes: Option[Long] = None
+  ): Path = {
+    val src = this.table(schema, table)
+    val coalesced = targetPartitions.map(src.coalesce).getOrElse(src)
+    write(coalesced, schema, table,
+      modified = lastModified(schema, table),
+      maxRecordsPerFile = maxRecordsPerFile,
+      parquetBlockBytes = parquetBlockBytes)
+  }
+
   /** Remove an active or archived table (reference pq_remove). */
   def remove(
       schema: String,

@@ -133,3 +133,48 @@ class AsOfToleranceSpec extends SparkSpec {
     assert(out("none").isEmpty)
   }
 }
+
+class MultiTableLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def perturbed(seed: Int): org.apache.spark.sql.DataFrame = {
+    // 80 base vectors; ids 1000+i are small perturbations of i (near dups)
+    val rnd = new scala.util.Random(seed)
+    val base = (0 until 80).map(i => i.toLong -> Array.fill(32)(rnd.nextGaussian().toFloat))
+    val near = base.map { case (i, v) =>
+      (i + 1000L) -> v.map(x => x + rnd.nextGaussian().toFloat * 0.08f)
+    }
+    (base ++ near).toDF("vec_id", "embedding")
+  }
+
+  test("multi-table LSH recalls strictly no fewer planted pairs than one table") {
+    val df = perturbed(11)
+    def plantedRecall(pairs: org.apache.spark.sql.DataFrame): Int =
+      pairs.filter(col("id_b") === col("id_a") + 1000L).count().toInt
+
+    val single = plantedRecall(Similarity.annBuckets(df, "vec_id", "embedding",
+      numPlanes = 10, dim = 32, minCos = 0.8))
+    val multi = plantedRecall(Similarity.annBucketsMulti(df, "vec_id", "embedding",
+      numTables = 6, numPlanes = 10, dim = 32, minCos = 0.8))
+    assert(multi >= single)
+    assert(multi > single, s"multi ($multi) should beat single ($single) here")
+    // pairs deduplicate across tables
+    val m = Similarity.annBucketsMulti(df, "vec_id", "embedding",
+      numTables = 6, numPlanes = 10, dim = 32, minCos = 0.8)
+    assert(m.groupBy("id_a", "id_b").count().filter(col("count") > 1).count() == 0)
+  }
+}
+
+class BandTuningSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.functions.MinHash
+
+  test("suggestBands: higher thresholds need fewer bands; divisor constraint") {
+    val loose = MinHash.suggestBands(64, 0.3)
+    val strict = MinHash.suggestBands(64, 0.9)
+    assert(loose > strict)
+    assert(64 % loose == 0 && 64 % strict == 0)
+    // the classic 0.5 target on 64 hashes lands near b=16/r=4 territory
+    val mid = MinHash.suggestBands(64, 0.5)
+    assert(mid >= 8 && mid <= 32)
+  }
+}

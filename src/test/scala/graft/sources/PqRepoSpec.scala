@@ -134,3 +134,23 @@ class WriteSizingSpec extends graft.SparkSpec {
     assert(repo.table("s", "bounded").count() == 1000)
   }
 }
+
+class CompactionSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("compact rewrites many small files into a bounded layout, metadata kept") {
+    val repo = PqRepo(spark, java.nio.file.Files
+      .createTempDirectory("graft_compact").toString)
+    val df = spark.range(2000).select(col("id"), (col("id") % 7).as("g"))
+      .repartition(16)
+    repo.write(df, "s", "frag", modified = Some("x (Updated 2024-05-01)"))
+    def files = new java.io.File(repo.tablePath("s", "frag").toString)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 16)
+
+    repo.compact("s", "frag", targetPartitions = Some(2))
+    assert(files <= 2, s"expected <=2 files after compaction, got $files")
+    assert(repo.table("s", "frag").count() == 2000)
+    assert(repo.lastModified("s", "frag").contains("x (Updated 2024-05-01)"))
+  }
+}
