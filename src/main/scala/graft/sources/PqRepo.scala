@@ -211,6 +211,27 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     dest
   }
 
+  /** Range-partitioned, within-partition-sorted write: rows are range-
+    * partitioned on `sortCols` (each output file covers a disjoint key
+    * range) and sorted inside each partition, so parquet row-group min/max
+    * statistics are tight and any scan filtering on those columns skips
+    * whole files/row groups before I/O — the single biggest data-skipping
+    * lever for a 100 TB lake after hive partitioning (which needs coarse
+    * keys; this works on high-cardinality ones). */
+  def writeSorted(
+      df: DataFrame,
+      schema: String,
+      table: String,
+      sortCols: Seq[String],
+      numFiles: Int,
+      modified: Option[String] = None
+  ): Path = {
+    val laid = df
+      .repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    write(laid, schema, table, modified = modified)
+  }
+
   /** Write a table bucketed (and per-bucket sorted) on join/grouping keys,
     * registered in the session catalog with its data under the repo layout.
     * Joins and aggregations between tables bucketed the same way need no

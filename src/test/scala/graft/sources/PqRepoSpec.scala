@@ -154,3 +154,38 @@ class CompactionSpec extends graft.SparkSpec {
     assert(repo.lastModified("s", "frag").contains("x (Updated 2024-05-01)"))
   }
 }
+
+class SortedWriteSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("writeSorted lays out disjoint sorted key ranges per file") {
+    val repo = PqRepo(spark, java.nio.file.Files
+      .createTempDirectory("graft_sorted").toString)
+    val df = spark.range(10000).select(
+      (col("id") * 2654435761L % 10000).as("k"), col("id").as("v"))
+    repo.writeSorted(df, "s", "laidout", sortCols = Seq("k"), numFiles = 4)
+
+    val dir = new java.io.File(repo.tablePath("s", "laidout").toString)
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    // per-file [min, max] ranges must not overlap (range partitioning) and
+    // rows inside each file must be sorted (tight row-group stats)
+    val ranges = files.map { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select("k").collect().map(_.getLong(0))
+      assert(rows.zip(rows.tail).forall { case (a, b) => a <= b },
+        s"${f.getName} not sorted")
+      (rows.min, rows.max)
+    }.sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file ranges overlap: hi=$hi lo2=$lo2")
+    }
+    assert(repo.table("s", "laidout").count() == 10000)
+
+    // the payoff: a tight range filter prunes at parquet level — at
+    // minimum the filter is pushed to the scan
+    val plan = repo.table("s", "laidout").filter(col("k") < 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), LessThan(k,100)]"), plan)
+  }
+}
