@@ -148,7 +148,12 @@ object Graft {
 
   /** Load a repo table into a database (pq_to_pg, postgres/update.py:480).
     * `dstSchema`/`dstTable` default to the repo names (reference
-    * `dst_schema` / `alt_table_name`). */
+    * `dst_schema` / `alt_table_name`). With `stampComment` the repo's
+    * embedded `last_modified` is written as the destination's table
+    * comment after the load (reference update.py:220) so a future
+    * [[pqUpdateDb]]/[[dbUpdatePqFromDb]] gate compares against it;
+    * `commentWriteSql` overrides the PostgreSQL `COMMENT ON` DDL for
+    * engines without it. */
   def pqToDb(
       repo: PqRepo,
       url: String,
@@ -157,10 +162,18 @@ object Graft {
       dstSchema: Option[String] = None,
       dstTable: Option[String] = None,
       colTypes: Map[String, String] = Map.empty,
-      mode: SaveMode = SaveMode.Overwrite
-  ): Unit =
+      mode: SaveMode = SaveMode.Overwrite,
+      stampComment: Boolean = false,
+      commentWriteSql: Option[String] => Option[String] = _ => None
+  ): Unit = {
     Jdbc.writeTable(repo.table(schema, table), url,
       dstSchema.getOrElse(schema), dstTable.getOrElse(table), colTypes, mode)
+    if (stampComment) {
+      val comment = repo.lastModified(schema, table)
+      Jdbc.setTableComment(url, dstSchema.getOrElse(schema),
+        dstTable.getOrElse(table), comment, commentWriteSql(comment))
+    }
+  }
 
   /** Update-gated reverse path (pq_update_pg, postgres/update.py:570):
     * write to the database only when the repo copy is newer than the

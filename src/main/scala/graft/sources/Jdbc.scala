@@ -163,6 +163,38 @@ object Jdbc {
         JOIN pg_catalog.pg_description d ON d.objoid = c.oid AND d.objsubid = 0
         WHERE n.nspname = '$schema' AND c.relname = '$table'"""
 
+  /** Write a table comment into the database (reference set_table_comment,
+    * comments.py:35; the reverse-mirror path stamps the comment on the
+    * destination after `pq_to_pg` so future update gates compare against
+    * it, update.py:220). `writeSql` defaults to the PostgreSQL
+    * `COMMENT ON TABLE` statement; engines without comment DDL pass a
+    * dialect statement instead (e.g. an upsert into a comments table). */
+  def setTableComment(
+      url: String,
+      schema: String,
+      table: String,
+      comment: Option[String],
+      writeSql: Option[String] = None
+  ): Unit = {
+    val sql = writeSql.getOrElse(
+      postgresSetCommentSql(schema, table, comment))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(sql) finally st.close()
+    } finally conn.close()
+  }
+
+  /** PostgreSQL `COMMENT ON TABLE` DDL (NULL clears, as the reference's
+    * set_table_comment does; single quotes escaped). */
+  def postgresSetCommentSql(schema: String, table: String, comment: Option[String]): String = {
+    val value = comment match {
+      case Some(c) => s"'${c.replace("'", "''")}'"
+      case None    => "NULL"
+    }
+    s"""COMMENT ON TABLE "$schema"."$table" IS $value"""
+  }
+
   /** Full column metadata incl. numeric precision/scale (reference
     * postgres/introspect.py:28 precision-bound introspection used for
     * decimal repair): (name, typeName, precision, scale, nullable) in

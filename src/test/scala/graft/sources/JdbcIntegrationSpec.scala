@@ -314,3 +314,58 @@ class JdbcPredicatesSpec extends SparkSpec {
       == (1 to 90).map(_.toDouble).sum)
   }
 }
+
+/** Comment WRITE parity (reference set_table_comment + the pq_to_pg stamp,
+  * update.py:220): stamped comment must feed the read gate end-to-end. */
+class JdbcCommentWriteSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftcwrite;create=true"
+
+  private def exec(sqls: String*): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      sqls.foreach(s => try st.execute(s) catch { case _: Exception => })
+    } finally conn.close()
+  }
+
+  test("postgres COMMENT ON DDL renders with escaping; NULL clears") {
+    assert(Jdbc.postgresSetCommentSql("s", "t", Some("it's new")) ==
+      """COMMENT ON TABLE "s"."t" IS 'it''s new'""")
+    assert(Jdbc.postgresSetCommentSql("s", "t", None) ==
+      """COMMENT ON TABLE "s"."t" IS NULL""")
+  }
+
+  test("pqToDb stamps the repo comment on the destination; gate then skips") {
+    exec(
+      "CREATE SCHEMA CW",
+      "DROP TABLE CW.COMMENTS",
+      "CREATE TABLE CW.COMMENTS (TBL VARCHAR(32), REMARK VARCHAR(200))",
+      "INSERT INTO CW.COMMENTS VALUES ('T', NULL)")
+
+    val repo = PqRepo(spark, java.nio.file.Files
+      .createTempDirectory("graft_cwrite").toString)
+    import spark.implicits._
+    repo.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "CW", "T",
+      modified = Some("Last modified: 05/01/2024 10:00:00"))
+
+    // dialect writeSql for Derby (no COMMENT ON): update the comments table
+    def derbyWrite(c: Option[String]): Option[String] = Some(
+      s"UPDATE CW.COMMENTS SET REMARK = ${c.map(v => s"'$v'").getOrElse("NULL")} WHERE TBL = 'T'")
+
+    Graft.pqToDb(repo, url, "CW", "T", stampComment = true,
+      commentWriteSql = derbyWrite)
+
+    val readBack = Jdbc.tableComment(url, "CW", "T",
+      Some("SELECT REMARK FROM CW.COMMENTS WHERE TBL = 'T'"))
+    assert(readBack.contains("Last modified: 05/01/2024 10:00:00"))
+
+    // destination got the rows AND the gate now sees itself as current
+    val srcSchema = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "CW.T").load().schema
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "CW.T").load().count() == 2)
+    assert(Graft.dbUpdatePqFromDb(spark, url, "CW", "T", srcSchema, repo,
+      commentSql = Some("SELECT REMARK FROM CW.COMMENTS WHERE TBL = 'T'")).isEmpty)
+  }
+}
