@@ -33,6 +33,27 @@ object Sessionize {
       .drop("__new")
   }
 
+  /** Session stats via Spark's native `session_window` aggregate — the
+    * same gap semantics as [[byGap]] (an event exactly `gapSeconds` after
+    * its predecessor still merges; only strictly-greater gaps split —
+    * boundary equivalence asserted in the spec) expressed as a merging
+    * window aggregation instead of a lag/running-sum sweep. One shuffle,
+    * no sort window; also the form that transfers directly to Structured
+    * Streaming (`session_window` + watermark). */
+  def bySessionWindow(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long
+  ): DataFrame =
+    df.groupBy(col(keyCol),
+      session_window(col(tsCol).cast("timestamp"), s"$gapSeconds seconds").as("w"))
+      .agg(
+        min(unix_timestamp(col(tsCol).cast("timestamp"))).as("start_epoch"),
+        max(unix_timestamp(col(tsCol).cast("timestamp"))).as("end_epoch"),
+        count(lit(1)).as("n_events"))
+      .drop("w")
+
   /** Per-session rollup: bounds, event count, value sum. */
   def sessionStats(
       df: DataFrame,

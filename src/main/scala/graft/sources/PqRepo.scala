@@ -261,6 +261,26 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
   def setComment(schema: String, table: String, comment: String): Path =
     write(this.table(schema, table), schema, table, modified = Some(comment))
 
+  /** Write with piggybacked data-quality metrics: the aliased aggregate
+    * `metrics` (row counts, null counts, min/max freshness, …) are
+    * computed BY the write job itself via `Dataset.observe` — zero extra
+    * passes over the data, which is the only affordable way to collect
+    * load metrics on a 100 TB export (a separate validation query would
+    * double the scan). Returns the final path plus the observed values. */
+  def writeObserved(
+      df: DataFrame,
+      schema: String,
+      table: String,
+      metrics: Seq[org.apache.spark.sql.Column],
+      modified: Option[String] = None
+  ): (Path, Map[String, Any]) = {
+    require(metrics.nonEmpty, "need at least one metric column")
+    val obs = org.apache.spark.sql.Observation(s"graft_write_${schema}_$table")
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    val path = write(observed, schema, table, modified = modified)
+    (path, obs.get)
+  }
+
   /** Compact a table to a bounded file layout — the maintenance pass after
     * many incremental/small writes (task-sized files accumulate; small
     * files break scan parallelism planning and metadata caches at scale).

@@ -299,3 +299,40 @@ class EntrySpec extends graft.SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 }
+
+class SessionWindowSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000)
+
+  test("native session_window agrees with the lag-sweep away from boundaries") {
+    val df = Seq(
+      (1L, ts(100)), (1L, ts(200)), (1L, ts(5000)), (1L, ts(5100)),
+      (2L, ts(100)), (2L, ts(10000))
+    ).toDF("user_id", "t")
+
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("user_id", "start_epoch", "end_epoch", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+    val sweep = canon(Sessionize.sessionStats(
+      df, "user_id", "t", valueCol = "t", gapSeconds = 1800))
+    val native = canon(Sessionize.bySessionWindow(df, "user_id", "t", 1800)
+      .withColumn("n_events", col("n_events").cast("long")))
+    assert(sweep == native)
+  }
+
+  test("boundary: an exactly-gap event merges in BOTH forms; gap+1 splits both") {
+    val atGap = Seq((1L, ts(0)), (1L, ts(1800))).toDF("user_id", "t")
+    assert(Sessionize.sessionStats(
+      atGap, "user_id", "t", valueCol = "t", gapSeconds = 1800).count() == 1)
+    assert(Sessionize.bySessionWindow(atGap, "user_id", "t", 1800).count() == 1)
+
+    val pastGap = Seq((1L, ts(0)), (1L, ts(1801))).toDF("user_id", "t")
+    assert(Sessionize.sessionStats(
+      pastGap, "user_id", "t", valueCol = "t", gapSeconds = 1800).count() == 2)
+    assert(Sessionize.bySessionWindow(pastGap, "user_id", "t", 1800).count() == 2)
+  }
+}

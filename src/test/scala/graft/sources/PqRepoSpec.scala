@@ -189,3 +189,28 @@ class SortedWriteSpec extends graft.SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(k), LessThan(k,100)]"), plan)
   }
 }
+
+class ObservedWriteSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("writeObserved returns load metrics computed by the write job itself") {
+    val repo = PqRepo(spark, java.nio.file.Files
+      .createTempDirectory("graft_observed").toString)
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("id", "v")
+    val (path, metrics) = repo.writeObserved(df, "s", "obs",
+      metrics = Seq(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null_v"),
+        max(col("id")).as("max_id")),
+      modified = Some("x (Updated 2024-05-01)"))
+
+    assert(metrics("n_rows") == 3L)
+    assert(metrics("n_null_v") == 1L)
+    assert(metrics("max_id") == 3L)
+    assert(path.toString.endsWith("s/obs.parquet"))
+    assert(repo.table("s", "obs").count() == 3)
+    assert(repo.lastModified("s", "obs").contains("x (Updated 2024-05-01)"))
+  }
+}
