@@ -545,6 +545,18 @@ object SparkEntry {
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBytesPipeline(s, t(s, dir, "documents"))
 
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    // daily-ingest shape: the new batch is half known content (copies of
+    // corpus docs) and half genuinely new; only the new half survives
+    val d = t(s, dir, "documents")
+    val batch = d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text")))
+    Dedup.dropKnown(batch, d, "text").select("doc_id")
+  }
+
   private def scrubPii(s: SparkSession, dir: String): DataFrame =
     // inject synthetic PII (deterministic per doc) so the redaction paths
     // all fire, then scrub
@@ -639,6 +651,7 @@ object SparkEntry {
       "dedup_embed" -> (dedupEmbed _),
       "dedup_groups" -> (dedupGroups _),
       "multimodal_meta" -> (multimodalMeta _),
+      "dedup_incremental" -> (dedupIncremental _),
       "scrub_pii" -> (scrubPii _),
       "q_repetition" -> (qRepetition _),
       "contamination" -> (contaminationQ _),
@@ -1018,6 +1031,13 @@ object SparkEntry {
                        ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                             / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6) AS jaccard
           FROM d a JOIN d b ON a.doc_id < b.doc_id""",
+    "dedup_incremental" ->
+      """WITH batch AS (
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' fresh' FROM documents WHERE doc_id < 50)
+         SELECT b.doc_id FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)""",
     "scrub_pii" ->
       raw"""SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(

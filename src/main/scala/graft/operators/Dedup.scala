@@ -171,6 +171,23 @@ object Dedup {
       .agg(min("hamming").as("hamming"))
   }
 
+  /** Incremental exact dedup: drop rows of `batch` whose content already
+    * exists in `corpus` — the daily-ingest primitive (dedupe the new crawl
+    * against the existing 100 TB corpus without re-deduping the corpus).
+    * The anti join keys on `(xxhash64(content), content)`: the hash makes
+    * the join's partitioning/probing cheap while the content column in the
+    * key guarantees a hash collision can never drop a genuinely-new
+    * document. Corpus side reduces to distinct (hash, content) pairs
+    * map-side before shuffling. */
+  def dropKnown(batch: DataFrame, corpus: DataFrame, textCol: String): DataFrame = {
+    val known = corpus
+      .select(xxhash64(col(textCol)).as("__h"), col(textCol).as("__t"))
+      .distinct()
+    batch.join(known,
+      xxhash64(batch(textCol)) === col("__h") && batch(textCol) === col("__t"),
+      "left_anti")
+  }
+
   /** Exact content verification of candidate pairs: keep only pairs whose
     * documents are byte-identical. The step a production dedup pipeline
     * runs between LSH candidate generation and any destructive action —

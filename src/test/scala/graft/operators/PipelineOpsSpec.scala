@@ -178,3 +178,20 @@ class BandTuningSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(mid >= 8 && mid <= 32)
   }
 }
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dropKnown removes known content, keeps new; ids irrelevant") {
+    val corpus = Seq((1L, "known one"), (2L, "known two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "known one"),   // dup of corpus doc under a new id
+      (11L, "brand new"),
+      (12L, "known two"),
+      (13L, "also new")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropKnown(batch, corpus, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+  }
+}
