@@ -415,6 +415,20 @@ object SparkEntry {
       .orderBy(col("n").desc, col("token").asc)
       .limit(20)
 
+  private def qArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    // higher-order function battery over token arrays: exists / filter /
+    // transform+aggregate / element access — all codegen'd lambdas
+    val toks = TextFunctions.wsTokens(col("text"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      exists(toks, _ === "the").as("has_the"),
+      size(filter(toks, t => length(t) > 5)).as("n_long"),
+      aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+        .as("total_len"),
+      element_at(toks, 1).as("first_tok"),
+      array_max(toks).as("max_tok"))
+  }
+
   private def qJson(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_type"),
@@ -632,6 +646,7 @@ object SparkEntry {
       "q_stateful_sessionize" -> (qStatefulSessionize _),
       "stream_events" -> (streamEvents _),
       "q_wordcount" -> (qWordcount _),
+      "q_array_funcs" -> (qArrayFuncs _),
       "q_json" -> (qJson _),
       "q_profile" -> (qProfile _),
       "q_sample" -> (qSample _),
@@ -926,6 +941,16 @@ object SparkEntry {
             SELECT t AS token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest(${wsTokensSql("text")}) AS t FROM documents)
             GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20)""",
+    "q_array_funcs" ->
+      raw"""WITH d AS (SELECT doc_id, ${wsTokensSql("text")} AS toks FROM documents)
+          SELECT doc_id,
+            list_contains(toks, 'the') AS has_the,
+            CAST(len(list_filter(toks, t -> len(t) > 5)) AS INT) AS n_long,
+            CAST(list_reduce(list_prepend(0, list_transform(toks, t -> len(t))),
+                 (a, x) -> a + x) AS INT) AS total_len,
+            toks[1] AS first_tok,
+            list_max(toks) AS max_tok
+          FROM d""",
     "q_json" ->
       raw"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_sum,
