@@ -972,7 +972,9 @@ object SparkEntry {
     "dedup_minhash" ->
       // identical texts → identical signatures → collide in every band and
       // agree in all slots (est = 1.0); distinct texts cannot reach 1.0
-      // (requires all 48 independent min-hash slots equal)
+      // (requires all 48 independent min-hash slots equal).
+      // DuckDB strlen counts BYTES (length() is chars), matching the Spark
+      // side's octet_length(t) >= shingleK filter on non-ASCII corpora too.
       """WITH u AS (SELECT doc_id, text FROM documents WHERE strlen(text) >= 5
                     UNION ALL
                     SELECT doc_id + 1000000, text FROM documents WHERE strlen(text) >= 5)

@@ -47,13 +47,11 @@ object MinHash {
       xxhash64(lit(j), slice(sig, j * r + 1, r))
     }: _*)
 
-  /** Estimated Jaccard similarity from two signatures: fraction of
-    * agreeing slots. */
-  /** Band count whose LSH S-curve threshold `(1/b)^(r/1)`... precisely:
-    * `t ≈ (1/b)^(1/r)` with `r = numHashes/b` — sits closest to the target
-    * Jaccard `threshold`. The standard (b, r) selection: more bands → the
-    * curve's knee moves left (higher recall at lower similarity), fewer
-    * bands → right. Only divisors of `numHashes` are candidates. */
+  /** Band count whose LSH S-curve threshold — `t ≈ (1/b)^(1/r)` with
+    * `r = numHashes/b` — sits closest to the target Jaccard `threshold`.
+    * The standard (b, r) selection: more bands → the curve's knee moves
+    * left (higher recall at lower similarity), fewer bands → right. Only
+    * divisors of `numHashes` are candidates. */
   def suggestBands(numHashes: Int, threshold: Double): Int = {
     require(numHashes > 0 && threshold > 0 && threshold < 1)
     val candidates = (1 to numHashes).filter(numHashes % _ == 0)
@@ -63,6 +61,8 @@ object MinHash {
     }
   }
 
+  /** Estimated Jaccard similarity from two signatures: fraction of
+    * agreeing slots. */
   def estJaccard(sigA: Column, sigB: Column): Column =
     aggregate(
       zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),

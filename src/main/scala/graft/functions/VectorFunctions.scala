@@ -53,8 +53,7 @@ object VectorFunctions {
     * an 8-byte key instead of an O(n²) cross join. Fused native expression
     * (plane matrix shipped as a codegen constant). */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
-    toCol(graft.functions.expressions.HyperplaneBucket(
-      toExpr(v), planes.map(_.toArray).toArray))
+    toCol(graft.functions.expressions.HyperplaneBucket(toExpr(v), planes))
 
   /** Composed-Column LSH bucket — the spec baseline for the native kernel. */
   private[graft] def lshBucketComposed(v: Column, planes: Seq[Seq[Double]]): Column =

@@ -1,5 +1,6 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -78,6 +79,24 @@ object VectorKernels {
     case other => throw new IllegalArgumentException(
       s"expected array<float> or array<double>, got ${other.simpleString}")
   }
+
+  private[expressions] def isVectorType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** Analysis-time type check shared by the vector kernels: a wrong input
+    * type fails resolution with a clear message instead of surfacing as an
+    * IllegalArgumentException at codegen/eval time. */
+  private[expressions] def checkVectorInputs(
+      name: String, inputs: (String, DataType)*): TypeCheckResult = {
+    inputs.find { case (_, dt) => !isVectorType(dt) } match {
+      case Some((arg, dt)) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<float> or array<double> for $arg, " +
+          s"got ${dt.simpleString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
 }
 
 /** cosine(a, b) as one fused pass — see [[VectorKernels.cosine]]. */
@@ -87,6 +106,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.checkVectorInputs(prettyName,
+      "left" -> left.dataType, "right" -> right.dataType)
 
   private lazy val lFloat = VectorKernels.isFloatArray(left.dataType)
   private lazy val rFloat = VectorKernels.isFloatArray(right.dataType)
@@ -126,21 +149,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Hyperplane-sign LSH bucket as one fused pass over the vector — see
   * [[VectorKernels.lshBucket]]. The plane matrix is a driver-side constant
-  * shipped as a codegen reference object (it is per-query, a few KB). */
-case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+  * shipped as a codegen reference object (it is per-query, a few KB).
+  * Planes are held as `Seq[Seq[Double]]` so case-class equality is
+  * structural — `semanticEquals`/canonicalization/subexpression
+  * elimination recognize two buckets over the same planes as the same
+  * expression (a raw `Array` param compares by reference and defeats
+  * all three). */
+case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_lsh_bucket"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.checkVectorInputs(prettyName, "input" -> child.dataType)
+
   private lazy val vFloat = VectorKernels.isFloatArray(child.dataType)
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorKernels.lshBucket(input.asInstanceOf[ArrayData], planes, vFloat)
+    VectorKernels.lshBucket(input.asInstanceOf[ArrayData], planesArr, vFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("graftLshPlanes", planes, "double[][]")
+    val planesRef = ctx.addReferenceObj("graftLshPlanes", planesArr, "double[][]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.VectorKernels.lshBucket($c, $planesRef, $vFloat)")
   }

@@ -28,21 +28,40 @@ object Dedup {
   def exact(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val h = xxhash64(keys.map(col): _*)
     val kt = struct(keys.map(col): _*)
-    val w = Window.partitionBy(h).orderBy(keys.map(col) ++ order: _*)
+    val w = Window.partitionBy(h).orderBy(h +: (keys.map(col) ++ order): _*)
     df.withColumn("__kprev", lag(kt, 1).over(w))
       .filter(!(col("__kprev") <=> kt))
       .drop("__kprev")
   }
 
-  /** Exact-dup groups: for content dedup at scale, group on the 8-byte
-    * `xxhash64(content)` first so the shuffle moves hashes, not documents;
-    * survivors re-verify on content to make collisions impossible to
-    * mis-merge. Returns (content hash, ids, n). */
-  def exactGroups(df: DataFrame, id: Column, content: Column): DataFrame =
-    df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
+  /** Exact-dup groups: for content dedup at scale, the corpus-wide shuffle
+    * moves 8-byte `xxhash64(content)` keys only — documents never enter a
+    * corpus-wide exchange. Returns (content hash, ids, n).
+    *
+    * Shape: (1) group on the hash alone (the only full-corpus shuffle —
+    * fixed-width rows); (2) hash groups of size 1 are final groups as-is,
+    * no text touched; (3) rows in colliding hash groups (true duplicates
+    * plus the ~2^-64-rare false collisions) are re-read via a broadcast of
+    * their id list (8 bytes/row) and content-verified by an exact
+    * `(h, content)` grouping — so a hash collision can never mis-merge two
+    * distinct documents, and the only exchange that carries text is
+    * restricted to the colliding rows. The corpus is scanned more than once
+    * (scans are cheap, local, columnar); text is shuffled at most once and
+    * only for rows that actually collide. */
+  def exactGroups(df: DataFrame, id: Column, content: Column): DataFrame = {
+    val byHash = df.select(id.as("id"), xxhash64(content).as("h"))
+      .groupBy("h")
+      .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
+    val singles = byHash.filter(col("n") === 1).select("h", "ids", "n")
+    val collidingIds = byHash.filter(col("n") >= 2)
+      .select(explode(col("ids")).as("__cid"))
+    val verified = df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
+      .join(broadcast(collidingIds), col("id") === col("__cid"), "left_semi")
       .groupBy("h", "c")
-      .agg(sort_array(collect_list("id")).as("ids"), count("*").as("n"))
-      .drop("c")
+      .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
+      .select("h", "ids", "n")
+    singles.unionByName(verified)
+  }
 
   /** All unordered (i<j) pairs within a collected bucket, scored and
     * thresholded *inside* the array expression: the explode then emits only
@@ -174,16 +193,27 @@ object Dedup {
   /** Incremental exact dedup: drop rows of `batch` whose content already
     * exists in `corpus` — the daily-ingest primitive (dedupe the new crawl
     * against the existing 100 TB corpus without re-deduping the corpus).
-    * The anti join keys on `(xxhash64(content), content)`: the hash makes
-    * the join's partitioning/probing cheap while the content column in the
-    * key guarantees a hash collision can never drop a genuinely-new
-    * document. Corpus side reduces to distinct (hash, content) pairs
-    * map-side before shuffling. */
+    *
+    * No shuffle exchange in this plan ever carries document text — the
+    * property a daily run over a 100 TB corpus lives or dies by:
+    * (1) the batch's distinct content hashes (8 bytes/doc, batch-sized)
+    * broadcast against the corpus, so the corpus is *filtered in place* to
+    * the rows whose hash matches some batch row — candidate known content,
+    * a batch-scale set; (2) those candidate rows (hash + text) broadcast
+    * back against the batch for a `left_anti` join keyed on
+    * `(hash, content)`. The content column in the anti-join key guarantees
+    * a hash collision can never drop a genuinely-new document; equal text
+    * implies equal hash, so every corpus row that could match a batch row
+    * is in the candidate set — same no-false-drop, no-false-keep semantics
+    * as an unrestricted `(hash, content)` anti join. Corpus text moves only
+    * for hash-colliding rows, and only via broadcast. */
   def dropKnown(batch: DataFrame, corpus: DataFrame, textCol: String): DataFrame = {
-    val known = corpus
+    val candHashes = batch.select(xxhash64(col(textCol)).as("__bh")).distinct()
+    val knownColliding = corpus
+      .join(broadcast(candHashes), xxhash64(corpus(textCol)) === col("__bh"),
+        "left_semi")
       .select(xxhash64(col(textCol)).as("__h"), col(textCol).as("__t"))
-      .distinct()
-    batch.join(known,
+    batch.join(broadcast(knownColliding),
       xxhash64(batch(textCol)) === col("__h") && batch(textCol) === col("__t"),
       "left_anti")
   }
@@ -212,14 +242,30 @@ object Dedup {
     * component. Near-dup components are tiny (pairs/short chains), so the
     * loop converges in a few iterations; `maxIters` bounds pathological
     * chains. Each iteration is one self-contained shuffle round — no
-    * driver-side data, only a convergence check. */
-  def components(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    * driver-side data, only a convergence check.
+    *
+    * `reliableCheckpoint = false` (the default, right for tests and small
+    * jobs) truncates lineage with `localCheckpoint`: blocks live in
+    * executor storage, so on a large cluster losing ONE executor mid-loop
+    * loses blocks whose lineage was truncated — the job fails with no
+    * recovery path. For long runs on real clusters pass
+    * `reliableCheckpoint = true` (and set
+    * `spark.sparkContext.setCheckpointDir` to replicated storage — HDFS /
+    * object store): `Dataset.checkpoint` writes the iteration state there,
+    * so executor loss only recomputes tasks, never the job. */
+  def components(
+      pairs: DataFrame,
+      maxIters: Int = 10,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     // Materialize the edge list once: the iteration joins against it every
     // round and would otherwise re-execute the (expensive) upstream
     // pair-generation lineage per iteration.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+    val edges = materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
@@ -232,10 +278,10 @@ object Dedup {
       // carry the old label through the update so the convergence probe is
       // a filter on the checkpointed frame, not another join; checkpoint
       // BEFORE the probe so it reads materialized data
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val updated = materialize(
+        labels.join(neighborMin, labels("id") === col("id2"), "left")
+          .select(col("id"), col("label").as("__old"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       val changed =
         updated.filter(col("label") =!= col("__old")).limit(1).count()
       labels = updated.drop("__old")
@@ -262,14 +308,15 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      verifyExact: Boolean = false
+      verifyExact: Boolean = false,
+      reliableCheckpoint: Boolean = false
   ): DataFrame = {
     val candidates = minhashPairs(docs, idCol, textCol, shingleK, numHashes,
       bands, threshold)
     val pairs =
       if (verifyExact) verifyPairsExact(candidates, docs, idCol, textCol)
       else candidates
-    val losers = components(pairs)
+    val losers = components(pairs, reliableCheckpoint = reliableCheckpoint)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("__loser"))
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")

@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   * (PNG/JPEG/BMP/GIF — ships with the JDK, no external dependency):
   * [[decodeImage]] → dimensions + per-channel means, [[resizeImage]] →
   * re-encoded PNG at target dimensions, both lifted to Datasets through the
-  * same batched `mapPartitions` shape. Audio/video kernels remain STUBS
-  * (no codecs in the JDK): `decodeStub`/`sampleFramesStub` derive
-  * deterministic pseudo-features so the full pipeline stays exercised
-  * end-to-end; a real codec slots into the same `Iterator` shape a JNI or
-  * process-per-partition decoder would use (the Scala analog of
-  * `mapInPandas` batch processing).
+  * same batched `mapPartitions` shape. Audio metadata is a REAL kernel
+  * too: [[decodeWav]] parses the RIFF/WAVE header (pure JDK byte walk —
+  * PCM metadata needs no codec) into sample rate / channels / bit depth /
+  * frame count / duration, with the same quarantine shape. Video kernels
+  * remain STUBS (no video codec exists in the JDK):
+  * `decodeStub`/`sampleFramesStub` derive deterministic pseudo-features so
+  * the full pipeline stays exercised end-to-end; a real codec slots into
+  * the same `Iterator` shape a JNI or process-per-partition decoder would
+  * use (the Scala analog of `mapInPandas` batch processing).
   */
 object Multimodal {
 
@@ -32,12 +35,14 @@ object Multimodal {
       width: Int,
       height: Int)
 
-  /** Extracted features: fixed-dim vector + decoded dimensions. */
+  /** Extracted features: fixed-dim vector + decoded dimensions. Double
+    * slots so integer-valued features (the stub's byte sums) stay exact up
+    * to 2^53 — no payload-size bound on the checksum contract. */
   final case class MediaFeatures(
       media_id: Long,
       mime: String,
       n_bytes: Long,
-      features: Array[Float])
+      features: Array[Double])
 
   /** Decoded image metadata + per-channel statistics. `ok = false` rows
     * carry the undecodable payloads (corrupt bytes, unsupported codec) —
@@ -124,19 +129,87 @@ object Multimodal {
     }))
   }
 
-  /** STUB (non-image modalities): deterministic byte-statistics features so
-    * the full pipeline (schema → partition batches → feature table) stays
-    * exercised end-to-end for payloads the JDK cannot decode. */
-  private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    // raw byte values, not normalized: per-slot sums stay exact integers
-    // (< 2^24) in Float, so downstream integer checksums are exact
-    val out = new Array[Float](dim)
+  /** Decoded audio metadata. `ok = false` rows carry non-WAV/corrupt
+    * payloads (quarantine shape, like [[ImageMeta]]). */
+  final case class AudioMeta(
+      media_id: Long,
+      mime: String,
+      n_bytes: Long,
+      ok: Boolean,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_frames: Long,
+      duration_sec: Double)
+
+  /** REAL audio metadata kernel: RIFF/WAVE header parse (pure JDK — PCM
+    * container metadata needs no codec). Walks the chunk list, reads the
+    * `fmt ` chunk (channels, sample rate, block align, bit depth) and the
+    * `data` chunk size (frame count = data bytes / block align). Returns
+    * (sampleRate, channels, bitsPerSample, nFrames), or None for
+    * non-RIFF/truncated/malformed payloads. */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u16(off: Int): Int =
+      (payload(off) & 0xFF) | ((payload(off + 1) & 0xFF) << 8)
+    def u32(off: Int): Long =
+      (payload(off) & 0xFFL) | ((payload(off + 1) & 0xFFL) << 8) |
+        ((payload(off + 2) & 0xFFL) << 16) | ((payload(off + 3) & 0xFFL) << 24)
+    def tag(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
+      var dataBytes: Option[Long] = None
+      while (off + 8 <= payload.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+        val id = tag(off)
+        // clamp a corrupt/oversized chunk length to the remaining bytes:
+        // never overflows Int, never walks backwards, and a truncated data
+        // chunk reports the frames actually present
+        val size = math.min(u32(off + 4), (payload.length - off - 8).toLong).toInt
+        if (id == "fmt " && size >= 16)
+          fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 20), u16(off + 22)))
+        else if (id == "data")
+          dataBytes = Some(size.toLong)
+        // chunks are word-aligned: odd sizes carry a pad byte
+        off += 8 + size + (size & 1)
+      }
+      for ((ch, rate, blockAlign, bits) <- fmt; data <- dataBytes
+           if ch > 0 && rate > 0 && blockAlign > 0)
+        yield (rate, ch, bits, data / blockAlign)
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched audio metadata extraction — the audio twin of
+    * [[decodeImages]]; undecodable rows come back `ok = false`. */
+  def decodeAudio(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      decodeWav(r.payload) match {
+        case Some((rate, ch, bits, frames)) =>
+          AudioMeta(r.media_id, r.mime, r.payload.length.toLong, ok = true,
+            rate, ch, bits, frames, frames.toDouble / rate)
+        case None =>
+          AudioMeta(r.media_id, r.mime, r.payload.length.toLong, ok = false,
+            0, 0, 0, 0L, 0.0)
+      }
+    }))
+  }
+
+  /** STUB (non-image/audio modalities): deterministic byte-statistics
+    * features so the full pipeline (schema → partition batches → feature
+    * table) stays exercised end-to-end for payloads the JDK cannot decode. */
+  private def decodeStub(payload: Array[Byte], dim: Int): Array[Double] = {
+    // accumulate in Long (exact for any realistic payload), emit Double
+    // (exact integers < 2^53): downstream integer checksums are exact with
+    // no payload-size bound
+    val sums = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xFF)
+      sums(i % dim) += (payload(i) & 0xFF)
       i += 1
     }
-    out
+    sums.map(_.toDouble)
   }
 
   /** Per-partition batched feature extraction. Batches bound peak memory

@@ -154,14 +154,24 @@ object Jdbc {
     } finally conn.close()
   }
 
+  /** SQL single-quoted string literal with embedded quotes doubled. */
+  private[graft] def sqlLiteral(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
+  /** SQL double-quoted identifier with embedded quotes doubled. */
+  private[graft] def sqlIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
   /** The PostgreSQL comment lookup the reference issues (pg_description
-    * via obj_description; comments.py:21) for use as `commentSql`. */
+    * via obj_description; comments.py:21) for use as `commentSql`.
+    * Schema/table are embedded as escaped literals — a name containing
+    * quotes cannot break out of the statement. */
   def postgresCommentSql(schema: String, table: String): String =
     s"""SELECT d.description
         FROM pg_catalog.pg_class c
         JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
         JOIN pg_catalog.pg_description d ON d.objoid = c.oid AND d.objsubid = 0
-        WHERE n.nspname = '$schema' AND c.relname = '$table'"""
+        WHERE n.nspname = ${sqlLiteral(schema)} AND c.relname = ${sqlLiteral(table)}"""
 
   /** Write a table comment into the database (reference set_table_comment,
     * comments.py:35; the reverse-mirror path stamps the comment on the
@@ -186,13 +196,14 @@ object Jdbc {
   }
 
   /** PostgreSQL `COMMENT ON TABLE` DDL (NULL clears, as the reference's
-    * set_table_comment does; single quotes escaped). */
+    * set_table_comment does; identifiers and the comment literal are both
+    * quote-escaped). */
   def postgresSetCommentSql(schema: String, table: String, comment: Option[String]): String = {
     val value = comment match {
-      case Some(c) => s"'${c.replace("'", "''")}'"
+      case Some(c) => sqlLiteral(c)
       case None    => "NULL"
     }
-    s"""COMMENT ON TABLE "$schema"."$table" IS $value"""
+    s"COMMENT ON TABLE ${sqlIdent(schema)}.${sqlIdent(table)} IS $value"
   }
 
   /** Full column metadata incl. numeric precision/scale (reference

@@ -97,4 +97,45 @@ class PipelinePlanAuditSpec extends SparkSpec {
     val p = physical("scrub_pii")
     assert(!p.contains("Exchange"), s"a pure projection must not shuffle:\n$p")
   }
+
+  // ---- text-free shuffle audits (the 100 TB property: document text must
+  // never ride a corpus-wide exchange) -------------------------------------
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+  import org.apache.spark.sql.types.StringType
+
+  private def shuffleExchanges(name: String): Seq[ShuffleExchangeExec] = {
+    val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+    val root: SparkPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    root.collect { case e: ShuffleExchangeExec => e }
+  }
+
+  test("dedup_incremental: NO shuffle exchange carries document text") {
+    val exs = shuffleExchanges("dedup_incremental")
+    assert(exs.nonEmpty, "expected at least the candidate-hash distinct shuffle")
+    exs.foreach { e =>
+      assert(!e.output.exists(_.dataType == StringType),
+        s"a shuffle carries a string column — the daily-ingest primitive " +
+          s"must move hashes only: ${e.output.map(a => s"${a.name}:${a.dataType}")}")
+    }
+  }
+
+  test("dedup_groups: corpus-wide shuffle is hash-only; text shuffles only " +
+    "above the colliding-id broadcast restriction") {
+    val exs = shuffleExchanges("dedup_groups")
+    val (textful, textless) = exs.partition(_.output.exists(_.dataType == StringType))
+    assert(textless.nonEmpty,
+      "expected the corpus-wide hash-grouping exchange (no text columns)")
+    textful.foreach { e =>
+      assert(e.collectFirst { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"text-bearing exchange must sit above the colliding-id broadcast " +
+          s"semi join (so it carries colliding rows only):\n$e")
+    }
+  }
 }

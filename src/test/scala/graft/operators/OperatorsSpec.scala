@@ -46,6 +46,17 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L, 23L).forall(labels(_) == 20L))
   }
 
+  test("components: reliable checkpointing produces identical labels") {
+    // local checkpoint blocks die with their executor; the reliable path
+    // survives executor loss on a real cluster — results must be identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.components(pairs, reliableCheckpoint = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("dropNearDuplicates removes planted mutants, keeps originals") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").limit(60)
@@ -262,6 +273,59 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out(1L).channel_mean(1) - 7.5) < 1e-9)
     assert(out(2L).ok && out(2L).width == 8 && out(2L).height == 8)
     assert(!out(3L).ok) // undecodable payload quarantined, not dropped
+  }
+
+  /** Real WAV bytes via the JDK's own RIFF writer (javax.sound.sampled). */
+  private def testWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    java.util.Arrays.fill(pcm, 0x11.toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("decodeAudio: real RIFF/WAVE header parse recovers format and duration") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, testWav(8000, 1, 4000), "audio/wav", 0, 0),
+      Multimodal.MediaRow(2L, testWav(44100, 2, 22050), "audio/wav", 0, 0),
+      Multimodal.MediaRow(3L, "not audio at all".getBytes("UTF-8"), "text/plain", 0, 0)
+    ).toDS().repartition(2)
+    val out = Multimodal.decodeAudio(media).collect().map(m => m.media_id -> m).toMap
+
+    assert(out(1L).ok && out(1L).sample_rate == 8000 && out(1L).channels == 1 &&
+      out(1L).bits_per_sample == 16 && out(1L).n_frames == 4000)
+    assert(math.abs(out(1L).duration_sec - 0.5) < 1e-9)
+    assert(out(2L).ok && out(2L).sample_rate == 44100 && out(2L).channels == 2 &&
+      out(2L).n_frames == 22050)
+    assert(math.abs(out(2L).duration_sec - 0.5) < 1e-9)
+    assert(!out(3L).ok) // non-WAV payload quarantined, not dropped
+  }
+
+  test("decodeWav survives corrupt chunk sizes and truncated data") {
+    val good = testWav(8000, 1, 1000)
+    // truncate mid-data: frame count reflects the bytes actually present
+    val truncated = good.take(good.length - 500)
+    val Some((rate, ch, _, frames)) = Multimodal.decodeWav(truncated)
+    assert(rate == 8000 && ch == 1 && frames == 1000 - 250)
+    // corrupt the data chunk length field to 0xFFFFFFFF: must not loop/throw
+    val corrupt = good.clone()
+    val dataOff = {
+      // find the 'data' tag
+      (12 until corrupt.length - 4).find(i =>
+        corrupt(i) == 'd' && corrupt(i + 1) == 'a' &&
+          corrupt(i + 2) == 't' && corrupt(i + 3) == 'a').get
+    }
+    corrupt(dataOff + 4) = 0xFF.toByte; corrupt(dataOff + 5) = 0xFF.toByte
+    corrupt(dataOff + 6) = 0xFF.toByte; corrupt(dataOff + 7) = 0xFF.toByte
+    assert(Multimodal.decodeWav(corrupt).exists(_._4 <= 1000))
+    // garbage prefix → clean None
+    assert(Multimodal.decodeWav(Array.fill[Byte](100)(7)).isEmpty)
   }
 
   test("resizeImages: real resize re-encodes at target dimensions") {
