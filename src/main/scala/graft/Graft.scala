@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 import graft.plans.TablePlan
-import graft.sources.{Jdbc, PqRepo}
+import graft.sources.{Jdbc, PgCopy, PqRepo}
 import graft.sync.Modified
 
 /** Top-level façade: the reference's workflow entry points re-expressed
@@ -97,8 +97,18 @@ object Graft {
   }
 
   /** Mirror a table between databases (db_to_pg / wrds_pg_to_pg,
-    * core.py:269/663): planned partitioned read from the source, JDBC
-    * write to the destination. */
+    * core.py:269/663).
+    *
+    * PG→PG (both URLs `jdbc:postgresql:`, no colTypes overrides) takes the
+    * reference's binary-COPY fast path (postgres/copy.py:18-24): the
+    * planned SELECT streams `COPY ... TO STDOUT (FORMAT BINARY)` straight
+    * into `COPY ... FROM STDIN (FORMAT BINARY)` on the destination —
+    * no Spark row materialization, no type re-encoding, an order of
+    * magnitude faster on wide tables. The destination table is created
+    * from the plan's output schema first (the reference's schema-only
+    * CTAS, duckdb_ddl.py:3). Every other dialect pairing — or
+    * `binaryCopy = false` — falls back to the planned partitioned JDBC
+    * read + typed JDBC write. */
   def dbToDb(
       spark: SparkSession,
       srcUrl: String,
@@ -109,11 +119,27 @@ object Graft {
       plan: TablePlan = TablePlan(),
       dstSchema: Option[String] = None,
       dstTable: Option[String] = None,
-      colTypes: Map[String, String] = Map.empty
-  ): Unit =
-    Jdbc.writeTable(
-      Jdbc.readTable(spark, srcUrl, plan, schema, table, sourceSchema),
-      dstUrl, dstSchema.getOrElse(schema), dstTable.getOrElse(table), colTypes)
+      colTypes: Map[String, String] = Map.empty,
+      binaryCopy: Boolean = true
+  ): Unit = {
+    val ds = dstSchema.getOrElse(schema)
+    val dt = dstTable.getOrElse(table)
+    if (binaryCopy && colTypes.isEmpty &&
+        PgCopy.isPostgres(srcUrl) && PgCopy.isPostgres(dstUrl)) {
+      // plan output schema (names + types) without touching the source:
+      // apply the plan to an empty frame carrying the source schema
+      val out = plan(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        sourceSchema)).schema
+      PgCopy.copyTable(srcUrl, dstUrl,
+        plan.toSelectSql(schema, table, sourceSchema), ds, dt,
+        out.fields.map(_.name).toIndexedSeq,
+        ddl = Seq(PgCopy.dropTableSql(ds, dt), PgCopy.createTableSql(ds, dt, out)))
+    } else
+      Jdbc.writeTable(
+        Jdbc.readTable(spark, srcUrl, plan, schema, table, sourceSchema),
+        dstUrl, ds, dt, colTypes)
+  }
 
   /** Export every table of a database schema to the repo
     * (db_schema_to_pq, core.py:765) — discovery via JDBC catalog metadata,
@@ -153,7 +179,15 @@ object Graft {
     * comment after the load (reference update.py:220) so a future
     * [[pqUpdateDb]]/[[dbUpdatePqFromDb]] gate compares against it;
     * `commentWriteSql` overrides the PostgreSQL `COMMENT ON` DDL for
-    * engines without it. */
+    * engines without it.
+    *
+    * Against PostgreSQL (`copyIngest = true`, the default) the load takes
+    * the COPY csv fast path: destination DDL from the repo schema, then
+    * every partition streams `COPY ... FROM STDIN (FORMAT csv)` over its
+    * own connection — the parallel, no-typed-INSERT ingest shape.
+    * Timestamps serialize through JDBC `toString`; keep the JVM and the
+    * PG server on UTC (graft sessions default to UTC) for lossless
+    * round-trips. Other dialects use the JDBC writer. */
   def pqToDb(
       repo: PqRepo,
       url: String,
@@ -164,10 +198,30 @@ object Graft {
       colTypes: Map[String, String] = Map.empty,
       mode: SaveMode = SaveMode.Overwrite,
       stampComment: Boolean = false,
-      commentWriteSql: Option[String] => Option[String] = _ => None
+      commentWriteSql: Option[String] => Option[String] = _ => None,
+      copyIngest: Boolean = true
   ): Unit = {
-    Jdbc.writeTable(repo.table(schema, table), url,
-      dstSchema.getOrElse(schema), dstTable.getOrElse(table), colTypes, mode)
+    val ds = dstSchema.getOrElse(schema)
+    val dt = dstTable.getOrElse(table)
+    val df = repo.table(schema, table)
+    if (copyIngest && PgCopy.isPostgres(url)) {
+      val pgTypes = colTypes.map { case (c, t) =>
+        c -> graft.plans.Types.toPostgres(t)
+      }
+      val ddl =
+        if (mode == SaveMode.Overwrite)
+          Seq(PgCopy.dropTableSql(ds, dt),
+            PgCopy.createTableSql(ds, dt, df.schema, pgTypes))
+        else
+          Seq(PgCopy.createTableSql(ds, dt, df.schema, pgTypes, ifNotExists = true))
+      val conn = java.sql.DriverManager.getConnection(url)
+      try ddl.foreach { s =>
+        val st = conn.createStatement()
+        try st.execute(s) finally st.close()
+      } finally conn.close()
+      PgCopy.copyFromDataFrame(df, url, ds, dt)
+    } else
+      Jdbc.writeTable(df, url, ds, dt, colTypes, mode)
     if (stampComment) {
       val comment = repo.lastModified(schema, table)
       Jdbc.setTableComment(url, dstSchema.getOrElse(schema),

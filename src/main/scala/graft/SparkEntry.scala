@@ -330,6 +330,40 @@ object SparkEntry {
     Sessionize.sessionStats(t(s, dir, "events"),
       keyCol = "user_id", tsCol = "ts", valueCol = "value", gapSeconds = 1800)
 
+  /** Static twin of the stream-stream interval join (SURVEY 28e):
+    * `StreamJoin.within` is the SAME plan streaming runs — on static
+    * frames the watermark-bounded state join degrades to this range join,
+    * and StreamJoinSpec proves the MemoryStream execution emits exactly
+    * these rows. Purchases attributed to a same-user click within the
+    * following hour. */
+  private def streamJoinStatic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("pts"))
+    streaming.StreamJoin.within(clicks, purchases, "cu", "pu", "cts", "pts",
+      maxDelaySeconds = 3600)
+      .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"),
+        (epochSec(col("pts")) - epochSec(col("cts"))).as("delta_sec"))
+  }
+
+  /** Batch twin of streaming dedup (SURVEY 28g): the same
+    * `StreamDedup.hashKey` content-hash key (8-byte state entries at
+    * scale) deduplicated over the full frame — what
+    * `dropDuplicatesWithinWatermark` converges to when every duplicate
+    * arrives within the horizon (StreamDedupSpec proves the multi-batch
+    * streaming run). Output is the distinct key set, so the pick-any-row
+    * nondeterminism of dropDuplicates cannot leak into the oracle. */
+  private def streamDedupBatch(s: SparkSession, dir: String): DataFrame =
+    streaming.StreamDedup.hashKey(
+      t(s, dir, "events").select("user_id", "event_type"),
+      Seq("user_id", "event_type"))
+      .dropDuplicates("__dedup_key")
+      .select("user_id", "event_type")
+
   private def streamEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("ts").cast("timestamp").as("tst"), col("event_type"),
@@ -645,6 +679,8 @@ object SparkEntry {
       "q_salted_join" -> (qSaltedJoin _),
       "q_stateful_sessionize" -> (qStatefulSessionize _),
       "stream_events" -> (streamEvents _),
+      "stream_join" -> (streamJoinStatic _),
+      "stream_dedup" -> (streamDedupBatch _),
       "q_wordcount" -> (qWordcount _),
       "q_array_funcs" -> (qArrayFuncs _),
       "q_json" -> (qJson _),
@@ -911,6 +947,16 @@ object SparkEntry {
           event_type, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(${centsSql("value")}) AS BIGINT) AS value_sum_c
           FROM events GROUP BY 1, 2""",
+    "stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS delta_sec
+         FROM events c JOIN events p
+           ON c.event_type = 'click' AND p.event_type = 'purchase'
+           AND c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECOND""",
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "chunk_documents" ->
       raw"""WITH d AS (SELECT doc_id, ${wsTokensSql("text")} AS toks FROM documents),
           n AS (SELECT doc_id, toks, len(toks) AS nt,
