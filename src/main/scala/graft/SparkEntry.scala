@@ -373,16 +373,14 @@ object SparkEntry {
       .select(unix_timestamp(col("w.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("value_sum_c"))
 
-  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    // Co-located join: both fact tables bucketed+sorted on the join key →
-    // the merge join needs no Exchange on either side (only the final
-    // aggregation shuffles). The bucketed layout is what a 100 TB
-    // deployment writes ONCE and joins many times — so the layout is
-    // memoized per session+dir and repeat executions measure the join,
-    // not the setup.
+  /** One-time bucketed-layout write for [[qBucketedJoin]], memoized per
+    * (session, dir). A 100 TB deployment writes this layout ONCE and joins
+    * many times, so the join metric excludes it — but the cost must not
+    * vanish: Bench times this call separately and reports it as a `setup`
+    * entry in its JSON line. */
+  private[graft] def ensureBucketedLayout(s: SparkSession, dir: String): Unit = {
     val tag = s"b${math.abs(dir.hashCode)}"
-    val (l, o) = (s"tpch_${tag}_lineitem_b", s"tpch_${tag}_orders_b")
-    if (!s.catalog.tableExists(l)) {
+    if (!s.catalog.tableExists(s"tpch_${tag}_lineitem_b")) {
       val repo = PqRepo(s, Files.createTempDirectory("graft_bucketed").toString)
       repo.writeBucketed(
         t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
@@ -391,6 +389,15 @@ object SparkEntry {
         t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
         s"tpch_$tag", "orders_b", Seq("o_orderkey"), 8)
     }
+  }
+
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // Co-located join: both fact tables bucketed+sorted on the join key →
+    // the merge join needs no Exchange on either side (only the final
+    // aggregation shuffles).
+    ensureBucketedLayout(s, dir)
+    val tag = s"b${math.abs(dir.hashCode)}"
+    val (l, o) = (s"tpch_${tag}_lineitem_b", s"tpch_${tag}_orders_b")
     s.table(l).hint("merge")
       .join(s.table(o), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")

@@ -63,6 +63,17 @@ object Dedup {
     singles.unionByName(verified)
   }
 
+  /** Fan a frame out to the session's shuffle parallelism ONLY when the
+    * scan provides fewer partitions (the single-file test-input case, where
+    * AQE would otherwise coalesce the CPU-heavy kernel onto one core). At
+    * real scale the input has thousands of splits, the branch is not taken,
+    * and the kernel runs inside the scan stage — document text never rides
+    * this (or any) exchange. */
+  private def fanOut(df: DataFrame, key: Column): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts, key)
+  }
+
   /** All unordered (i<j) pairs within a collected bucket, scored and
     * thresholded *inside* the array expression: the explode then emits only
     * surviving (id_a, id_b, score) structs — candidate pairs never
@@ -106,14 +117,13 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
 
-    // Documents often arrive in few fat input splits (one parquet file →
-    // one partition); fan out with an explicit partition count (AQE would
-    // coalesce a small shuffle back to one partition) so the CPU-heavy
-    // signature stage uses the whole cluster. Signatures come from the
-    // fused native expression (byte-window shingling, zero per-shingle
-    // allocation) — the composed Column pipeline in
+    // Test inputs arrive in few fat splits (one parquet file → one
+    // partition); fanOut spreads the CPU-heavy signature stage across the
+    // session's parallelism in that case only — at real scale the scan
+    // already has thousands of splits and no exchange is added. Signatures
+    // come from the fused native expression (byte-window shingling, zero
+    // per-shingle allocation) — the composed Column pipeline in
     // graft.functions.MinHash stays available as the pure-API variant.
     //
     // The signature is null exactly when the input is null or shorter than
@@ -123,10 +133,10 @@ object Dedup {
     // deterministic sig-based predicate through the repartition into the
     // scan, computing the most expensive kernel in the repo twice per row,
     // once before the fan-out.
-    val sigs = docs
+    val sigs = fanOut(docs
       .select(col(idCol).as("id"), col(textCol).as("t"))
-      .filter(col("t").isNotNull && octet_length(col("t")) >= shingleK)
-      .repartition(parts, col("id"))
+      .filter(col("t").isNotNull && octet_length(col("t")) >= shingleK),
+      col("id"))
       .select(col("id"),
         org.apache.spark.sql.graft.ColumnBridge.column(
           graft.functions.expressions.MinHashSignature(
@@ -150,9 +160,25 @@ object Dedup {
       .agg(max("est_jaccard").as("est_jaccard"))
   }
 
-  /** SimHash near-duplicate pairs: sketch → 16-bit band buckets →
-    * in-bucket pair expansion → Hamming-distance filter. Same one-shuffle
-    * bucket-collect shape as [[minhashPairs]]. */
+  /** All unordered (i<j) pairs of a sorted id array as (id_a, id_b). */
+  private def idPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
+  /** SimHash near-duplicate pairs: sketch → collapse to DISTINCT sketches →
+    * equal-sketch pairs directly (hamming 0) + 16-bit band buckets over
+    * distinct sketches for the 1..maxHamming candidates.
+    *
+    * Collapsing before banding is what survives a duplicate-heavy corpus —
+    * the corpus dedup exists for: a million copies of one boilerplate doc
+    * occupy ONE bucket entry (their ids ride along as a list), where
+    * per-row bucketing would blow every one of their 16-bit band buckets
+    * past any cap and silently drop the very duplicates being hunted
+    * (caught by the 20× robustness run). `maxBucket` then guards
+    * distinct-sketch crowding only — genuine 16-bit-key saturation at
+    * extreme corpus sizes, orders of magnitude rarer than duplicate mass.
+    * Corpus-wide shuffles carry the 8-byte sketch, never text. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
@@ -160,34 +186,57 @@ object Dedup {
       maxHamming: Int = 6,
       maxBucket: Int = 500
   ): DataFrame = {
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     // Sketch with the native one-pass expression (provably equal to the
     // composed SimHash.simhash(wsTokens(..)) — see SimHash64Spec).
-    val sketched = docs
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .repartition(parts, col("id"))
+    val sketched = fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")),
+      col("id"))
       .select(col("id"),
         org.apache.spark.sql.graft.ColumnBridge.column(
           graft.functions.expressions.SimHash64(
             org.apache.spark.sql.graft.ColumnBridge.expression(col("t")))).as("sh"))
 
-    val banded = sketched.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("band"), SimHash.bandKey(col("sh"), j).as("key"))): _*))
-        .as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
+    val bySketch = sketched.groupBy("sh")
+      .agg(sort_array(collect_list("id")).as("ids"))
 
-    banded
-      .groupBy("band", "key")
-      .agg(collect_list(struct(col("id"), col("sh"))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
-      .select(explode(scoredBucketPairs(col("xs"),
-        (x, y) => SimHash.hamming(x.getField("sh"), y.getField("sh")).cast("int"),
-        _ <= maxHamming)).as("p"))
+    // hamming 0 ≡ identical sketch: every intra-group (i<j) pair, found
+    // unconditionally — no bucket cap can lose an exact-duplicate pair
+    val zeroPairs = bySketch
+      .filter(size(col("ids")) >= 2)
+      .select(explode(idPairs(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.score").as("hamming"))
-      .groupBy("id_a", "id_b")
-      .agg(min("hamming").as("hamming"))
+        lit(0).cast("int").as("hamming"))
+
+    if (maxHamming <= 0) zeroPairs
+    else {
+      val banded = bySketch.select(col("sh"), col("ids"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"), SimHash.bandKey(col("sh"), j).as("key"))): _*))
+          .as("bk"))
+        .select(col("sh"), col("ids"), col("bk.band"), col("bk.key"))
+
+      // distinct-sketch pairs sharing a band, hamming-filtered inside the
+      // array expression, then expanded to member-id pairs
+      val crossPairs = banded
+        .groupBy("band", "key")
+        .agg(collect_list(struct(col("sh"), col("ids"))).as("xs"))
+        .filter(size(col("xs")).between(2, maxBucket))
+        .select(explode(flatten(transform(col("xs"), (x, i) =>
+          filter(
+            transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+              struct(x.getField("ids").as("ids_a"), y.getField("ids").as("ids_b"),
+                SimHash.hamming(x.getField("sh"), y.getField("sh"))
+                  .cast("int").as("h"))),
+            s => s.getField("h") <= maxHamming)))).as("sp"))
+        .select(explode(col("sp.ids_a")).as("ia"), col("sp.ids_b"), col("sp.h"))
+        .select(col("ia"), explode(col("ids_b")).as("ib"), col("h"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"),
+          col("h").as("hamming"))
+
+      zeroPairs.unionByName(crossPairs)
+        .groupBy("id_a", "id_b")
+        .agg(min("hamming").as("hamming"))
+    }
   }
 
   /** Incremental exact dedup: drop rows of `batch` whose content already

@@ -18,7 +18,11 @@ import graft.functions.TextFunctions
   *
   * Scale shape: tf is a map-side-combined groupBy on (doc, term); df is a
   * groupBy on term whose result is vocabulary-sized (≪ corpus) and
-  * broadcasts into the scoring join.
+  * broadcasts into the scoring join. A web-scale corpus's vocabulary
+  * (billions of rare tokens) outgrows a broadcast — `broadcastDf = false`
+  * switches the scoring join to a shuffled hash join building from the df
+  * side: the tf side shuffles (id, term, tf) rows, the vocabulary is
+  * partitioned instead of replicated to every executor.
   */
 object TfIdf {
 
@@ -29,7 +33,8 @@ object TfIdf {
       idCol: String,
       textCol: String,
       k: Int = 3,
-      scale: Long = 1000000L
+      scale: Long = 1000000L,
+      broadcastDf: Boolean = true
   ): DataFrame = {
     val terms = docs.select(col(idCol).as("id"),
       explode(TextFunctions.wsTokens(lower(col(textCol)))).as("term"))
@@ -38,8 +43,12 @@ object TfIdf {
     val df = terms.select("id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
 
+    val joined =
+      if (broadcastDf) tf.join(broadcast(df), "term")
+      else tf.join(df.hint("shuffle_hash"), "term")
+
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(df), "term")
+    joined
       .withColumn("score", col("tf") * expr(s"$scale div df"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)

@@ -36,6 +36,49 @@ class DedupSpec extends SparkSpec {
     assert(found.size >= 95, s"recall ${found.size}/100")
   }
 
+  test("simhashPairs survives duplicate crowding past maxBucket " +
+    "(20x-scale regression: per-row 16-bit buckets dropped dup pairs)") {
+    val docs = ((0 until 30).map(i => (i.toLong, "same exact duplicated content here")) ++
+      Seq((100L, "completely different text payload indeed")))
+      .toDF("doc_id", "text")
+    // maxBucket far below the duplicate count: collapsing to distinct
+    // sketches must still find every identical pair
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 0, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 30 * 29 / 2)
+    assert(pairs.forall { case (a, b) => a < b && b < 100L })
+  }
+
+  test("simhashPairs ≡ brute-force band-share + hamming filter") {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(80)
+    val mutated = base.select((col("doc_id") + 2000).as("doc_id"),
+      concat(col("text").substr(lit(1), length(col("text")) - 12),
+        lit(" tail")).as("text"))
+    val copies = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 4000).as("doc_id"), col("text"))
+    val docs = base.unionByName(mutated).unionByName(copies)
+
+    val sk = docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.SimHash64(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def shareBand(a: Long, b: Long) = (0 until 4).exists(j =>
+      ((a >>> (j * 16)) & 0xFFFFL) == ((b >>> (j * 16)) & 0xFFFFL))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val expected = (for {
+      (ia, sa) <- sk; (ib, sb) <- sk
+      if ia < ib && shareBand(sa, sb) && ham(sa, sb) <= 6
+    } yield (ia, ib) -> ham(sa, sb)).toMap
+
+    val actual = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(expected.nonEmpty) // the planted identical copies guarantee pairs
+    assert(actual == expected)
+  }
+
   test("components: label propagation finds min-id per component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
       (22L, 23L)).toDF("id_a", "id_b")

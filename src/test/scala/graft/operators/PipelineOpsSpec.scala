@@ -81,6 +81,31 @@ class ContaminationSpec extends SparkSpec {
       "doc_id", "text").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("shuffle-join fallback: same answers as broadcast, no broadcast join") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (corpus, bench) = (d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val broadcastMode = canon(Contamination.ngramOverlap(
+      corpus, bench, "doc_id", "text", n = 5, hashed = true))
+    val shuffleHashed = Contamination.ngramOverlap(
+      corpus, bench, "doc_id", "text", n = 5, hashed = true,
+      broadcastGrams = false)
+    val shuffleStrings = Contamination.ngramOverlap(
+      corpus, bench, "doc_id", "text", n = 5, hashed = false,
+      broadcastGrams = false)
+
+    // hash ≡ string in join mode, and join mode ≡ broadcast mode
+    assert(canon(shuffleHashed) == broadcastMode)
+    assert(canon(shuffleStrings) == broadcastMode)
+    // the join is genuinely shuffled — the multi-GB gram set of a full
+    // decontamination run must not replicate to every executor
+    val plan = shuffleHashed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
 }
 
 class TfIdfSpec extends SparkSpec {
@@ -106,6 +131,23 @@ class TfIdfSpec extends SparkSpec {
     // aa and zz tie on tf=2, df=1 -> term asc breaks the tie
     assert(out(0).getAs[String]("term") == "aa" && out(0).getAs[Long]("rank") == 1L)
     assert(out(1).getAs[String]("term") == "zz")
+  }
+
+  test("vocabulary shuffle-join fallback matches broadcast mode exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"),
+        r.getAs[String]("term"), r.getAs[Long]("score"))).toSet
+
+    val viaBroadcast = TfIdf.topTerms(docs, "doc_id", "text", k = 3)
+    val viaShuffle = TfIdf.topTerms(docs, "doc_id", "text", k = 3,
+      broadcastDf = false)
+    assert(canon(viaShuffle) == canon(viaBroadcast))
+    // a web-scale vocabulary must not replicate to every executor
+    val plan = viaShuffle.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
   }
 }
 

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Build a scaled-up robustness corpus from an existing sf directory.
+
+Replicates documents/embeddings `factor`x with oracle-safe transforms:
+  - documents: replica k > 0 gets text || ' repK' (distinct from every
+    original, so text-equality-join oracles keep describing the dup
+    structure exactly: each replica carries its own organic duplicates,
+    planted +1000000 copies are still the only cross-id equal texts)
+  - embeddings: replica k > 0 circularly shifts the vector by k dims
+    (distinct vectors, cosine far from 1, so identical-vector planting
+    oracles are untouched)
+All other tables are copied unscaled (the hash-family queries under test
+read documents/embeddings only).
+
+Usage: scale_up.py SRC_SF_DIR DST_DIR FACTOR
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+os.makedirs(dst, exist_ok=True)
+
+for f in os.listdir(src):
+    if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+        shutil.copyfile(os.path.join(src, f), os.path.join(dst, f))
+
+con = duckdb.connect()
+
+doc_stride = con.sql(f"SELECT max(doc_id)+1 FROM '{src}/documents.parquet'").fetchone()[0]
+assert doc_stride * factor < 1_000_000, "replica ids must stay below the planting offset"
+doc_parts = " UNION ALL ".join(
+    f"""SELECT doc_id + {k * doc_stride} AS doc_id,
+          text{f" || ' rep{k}'" if k else ""} AS text,
+          lang, source,
+          n_chars{f" + {len(f' rep{k}')}" if k else ""} AS n_chars
+        FROM '{src}/documents.parquet'"""
+    for k in range(factor))
+con.sql(f"COPY ({doc_parts}) TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+
+vec_stride = con.sql(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+assert vec_stride * factor < 1_000_000
+dim = con.sql(f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1").fetchone()[0]
+vec_parts = " UNION ALL ".join(
+    f"""SELECT vec_id + {k * vec_stride} AS vec_id,
+          CAST({f"embedding[{(k % dim) + 1}:] || embedding[:{k % dim}]" if k % dim else "embedding"}
+               AS FLOAT[]) AS embedding,
+          label
+        FROM '{src}/embeddings.parquet'"""
+    for k in range(factor))
+con.sql(f"COPY ({vec_parts}) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
+
+print(f"scaled {src} -> {dst} x{factor}: "
+      f"{doc_stride * factor} docs, {vec_stride * factor} vectors")
