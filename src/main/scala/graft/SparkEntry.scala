@@ -326,6 +326,18 @@ object SparkEntry {
       .select(col("event_id"), epochSec(col("ts")).as("ts_epoch"), col("o_orderkey"))
   }
 
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val o = t(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    AsOfJoin.nearestFollowing(e, o,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTs = "ts", rightTs = "o_orderdate",
+      payloads = Seq("o_orderkey"))
+      .select(col("event_id"), epochSec(col("ts")).as("ts_epoch"), col("o_orderkey"))
+  }
+
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessionStats(t(s, dir, "events"),
       keyCol = "user_id", tsCol = "ts", valueCol = "value", gapSeconds = 1800)
@@ -597,6 +609,15 @@ object SparkEntry {
         col("n"))
   }
 
+  private def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    // codes serialized csv (driver comparator can't hash array cells);
+    // double arithmetic with fixed op order makes codes engine-exact
+    Similarity.quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"),
+        round(col("qmin"), 6).as("qmin"),
+        round(col("qmax"), 6).as("qmax"),
+        array_join(col("codes").cast("array<string>"), ",").as("codes"))
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBytesPipeline(s, t(s, dir, "documents"))
 
@@ -680,6 +701,7 @@ object SparkEntry {
       "q_cube" -> (qCube _),
       "q_distinct" -> (qDistinct _),
       "q_asof" -> (qAsOf _),
+      "q_asof_forward" -> (qAsofForward _),
       "q_sessionize" -> (qSessionize _),
       "q_bucketed_join" -> (qBucketedJoin _),
       "q_salted_agg" -> (qSaltedAgg _),
@@ -705,6 +727,7 @@ object SparkEntry {
       "dedup_simhash" -> (dedupSimhash _),
       "embed_lsh_ann" -> (embedLshAnn _),
       "embed_ivf_ann" -> (embedIvfAnn _),
+      "embed_quantize" -> (embedQuantize _),
       "dedup_drop" -> (dedupDrop _),
       "dedup_embed" -> (dedupEmbed _),
       "dedup_groups" -> (dedupGroups _),
@@ -909,6 +932,25 @@ object SparkEntry {
          SELECT e.event_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch, o.o_orderkey
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+    "q_asof_forward" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, CAST(max(o_orderkey) AS BIGINT) AS o_orderkey
+                    FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch, o.o_orderkey
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""",
+    "embed_quantize" ->
+      // double arithmetic in the same operation order as the Spark side:
+      // codes are bit-identical across IEEE-754 engines
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+              m AS (SELECT vec_id, e, list_min(e) AS qmin, list_max(e) AS qmax FROM v)
+         SELECT vec_id, round(qmin, 6) AS qmin, round(qmax, 6) AS qmax,
+           array_to_string(
+             CASE WHEN qmax = qmin THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e,
+                    x -> CAST(round((x - qmin) * 255.0 / (qmax - qmin), 0) AS INT)) END,
+             ',') AS codes
+         FROM m""",
     "q_sessionize" ->
       """WITH g AS (
            SELECT user_id, ts,

@@ -32,6 +32,36 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       payloads: Seq[String]
+  ): DataFrame =
+    sweep(left, right, leftKey, rightKey, leftTs, rightTs, payloads,
+      forward = false)
+
+  /** Forward as-of: attach the payload of the EARLIEST right row with
+    * `rightTs >= leftTs` (inclusive) — pandas
+    * `merge_asof(direction='forward')`, DuckDB `ASOF ... ON l.ts <= r.ts`.
+    * Identical single-sweep shape as [[nearestPrior]], with the
+    * within-partition sort reversed in time. */
+  def nearestFollowing(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payloads: Seq[String]
+  ): DataFrame =
+    sweep(left, right, leftKey, rightKey, leftTs, rightTs, payloads,
+      forward = true)
+
+  private def sweep(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payloads: Seq[String],
+      forward: Boolean
   ): DataFrame = {
     val leftCols = left.columns.toSeq
 
@@ -56,8 +86,12 @@ object AsOfJoin {
     val taggedLeft = left.select(leftSel: _*)
 
     // Rights sort before lefts at equal timestamps → inclusive as-of.
+    // Backward sweeps time-ascending (last right seen = latest prior);
+    // forward sweeps time-descending (last right seen = earliest
+    // following).
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(if (forward) col("__t").desc else col("__t").asc,
+        col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val swept = taggedRight.unionByName(taggedLeft)

@@ -41,6 +41,38 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-vector int8 scalar quantization — the storage/bandwidth workhorse
+    * of a 100 TB embedding pipeline (4× smaller than float32, 8× smaller
+    * than float64; rerank on the exact floats only for the final
+    * candidates). Each vector gets its own (min, max) range; codes are
+    * `round((x - min) * 255 / (max - min))` ∈ [0, 255].
+    *
+    * All arithmetic runs in DOUBLE with a fixed operation order, so codes
+    * are bit-reproducible across IEEE-754 engines — the property the
+    * DuckDB oracle relies on. A constant vector (max == min) encodes as
+    * all-zero codes. Pure columnar expressions: one projection over the
+    * scan, no shuffle, no UDF.
+    *
+    * Output: (idCol, qmin double, qmax double, codes array<int>). */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val qmin = array_min(v)
+    val qmax = array_max(v)
+    val codes = when(qmax === qmin,
+      transform(v, _ => lit(0).cast("int")))
+      .otherwise(transform(v,
+        x => round((x - qmin) * lit(255.0) / (qmax - qmin), 0).cast("int")))
+    df.select(col(idCol), qmin.as("qmin"), qmax.as("qmax"), codes.as("codes"))
+  }
+
+  /** Reconstruction of a quantized vector:
+    * `qmin + code * (qmax - qmin) / 255` — error per element bounded by
+    * half a quantization step, `(qmax - qmin) / 510`. */
+  def dequantize(codes: Column, qmin: Column, qmax: Column): Column =
+    when(qmax === qmin, transform(codes, _ => qmin))
+      .otherwise(transform(codes,
+        c => qmin + c.cast("double") * (qmax - qmin) / lit(255.0)))
+
   /** An IVF (inverted-file) index: `numCentroids` centroid vectors seeded
     * deterministically from the corpus and optionally refined by
     * distributed k-means, plus the corpus with an assigned

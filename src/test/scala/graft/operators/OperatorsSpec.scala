@@ -202,6 +202,38 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("int8 quantization: codes in range, reconstruction within half a step") {
+    val q = Similarity.quantize(emb.limit(200), "vec_id", "embedding")
+    val joined = q.join(emb.limit(200), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("qmin"), col("qmax"),
+        col("codes"),
+        Similarity.dequantize(col("codes"), col("qmin"), col("qmax")).as("rec"))
+      .collect()
+    assert(joined.length == 200)
+    joined.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val (qmin, qmax) = (r.getDouble(2), r.getDouble(3))
+      val codes = r.getSeq[Int](4)
+      val rec = r.getSeq[Double](5)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val halfStep = (qmax - qmin) / 510.0 + 1e-12
+      v.zip(rec).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= halfStep, s"|$x - $y| > $halfStep")
+      }
+      // the extremes hit the code range ends exactly
+      assert(codes(v.indexOf(qmin)) == 0 && codes(v.indexOf(qmax)) == 255)
+    }
+  }
+
+  test("quantize stays a single shuffle-free projection; constant vectors safe") {
+    import spark.implicits._
+    val q = Similarity.quantize(emb, "vec_id", "embedding")
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+    val const = Seq((1L, Seq(2.5f, 2.5f, 2.5f))).toDF("vec_id", "embedding")
+    val row = Similarity.quantize(const, "vec_id", "embedding").head()
+    assert(row.getSeq[Int](3) == Seq(0, 0, 0))
+  }
+
   test("annBuckets only pairs vectors sharing a bucket; cos bounded") {
     val out = Similarity.annBuckets(emb.limit(300), "vec_id", "embedding",
       numPlanes = 6, dim = 64, minCos = -1.0)
@@ -227,6 +259,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("e1").contains("r10")) // inclusive at equal ts
     assert(out("e2").contains("r20"))
     assert(out("e3").isEmpty) // right row is after left ts
+  }
+
+  test("nearestFollowing attaches earliest right payload at or after left ts") {
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, "r10"), (1L, 20L, "r20"), (2L, 3L, "r3"))
+      .toDF("rk", "rts", "payload")
+    val out = AsOfJoin.nearestFollowing(left, right, "k", "rk", "ts", "rts",
+      Seq("payload"))
+      .select("name", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("e1").contains("r10")) // inclusive at equal ts
+    assert(out("e2").isEmpty)         // no right row at/after 25
+    assert(out("e3").isEmpty)         // right row is BEFORE left ts
   }
 }
 
