@@ -618,6 +618,17 @@ object SparkEntry {
         round(col("qmax"), 6).as("qmax"),
         array_join(col("codes").cast("array<string>"), ",").as("codes"))
 
+  private def embedQuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    // rerankDepth covers the whole corpus, making the coarse int8 cut a
+    // no-op → result ≡ brute force (oracle-able, like IVF nprobe=all);
+    // the partial-depth approximate path is spec-verified instead
+    val e = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, rerankDepth = Int.MaxValue)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBytesPipeline(s, t(s, dir, "documents"))
 
@@ -728,6 +739,7 @@ object SparkEntry {
       "embed_lsh_ann" -> (embedLshAnn _),
       "embed_ivf_ann" -> (embedIvfAnn _),
       "embed_quantize" -> (embedQuantize _),
+      "embed_quantized_topk" -> (embedQuantizedTopK _),
       "dedup_drop" -> (dedupDrop _),
       "dedup_embed" -> (dedupEmbed _),
       "dedup_groups" -> (dedupGroups _),
@@ -1211,6 +1223,20 @@ object SparkEntry {
          WHERE CASE WHEN lang = 'en' THEN doc_id % 10 < 5
                     ELSE doc_id % 10 < 2 END""",
     "embed_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+          pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              round(CASE WHEN sqrt(${dotSql("q.embedding", "q.embedding")})
+                              * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN 0.0
+                         ELSE ${dotSql("q.embedding", "c.embedding")}
+                              / (sqrt(${dotSql("q.embedding", "q.embedding")})
+                                 * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cos
+            FROM q, embeddings c WHERE c.vec_id != q.vec_id)
+          SELECT query_id, cand_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+          FROM pairs QUALIFY rank <= 5""",
+    "embed_quantized_topk" ->
+      // full rerank depth ≡ exact brute force (coarse cut keeps everyone)
       s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
           pairs AS (
             SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

