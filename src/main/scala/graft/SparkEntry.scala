@@ -376,6 +376,14 @@ object SparkEntry {
       .dropDuplicates("__dedup_key")
       .select("user_id", "event_type")
 
+  /** Batch twin of the streaming per-window top-k (SURVEY 28h): same
+    * window/rank semantics as `StreamTopK.topKPerWindow`, whose
+    * exactly-once watermark-close emission is MemoryStream-specced
+    * against this twin. */
+  private def streamTopKQ(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamTopK.topKBatch(t(s, dir, "events"),
+      "ts", "event_type", windowSeconds = 3600, k = 3)
+
   private def streamEvents(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("ts").cast("timestamp").as("tst"), col("event_type"),
@@ -721,6 +729,7 @@ object SparkEntry {
       "stream_events" -> (streamEvents _),
       "stream_join" -> (streamJoinStatic _),
       "stream_dedup" -> (streamDedupBatch _),
+      "stream_topk" -> (streamTopKQ _),
       "q_wordcount" -> (qWordcount _),
       "q_array_funcs" -> (qArrayFuncs _),
       "q_json" -> (qJson _),
@@ -1018,6 +1027,15 @@ object SparkEntry {
            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECOND""",
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_topk" ->
+      """WITH c AS (
+           SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 hour, ts))) AS BIGINT) AS window_start,
+                  event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT window_start, event_type, n,
+           CAST(row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type ASC) AS INT) AS rank
+         FROM c QUALIFY rank <= 3""",
     "chunk_documents" ->
       raw"""WITH d AS (SELECT doc_id, ${wsTokensSql("text")} AS toks FROM documents),
           n AS (SELECT doc_id, toks, len(toks) AS nt,

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming per-window top-k — "what dominated each hour", emitted
+  * exactly once per window when the event-time watermark passes the
+  * window end.
+  *
+  * Built-in streaming aggregation can count per (window, key) but cannot
+  * RANK within a window in Append mode (the rank needs every key of the
+  * window, which is only knowable when the window closes). So this is a
+  * `flatMapGroupsWithState` operator keyed by window start: state is the
+  * per-key count map (bounded by the key cardinality, not the event
+  * count), and emission happens solely on EventTimeTimeout — i.e. when
+  * the watermark proves the window can no longer change. Append output:
+  * safe for exactly-once sinks.
+  *
+  * [[topKBatch]] is the batch twin (same window/rank semantics on a
+  * static frame) — the DuckDB-oracle hook; StreamTopKSpec proves the
+  * multi-batch streaming run emits exactly the batch twin's rows for
+  * every closed window.
+  */
+object StreamTopK {
+
+  /** One typed input event. */
+  final case class TypedEvent(event_type: String, ts: java.sql.Timestamp)
+
+  /** Per-window state: counts per key. */
+  final case class WindowCounts(counts: Map[String, Long])
+
+  /** One ranked output row, emitted when the window closes. */
+  final case class TopEntry(window_start: Long, event_type: String, n: Long, rank: Int)
+
+  /** Streaming top-`k` event types per `windowSeconds` tumbling window. */
+  def topKPerWindow(
+      events: Dataset[TypedEvent],
+      windowSeconds: Long,
+      k: Int,
+      watermarkDelay: String = "0 seconds"
+  ): Dataset[TopEntry] = {
+    implicit val stateEnc = Encoders.product[WindowCounts]
+    implicit val outEnc = Encoders.product[TopEntry]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => math.floorDiv(e.ts.getTime / 1000, windowSeconds) * windowSeconds)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart: Long, evs: Iterator[TypedEvent],
+         state: org.apache.spark.sql.streaming.GroupState[WindowCounts]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            rankCounts(wstart, counts, k)
+          } else {
+            val updated = evs.foldLeft(
+              state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])) {
+              (m, e) => m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(WindowCounts(updated))
+            // fire when the watermark passes the window end (strictly
+            // after, so an on-time event at end-1s still lands first)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1,
+              (wstart + windowSeconds) * 1000))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Deterministic rank: count desc, then key asc. */
+  private def rankCounts(
+      wstart: Long, counts: Map[String, Long], k: Int): Iterator[TopEntry] =
+    counts.toSeq
+      .sortBy { case (key, n) => (-n, key) }
+      .take(k)
+      .zipWithIndex
+      .map { case ((key, n), i) => TopEntry(wstart, key, n, i + 1) }
+      .iterator
+
+  /** Batch twin on a static frame — identical window/rank semantics, the
+    * oracle target. Output: (window_start epoch, event_type, n, rank). */
+  def topKBatch(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      windowSeconds: Long,
+      k: Int
+  ): DataFrame = {
+    val w = Window.partitionBy("ws")
+      .orderBy(col("n").desc, col(typeCol).asc)
+    events
+      .groupBy(window(col(tsCol).cast("timestamp"), s"$windowSeconds seconds")
+        .as("wdw"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("wdw.start")).as("ws"), col(typeCol), col("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("ws").as("window_start"), col(typeCol).as("event_type"),
+        col("n"), col("rank"))
+  }
+}

@@ -85,6 +85,52 @@ class ClosedSessionsSpec extends graft.SparkSpec {
   }
 }
 
+class StreamTopKSpec extends graft.SparkSpec {
+  import graft.streaming.StreamTopK._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000)
+
+  test("per-window top-k emits once when the watermark closes the window; " +
+    "equals the batch twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val name = s"tk_${System.nanoTime()}"
+    val q = topKPerWindow(input.toDS(), windowSeconds = 3600, k = 2)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val firstWindow = Seq(
+        TypedEvent("click", ts(100)), TypedEvent("click", ts(200)),
+        TypedEvent("view", ts(300)), TypedEvent("view", ts(400)),
+        TypedEvent("view", ts(500)), TypedEvent("error", ts(600)))
+      input.addData(firstWindow: _*)
+      q.processAllAvailable()
+      // window [0, 3600) is still open: nothing may be emitted yet
+      assert(spark.table(name).count() == 0)
+
+      // a later-window event advances the watermark past 3600; the timeout
+      // fires on the following trigger (watermark is batch-lagged)
+      input.addData(TypedEvent("click", ts(10000)))
+      q.processAllAvailable()
+      input.addData(TypedEvent("view", ts(10001)))
+      q.processAllAvailable()
+
+      val rows = spark.table(name).as[TopEntry].collect().toSet
+      assert(rows == Set(TopEntry(0, "view", 3, 1), TopEntry(0, "click", 2, 2)),
+        rows.toString)
+      assert(rows.size == spark.table(name).count()) // exactly once
+
+      // the batch twin of the closed window produces the same rows
+      val batchRows = topKBatch(
+        firstWindow.map(e => (e.event_type, e.ts)).toDF("event_type", "ts"),
+        "ts", "event_type", windowSeconds = 3600, k = 2)
+        .as[TopEntry].collect().toSet
+      assert(batchRows == rows)
+    } finally q.stop()
+  }
+}
+
 class StreamJoinSpec extends graft.SparkSpec {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
