@@ -30,9 +30,15 @@ object SparkEntry {
     // microsecond timestamp (wall clock preserved; session tz is UTC).
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        // TIMESTAMP(NANOS) files surface as long under nanosAsLong
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        // micros/NTZ files (e.g. rewritten robustness corpora) read directly
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -376,6 +382,33 @@ object SparkEntry {
       .dropDuplicates("__dedup_key")
       .select("user_id", "event_type")
 
+  /** Multi-format ingest (SURVEY 18e): the same TablePlan pipeline over
+    * CSV and JSON sources — the documents table staged to both formats,
+    * read back with explicit schemas, planned, and joined: a row appears
+    * iff BOTH decoders reproduced it. Spark's DataSource breadth is the
+    * library's multi-backend story (SURVEY §2.1 exclusions note); this
+    * query pins it with an oracle. */
+  private def formatIngest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val staged = Files.createTempDirectory("graft_fmt").toString
+    d.write.mode("overwrite")
+      .option("quoteAll", "true").option("escape", "\"")
+      .csv(s"$staged/csv")
+    d.write.mode("overwrite").json(s"$staged/json")
+
+    val plan = TablePlan(keep = Seq("^(doc_id|lang|n_chars)$"),
+      where = Some("doc_id % 7 = 0"))
+    val fromCsv = plan(s.read.schema(d.schema)
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(s"$staged/csv"))
+    val fromJson = plan(s.read.schema(d.schema).json(s"$staged/json"))
+
+    fromCsv.join(fromJson.withColumnRenamed("lang", "lang_j")
+        .withColumnRenamed("n_chars", "n_chars_j"), "doc_id")
+      .filter(col("lang") === col("lang_j") && col("n_chars") === col("n_chars_j"))
+      .select("doc_id", "lang", "n_chars")
+  }
+
   /** Batch twin of the streaming per-window top-k (SURVEY 28h): same
     * window/rank semantics as `StreamTopK.topKPerWindow`, whose
     * exactly-once watermark-close emission is MemoryStream-specced
@@ -698,6 +731,7 @@ object SparkEntry {
       "plan_tz" -> (planTz _),
       "plan_full" -> (planFull _),
       "plan_numeric_mode" -> (planNumericMode _),
+      "format_ingest" -> (formatIngest _),
       "repo_roundtrip" -> (repoRoundtrip _),
       "schema_export" -> (schemaExport _),
       "sql_passthrough" -> (sqlPassthrough _),
@@ -815,6 +849,9 @@ object SparkEntry {
          CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec,
          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec
          FROM lineitem""",
+    "format_ingest" ->
+      // both format paths must reproduce every planned row exactly
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 = 0",
     "repo_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey, 'x (Updated 2024-05-01)' AS last_modified FROM nation",
     "schema_export" ->

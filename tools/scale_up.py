@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Build a scaled-up robustness corpus from an existing sf directory.
 
-Replicates documents/embeddings `factor`x with oracle-safe transforms:
+Replicates documents/embeddings/events `factor`x with oracle-safe
+transforms:
   - documents: replica k > 0 gets text || ' repK' (distinct from every
     original, so text-equality-join oracles keep describing the dup
     structure exactly: each replica carries its own organic duplicates,
@@ -9,8 +10,11 @@ Replicates documents/embeddings `factor`x with oracle-safe transforms:
   - embeddings: replica k > 0 circularly shifts the vector by k dims
     (distinct vectors, cosine far from 1, so identical-vector planting
     oracles are untouched)
-All other tables are copied unscaled (the hash-family queries under test
-read documents/embeddings only).
+  - events: replica k > 0 shifts event_id and user_id by per-column
+    strides (sessions/windows never merge across replicas; timestamps
+    unchanged, so hourly windows get factor-times denser — the window /
+    sessionize / as-of / streaming-twin stress case)
+All other tables are copied unscaled.
 
 Usage: scale_up.py SRC_SF_DIR DST_DIR FACTOR
 """
@@ -23,8 +27,9 @@ import duckdb
 src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
 os.makedirs(dst, exist_ok=True)
 
+SCALED = ("documents.parquet", "embeddings.parquet", "events.parquet")
 for f in os.listdir(src):
-    if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+    if f.endswith(".parquet") and f not in SCALED:
         shutil.copyfile(os.path.join(src, f), os.path.join(dst, f))
 
 con = duckdb.connect()
@@ -52,5 +57,16 @@ vec_parts = " UNION ALL ".join(
     for k in range(factor))
 con.sql(f"COPY ({vec_parts}) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
 
+ev_stride = con.sql(f"SELECT max(event_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
+u_stride = con.sql(f"SELECT max(user_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
+ev_parts = " UNION ALL ".join(
+    f"""SELECT event_id + {k * ev_stride} AS event_id, ts,
+          user_id + {k * u_stride} AS user_id, event_type, value, props
+        FROM '{src}/events.parquet'"""
+    for k in range(factor))
+con.sql(f"COPY ({ev_parts}) TO '{dst}/events.parquet' (FORMAT PARQUET)")
+
 print(f"scaled {src} -> {dst} x{factor}: "
-      f"{doc_stride * factor} docs, {vec_stride * factor} vectors")
+      f"{doc_stride * factor} docs, {vec_stride * factor} vectors, "
+      f"{factor}x events")
+
