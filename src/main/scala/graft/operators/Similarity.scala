@@ -55,14 +55,23 @@ object Similarity {
     *
     * Output: (idCol, qmin double, qmax double, codes array<int>). */
   def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val qmin = array_min(v)
-    val qmax = array_max(v)
+    // Stage min/max into their own projection so the per-element lambda
+    // references ATTRIBUTES: inlining array_min/array_max into the
+    // transform would re-reduce the whole vector per element — O(dim²)
+    // per row, a real cost at embedding dims in the thousands. Catalyst's
+    // CollapseProject keeps non-cheap expressions with multiple uses
+    // staged, so this stays two pipelined projections, still shuffle-free.
+    val staged = df
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .select(col(idCol), col("__v"),
+        array_min(col("__v")).as("qmin"), array_max(col("__v")).as("qmax"))
+    val qmin = col("qmin")
+    val qmax = col("qmax")
     val codes = when(qmax === qmin,
-      transform(v, _ => lit(0).cast("int")))
-      .otherwise(transform(v,
+      transform(col("__v"), _ => lit(0).cast("int")))
+      .otherwise(transform(col("__v"),
         x => round((x - qmin) * lit(255.0) / (qmax - qmin), 0).cast("int")))
-    df.select(col(idCol), qmin.as("qmin"), qmax.as("qmax"), codes.as("codes"))
+    staged.select(col(idCol), qmin, qmax, codes.as("codes"))
   }
 
   /** Reconstruction of a quantized vector:
