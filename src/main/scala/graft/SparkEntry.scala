@@ -685,6 +685,19 @@ object SparkEntry {
     Dedup.dropKnown(batch, d, "text").select("doc_id")
   }
 
+  /** Normalized exact dedup (SURVEY 40a): case/whitespace variants of the
+    * same content (planted uppercase + padded copies) collapse onto one
+    * canonical survivor — normalization feeding the hash-first dedup. */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val noisy = d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(lit("  "), upper(col("text")), lit("\t ")).as("text"))
+    val u = d.unionByName(noisy)
+      .withColumn("norm", TextFunctions.normalizeText(col("text")))
+    Dedup.exact(u, Seq("norm"), Seq(col("doc_id")))
+      .select("doc_id", "norm")
+  }
+
   private def scrubPii(s: SparkSession, dir: String): DataFrame =
     // inject synthetic PII (deterministic per doc) so the redaction paths
     // all fire, then scrub
@@ -789,6 +802,7 @@ object SparkEntry {
       "multimodal_meta" -> (multimodalMeta _),
       "dedup_incremental" -> (dedupIncremental _),
       "scrub_pii" -> (scrubPii _),
+      "text_normalize" -> (textNormalize _),
       "q_repetition" -> (qRepetition _),
       "contamination" -> (contaminationQ _),
       "tfidf_topk" -> (tfidfTopK _),
@@ -1237,6 +1251,16 @@ object SparkEntry {
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean
            FROM documents""",
+    "text_normalize" ->
+      raw"""WITH u AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, '  ' || upper(text) || chr(9) || ' '
+                       FROM documents),
+               n AS (SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                     FROM u)
+          SELECT doc_id, norm FROM n
+          QUALIFY row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1""",
     "q_repetition" ->
       raw"""WITH tok AS (SELECT doc_id, ${wsTokensSql("text")} AS toks FROM documents)
           SELECT doc_id,

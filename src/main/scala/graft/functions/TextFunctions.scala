@@ -139,6 +139,16 @@ object TextFunctions {
   val EmailRegex = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
   val PhoneRegex = raw"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 
+  /** Canonical text normalization for dedup keys: lowercase, collapse
+    * whitespace runs to single spaces, then trim — so case and formatting
+    * variants of the same content hash identically before exact dedup.
+    * Collapse happens BEFORE trim: `trim` strips only the space character,
+    * so a trailing tab would otherwise survive as a trailing space.
+    * (Unicode NFC normalization would need a JVM Normalizer call — a UDF —
+    * and is deliberately left to ingest; this stays a codegen'd Column.) */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
   /** Redact URLs, then emails, then phone-shaped numbers (order matters:
     * URLs can contain '@'). The pre-training scrub every public-web corpus
     * runs before anything else sees the text. */

@@ -18,6 +18,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TextFunctions.bpeTokenCount($"t"), "ab, cd!") == 4)
   }
 
+  test("normalizeText: lowercase, trim, collapse whitespace runs") {
+    assert(one(TextFunctions.normalizeText($"t"), "  Hello\t\n  WORLD  ")
+      == "hello world")
+    assert(one(TextFunctions.normalizeText($"t"), "already clean")
+      == "already clean")
+    assert(one(TextFunctions.normalizeText($"t"), "") == "")
+    // case/format variants of the same content normalize identically
+    assert(one(TextFunctions.normalizeText($"t"), " A  B ")
+      == one(TextFunctions.normalizeText($"t"), "a\tb"))
+    // trailing TAB: trim only strips spaces, so collapse must run first
+    assert(one(TextFunctions.normalizeText($"t"), "pad me\t ") == "pad me")
+    assert(one(TextFunctions.normalizeText($"t"), "\tpad me") == "pad me")
+  }
+
   test("ratios are bounded and sane") {
     val a = one(TextFunctions.alphaRatio($"t"), "ab12").asInstanceOf[Double]
     assert(a == 0.5)
