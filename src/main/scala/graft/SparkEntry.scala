@@ -457,6 +457,37 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
   }
 
+  private val partitionedLayouts =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** One-time hive-partitioned orders layout (memoized per dir, like the
+    * bucketed one): the write-once layout a lake keeps so that partition
+    * filters — static or runtime-injected — prune directories. */
+  private def ensurePartitionedOrders(s: SparkSession, dir: String): String =
+    partitionedLayouts.getOrElseUpdate(dir, {
+      val repo = PqRepo(s, Files.createTempDirectory("graft_part").toString)
+      repo.writePartitioned(
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+        "tpch", "orders_part", Seq("o_orderpriority")).toString
+    })
+
+  /** Dynamic partition pruning (SURVEY 12c): the partitioned fact joined
+    * to a FILTERED dim on the partition column — the partition list is
+    * only known at runtime, so Catalyst injects a DPP subquery into the
+    * fact scan (`dynamicpruningexpression` in PartitionFilters) and whole
+    * directories are skipped before any I/O. THE mechanism that makes
+    * star joins viable on a 100 TB partitioned lake; plan-audited. */
+  private def qDpp(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.parquet(ensurePartitionedOrders(s, dir))
+    val dim = t(s, dir, "orders").select("o_orderpriority").distinct()
+      .filter(col("o_orderpriority") < "3")
+      .withColumnRenamed("o_orderpriority", "dp")
+    fact.join(dim, fact("o_orderpriority") === dim("dp"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_price_c"))
+  }
+
   private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
     operators.Skew.saltedAgg(t(s, dir, "lineitem"),
       keys = Seq("l_returnflag"),
@@ -770,6 +801,7 @@ object SparkEntry {
       "q_asof_forward" -> (qAsofForward _),
       "q_sessionize" -> (qSessionize _),
       "q_bucketed_join" -> (qBucketedJoin _),
+      "q_dpp" -> (qDpp _),
       "q_salted_agg" -> (qSaltedAgg _),
       "q_salted_join" -> (qSaltedJoin _),
       "q_stateful_sessionize" -> (qStatefulSessionize _),
@@ -1042,6 +1074,10 @@ object SparkEntry {
           CAST(sum(${centsSql("l.l_quantity")}) AS BIGINT) AS sum_qty_c
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
           GROUP BY 1""",
+    "q_dpp" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c
+          FROM orders WHERE o_orderpriority < '3' GROUP BY 1""",
     "q_salted_agg" ->
       s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c

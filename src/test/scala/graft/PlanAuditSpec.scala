@@ -43,6 +43,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
   }
 
+  test("q_dpp: partitioned fact scan is dynamically pruned by the dim filter") {
+    val p = physical("q_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a DPP subquery in the fact scan's PartitionFilters:\n$p")
+  }
+
   test("q_bucketed_join: co-located merge join without a join-side shuffle") {
     val p = physical("q_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
