@@ -70,6 +70,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("csvField: PG COPY csv framing invariants hold for arbitrary strings") {
+    val anyString = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(',', '"', '\n', '\t', ' ', '\\')))
+      .map(_.mkString)
+    forAll(anyString) { s =>
+      val f = graft.sources.PgCopy.csvField(s)
+      // strings are ALWAYS quoted (so empty string stays distinct from NULL)
+      assert(f.startsWith("\"") && f.endsWith("\"") && f.length >= 2)
+      // unescaping the body recovers the input exactly
+      assert(f.substring(1, f.length - 1).replace("\"\"", "\"") == s)
+      // every interior quote is doubled: stripping doubled pairs leaves none
+      assert(!f.substring(1, f.length - 1).replace("\"\"", "").contains('"'))
+    }
+  }
+
+  test("normalizeText: idempotent, and invariant under case/whitespace noise") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n")
+    val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(8))
+    val messy = for {
+      words <- Gen.nonEmptyListOf(word)
+      sep <- ws
+      pre <- ws; post <- ws
+    } yield (words.mkString(" "), pre + words.mkString(sep).toUpperCase + post)
+
+    val cases = {
+      val params = org.scalacheck.Gen.Parameters.default
+      var seed = org.scalacheck.rng.Seed(7L)
+      (1 to 60).flatMap { _ =>
+        val v = messy.apply(params, seed); seed = seed.next; v
+      }
+    }
+    val df = cases.toDF("clean", "noisy")
+      .select(
+        graft.functions.TextFunctions.normalizeText(org.apache.spark.sql.functions.col("clean")).as("nc"),
+        graft.functions.TextFunctions.normalizeText(org.apache.spark.sql.functions.col("noisy")).as("nn"))
+      .withColumn("nn2",
+        graft.functions.TextFunctions.normalizeText(org.apache.spark.sql.functions.col("nn")))
+      .collect()
+    df.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"'${r.getString(0)}' != '${r.getString(1)}'") // noise-invariant
+      assert(r.getString(1) == r.getString(2))         // idempotent
+    }
+  }
+
   test("Modified: formatted (Updated ...) dates always parse to that date") {
     val dates = for {
       y <- Gen.choose(1990, 2035)
