@@ -181,13 +181,15 @@ object Graft {
     * `commentWriteSql` overrides the PostgreSQL `COMMENT ON` DDL for
     * engines without it.
     *
-    * Against PostgreSQL (`copyIngest = true`, the default) the load takes
-    * the COPY csv fast path: destination DDL from the repo schema, then
-    * every partition streams `COPY ... FROM STDIN (FORMAT csv)` over its
-    * own connection — the parallel, no-typed-INSERT ingest shape.
-    * Timestamps serialize through JDBC `toString`; keep the JVM and the
-    * PG server on UTC (graft sessions default to UTC) for lossless
-    * round-trips. Other dialects use the JDBC writer. */
+    * Against PostgreSQL (`copyIngest = true`, the default) an Overwrite
+    * or Append load takes the COPY csv fast path: destination DDL from
+    * the repo schema, then every partition streams
+    * `COPY ... FROM STDIN (FORMAT csv)` over its own connection — the
+    * parallel, no-typed-INSERT ingest shape. ErrorIfExists/Ignore carry
+    * existence semantics COPY has no protocol for, so they always go
+    * through the JDBC writer (as do other dialects). Timestamps serialize
+    * through JDBC `toString`; keep the JVM and the PG server on UTC
+    * (graft sessions default to UTC) for lossless round-trips. */
   def pqToDb(
       repo: PqRepo,
       url: String,
@@ -204,7 +206,8 @@ object Graft {
     val ds = dstSchema.getOrElse(schema)
     val dt = dstTable.getOrElse(table)
     val df = repo.table(schema, table)
-    if (copyIngest && PgCopy.isPostgres(url)) {
+    val copyMode = mode == SaveMode.Overwrite || mode == SaveMode.Append
+    if (copyIngest && copyMode && PgCopy.isPostgres(url)) {
       val pgTypes = colTypes.map { case (c, t) =>
         c -> graft.plans.Types.toPostgres(t)
       }
@@ -214,11 +217,7 @@ object Graft {
             PgCopy.createTableSql(ds, dt, df.schema, pgTypes))
         else
           Seq(PgCopy.createTableSql(ds, dt, df.schema, pgTypes, ifNotExists = true))
-      val conn = java.sql.DriverManager.getConnection(url)
-      try ddl.foreach { s =>
-        val st = conn.createStatement()
-        try st.execute(s) finally st.close()
-      } finally conn.close()
+      PgCopy.execDdl(url, ddl)
       PgCopy.copyFromDataFrame(df, url, ds, dt)
     } else
       Jdbc.writeTable(df, url, ds, dt, colTypes, mode)

@@ -388,13 +388,22 @@ object SparkEntry {
     * iff BOTH decoders reproduced it. Spark's DataSource breadth is the
     * library's multi-backend story (SURVEY §2.1 exclusions note); this
     * query pins it with an oracle. */
+  private val formatStagings =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   private def formatIngest(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val staged = Files.createTempDirectory("graft_fmt").toString
-    d.write.mode("overwrite")
-      .option("quoteAll", "true").option("escape", "\"")
-      .csv(s"$staged/csv")
-    d.write.mode("overwrite").json(s"$staged/json")
+    // stage once per (session, dir) — like the bucketed/partitioned
+    // layouts: repeat executions measure the multi-format READ path, and
+    // bench/verify runs don't leak a fresh staging per execution
+    val staged = formatStagings.getOrElseUpdate(dir, {
+      val p = Files.createTempDirectory("graft_fmt").toString
+      d.write.mode("overwrite")
+        .option("quoteAll", "true").option("escape", "\"")
+        .csv(s"$p/csv")
+      d.write.mode("overwrite").json(s"$p/json")
+      p
+    })
 
     val plan = TablePlan(keep = Seq("^(doc_id|lang|n_chars)$"),
       where = Some("doc_id % 7 = 0"))

@@ -70,18 +70,28 @@ object AsOfJoin {
     val keyType = left.schema(leftKey).dataType
     val tsType = left.schema(leftTs).dataType
 
+    // ALL payloads travel as ONE struct, null only on left rows: the
+    // window's last(ignoreNulls) then picks the nearest right ROW
+    // atomically. Sweeping each payload column independently would mix
+    // columns from different right rows whenever the nearest row carries
+    // a NULL payload field (the stale non-null from an older row would
+    // win for that field only).
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      payloads.map(p => org.apache.spark.sql.types.StructField(
+        p, right.schema(p).dataType, nullable = true)))
+
     val rightSel: Seq[Column] =
       Seq(col(rightKey).cast(keyType).as("__k"),
         col(rightTs).cast(tsType).as("__t"),
-        lit(0).as("__side")) ++
-        payloads.map(p => col(p).as(s"__p_$p")) ++
+        lit(0).as("__side"),
+        struct(payloads.map(col): _*).as("__p")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
     val taggedRight = right.select(rightSel: _*)
 
     val leftSel: Seq[Column] =
       Seq(col(leftKey).as("__k"), col(leftTs).as("__t"),
-        lit(1).as("__side")) ++
-        payloads.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")) ++
+        lit(1).as("__side"),
+        lit(null).cast(payloadStructType).as("__p")) ++
         leftCols.map(col)
     val taggedLeft = left.select(leftSel: _*)
 
@@ -96,10 +106,12 @@ object AsOfJoin {
 
     val swept = taggedRight.unionByName(taggedLeft)
       .select(
-        (col("__side") +: leftCols.map(col)) ++
-          payloads.map(p => last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p)): _*)
+        (col("__side") +: leftCols.map(col)) :+
+          last(col("__p"), ignoreNulls = true).over(w).as("__pm"): _*)
 
-    swept.filter(col("__side") === 1).drop("__side")
+    swept.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloads.map(p => col("__pm").getField(p).as(p)): _*)
   }
 
   /** [[nearestPrior]] with a staleness bound — the feature-store contract:

@@ -47,8 +47,26 @@ object Dedup {
     * distinct documents, and the only exchange that carries text is
     * restricted to the colliding rows. The corpus is scanned more than once
     * (scans are cheap, local, columnar); text is shuffled at most once and
-    * only for rows that actually collide. */
-  def exactGroups(df: DataFrame, id: Column, content: Column): DataFrame = {
+    * only for rows that actually collide.
+    *
+    * `broadcastColliding` picks the restriction transport. `true` (default)
+    * broadcasts the colliding ID LIST (8 bytes/row) — right whenever the
+    * duplicate fraction is broadcast-sized, i.e. most corpora most days.
+    * For a corpus whose duplicate mass itself is huge (first-ever dedup of
+    * a raw crawl: billions of colliding ids would blow the broadcast),
+    * pass `false`: one direct (hash, content) grouping — the whole corpus
+    * text rides one bounded shuffle instead of any driver-sized structure.
+    * Same output either way (specced). */
+  def exactGroups(
+      df: DataFrame,
+      id: Column,
+      content: Column,
+      broadcastColliding: Boolean = true): DataFrame = {
+    if (!broadcastColliding)
+      return df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
+        .groupBy("h", "c")
+        .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
+        .select("h", "ids", "n")
     val byHash = df.select(id.as("id"), xxhash64(content).as("h"))
       .groupBy("h")
       .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
@@ -166,6 +184,12 @@ object Dedup {
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
 
+  /** Star pairs of a sorted id array: (min id, other) for every other
+    * member — m-1 pairs instead of m(m-1)/2, same connectivity. */
+  private def starPairs(ids: Column): Column =
+    transform(slice(ids, lit(2), greatest(size(ids) - 1, lit(0))),
+      y => struct(element_at(ids, 1).as("id_a"), y.as("id_b")))
+
   /** SimHash near-duplicate pairs: sketch → collapse to DISTINCT sketches →
     * equal-sketch pairs directly (hamming 0) + 16-bit band buckets over
     * distinct sketches for the 1..maxHamming candidates.
@@ -177,14 +201,17 @@ object Dedup {
     * past any cap and silently drop the very duplicates being hunted
     * (caught by the 20× robustness run). `maxBucket` then guards
     * distinct-sketch crowding only — genuine 16-bit-key saturation at
-    * extreme corpus sizes, orders of magnitude rarer than duplicate mass.
+    * extreme corpus sizes, orders of magnitude rarer than duplicate mass —
+    * and `maxEqualGroup` bounds the in-array all-pairs expansion of one
+    * equal-sketch group (star fallback beyond it, connectivity preserved).
     * Corpus-wide shuffles carry the 8-byte sketch, never text. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 6,
-      maxBucket: Int = 500
+      maxBucket: Int = 500,
+      maxEqualGroup: Int = 2000
   ): DataFrame = {
     // Sketch with the native one-pass expression (provably equal to the
     // composed SimHash.simhash(wsTokens(..)) — see SimHash64Spec).
@@ -199,10 +226,19 @@ object Dedup {
       .agg(sort_array(collect_list("id")).as("ids"))
 
     // hamming 0 ≡ identical sketch: every intra-group (i<j) pair, found
-    // unconditionally — no bucket cap can lose an exact-duplicate pair
+    // unconditionally — no bucket cap can lose an exact-duplicate pair.
+    // Groups beyond maxEqualGroup fall back to star topology (min-id hub):
+    // all-pairs of an m-member group is m(m-1)/2 structs materialized in
+    // one array — a million-copy boilerplate group would OOM the task —
+    // while the star keeps every member connected (components/removal
+    // results identical; only the exhaustive pair LIST is thinned, and
+    // only beyond a group size no exhaustive list could be consumed at
+    // anyway).
     val zeroPairs = bySketch
       .filter(size(col("ids")) >= 2)
-      .select(explode(idPairs(col("ids"))).as("p"))
+      .select(explode(
+        when(size(col("ids")) <= maxEqualGroup, idPairs(col("ids")))
+          .otherwise(starPairs(col("ids")))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         lit(0).cast("int").as("hamming"))
 
@@ -254,14 +290,19 @@ object Dedup {
     * a hash collision can never drop a genuinely-new document; equal text
     * implies equal hash, so every corpus row that could match a batch row
     * is in the candidate set — same no-false-drop, no-false-keep semantics
-    * as an unrestricted `(hash, content)` anti join. Corpus text moves only
-    * for hash-colliding rows, and only via broadcast. */
+    * as an unrestricted `(hash, content)` anti join. Corpus text moves
+    * only for hash-colliding rows: once through the restricted distinct's
+    * exchange (which collapses duplicate corpus occurrences BEFORE the
+    * broadcast — a corpus holding a million copies of one matching doc
+    * must broadcast one row, not a million) and once in the broadcast of
+    * the distinct candidate set. */
   def dropKnown(batch: DataFrame, corpus: DataFrame, textCol: String): DataFrame = {
     val candHashes = batch.select(xxhash64(col(textCol)).as("__bh")).distinct()
     val knownColliding = corpus
       .join(broadcast(candHashes), xxhash64(corpus(textCol)) === col("__bh"),
         "left_semi")
       .select(xxhash64(col(textCol)).as("__h"), col(textCol).as("__t"))
+      .distinct()
     batch.join(broadcast(knownColliding),
       xxhash64(batch(textCol)) === col("__h") && batch(textCol) === col("__t"),
       "left_anti")

@@ -199,6 +199,18 @@ object PgCopy {
     }
   }
 
+  /** Run DDL statements on one connection (shared by the mirror pump and
+    * the DataFrame ingest's destination preparation). */
+  def execDdl(url: String, ddl: Seq[String]): Unit = {
+    if (ddl.nonEmpty) {
+      val conn = DriverManager.getConnection(url)
+      try ddl.foreach { s =>
+        val st = conn.createStatement()
+        try st.execute(s) finally st.close()
+      } finally conn.close()
+    }
+  }
+
   /** PG→PG mirror of one planned SELECT (reference
     * copy_wrds_select_to_pg_table): optional destination DDL, then the
     * binary pump. Single source connection by design — the PG COPY
@@ -212,17 +224,13 @@ object PgCopy {
       dstTable: String,
       cols: Seq[String],
       ddl: Seq[String] = Nil): Long = {
+    execDdl(dstUrl, ddl)
     val src = DriverManager.getConnection(srcUrl)
     try {
       val dst = DriverManager.getConnection(dstUrl)
-      try {
-        ddl.foreach { s =>
-          val st = dst.createStatement()
-          try st.execute(s) finally st.close()
-        }
-        binaryCopy(src, dst, copyOutSql(selectSql),
-          copyInSql(dstSchema, dstTable, cols))
-      } finally dst.close()
+      try binaryCopy(src, dst, copyOutSql(selectSql),
+        copyInSql(dstSchema, dstTable, cols))
+      finally dst.close()
     } finally src.close()
   }
 

@@ -22,6 +22,14 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * static frame) — the DuckDB-oracle hook; StreamTopKSpec proves the
   * multi-batch streaming run emits exactly the batch twin's rows for
   * every closed window.
+  *
+  * Late-data caveat (the standard arbitrary-stateful one, same as
+  * [[StreamDedup]]'s re-emission note): an event arriving for a window
+  * AFTER its watermark close re-opens that window's state and a
+  * supplemental top-k (over the late events only) is emitted at the next
+  * close. Size `watermarkDelay` to the source's real lateness, or have
+  * the sink collapse duplicates by `(window_start, rank)` — the repo
+  * compaction pass does exactly that.
   */
 object StreamTopK {
 
@@ -46,7 +54,11 @@ object StreamTopK {
     implicit val longEnc = Encoders.scalaLong
     events
       .withWatermark("ts", watermarkDelay)
-      .groupByKey(e => math.floorDiv(e.ts.getTime / 1000, windowSeconds) * windowSeconds)
+      // floorDiv at BOTH steps: plain `/ 1000` truncates toward zero, so a
+      // sub-second pre-epoch timestamp would land one window late and
+      // diverge from topKBatch's window()
+      .groupByKey(e => math.floorDiv(
+        math.floorDiv(e.ts.getTime, 1000L), windowSeconds) * windowSeconds)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (wstart: Long, evs: Iterator[TypedEvent],
          state: org.apache.spark.sql.streaming.GroupState[WindowCounts]) =>

@@ -122,13 +122,19 @@ class PipelinePlanAuditSpec extends SparkSpec {
     root.collect { case e: ShuffleExchangeExec => e }
   }
 
-  test("dedup_incremental: NO shuffle exchange carries document text") {
+  test("dedup_incremental: corpus/batch-wide shuffles are hash-only; text " +
+    "shuffles only above the candidate-hash broadcast restriction") {
     val exs = shuffleExchanges("dedup_incremental")
-    assert(exs.nonEmpty, "expected at least the candidate-hash distinct shuffle")
-    exs.foreach { e =>
-      assert(!e.output.exists(_.dataType == StringType),
-        s"a shuffle carries a string column — the daily-ingest primitive " +
-          s"must move hashes only: ${e.output.map(a => s"${a.name}:${a.dataType}")}")
+    val (textful, textless) = exs.partition(_.output.exists(_.dataType == StringType))
+    assert(textless.nonEmpty, "expected the candidate-hash distinct shuffle")
+    // the only text-bearing exchange is the restricted candidate set's
+    // distinct (collapsing duplicate corpus occurrences before broadcast);
+    // it must sit above the batch-hash broadcast semi join, so it carries
+    // hash-colliding rows only — never the unrestricted corpus
+    textful.foreach { e =>
+      assert(e.collectFirst { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"text-bearing exchange must sit above the candidate broadcast " +
+          s"restriction:\n$e")
     }
   }
 

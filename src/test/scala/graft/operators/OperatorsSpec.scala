@@ -22,6 +22,35 @@ class DedupSpec extends SparkSpec {
     assert(ns.toSeq == Seq(1L, 2L))
   }
 
+  test("exactGroups: broadcast-restricted and direct-grouping modes agree") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val dups = docs.select((col("doc_id") + 500).as("doc_id"), col("text"))
+    val u = docs.unionByName(dups)
+    def canon(broadcastMode: Boolean) =
+      Dedup.exactGroups(u, col("doc_id"), col("text"), broadcastMode)
+        .collect().map(r => (r.getAs[Seq[Long]]("ids").mkString(","),
+          r.getAs[Long]("n"))).toSet
+    assert(canon(true) == canon(false))
+    assert(canon(true).nonEmpty)
+  }
+
+  test("simhashPairs star fallback past maxEqualGroup keeps connectivity") {
+    val docs = (0 until 12).map(i => (i.toLong, "identical content here"))
+      .toDF("doc_id", "text")
+    // all-pairs would be 66; star fallback emits the 11 hub pairs
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 0, maxEqualGroup = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1 until 12).map(i => (0L, i.toLong)).toSet)
+    // every member still lands in one component with the same minimum
+    val labels = Dedup.components(
+      docs.sparkSession.createDataFrame(
+        pairs.toSeq.map(p => (p._1, p._2))).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 12).forall(i => labels(i.toLong) == 0L))
+  }
+
   test("minhashPairs finds planted near-duplicates and not random pairs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").limit(100)
@@ -283,6 +312,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("e1").contains("r10")) // inclusive at equal ts
     assert(out("e2").contains("r20"))
     assert(out("e3").isEmpty) // right row is after left ts
+  }
+
+  test("multi-payload as-of never mixes columns from different right rows") {
+    // the nearest right row carries a NULL in one payload field: that NULL
+    // must win — a stale non-null from an older row must NOT leak in
+    val left = Seq((1L, 30L, "e")).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, 10L, Option(3L), Option(4L)),
+      (1L, 20L, Option.empty[Long], Option(9L)))
+      .toDF("rk", "rts", "p1", "p2")
+    val r = AsOfJoin.nearestPrior(left, right, "k", "rk", "ts", "rts",
+      Seq("p1", "p2")).head()
+    assert(Option(r.getAs[java.lang.Long]("p1")).isEmpty,
+      "p1 must be the ts=20 row's NULL, not ts=10's stale 3")
+    assert(r.getAs[Long]("p2") == 9L)
+
+    // forward direction: nearest following row's NULL also wins
+    val fRight = Seq(
+      (1L, 35L, Option.empty[Long], Option(7L)),
+      (1L, 40L, Option(5L), Option(8L)))
+      .toDF("rk", "rts", "p1", "p2")
+    val f = AsOfJoin.nearestFollowing(left, fRight, "k", "rk", "ts", "rts",
+      Seq("p1", "p2")).head()
+    assert(Option(f.getAs[java.lang.Long]("p1")).isEmpty)
+    assert(f.getAs[Long]("p2") == 7L)
   }
 
   test("nearestFollowing attaches earliest right payload at or after left ts") {

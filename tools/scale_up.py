@@ -48,6 +48,10 @@ con.sql(f"COPY ({doc_parts}) TO '{dst}/documents.parquet' (FORMAT PARQUET)")
 vec_stride = con.sql(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
 assert vec_stride * factor < 1_000_000
 dim = con.sql(f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1").fetchone()[0]
+# replica k rotates by k % dim: at k == dim the rotation is the identity and
+# replica vectors would EQUAL the originals, silently corrupting the
+# identical-vector-planting oracles this script promises to preserve
+assert factor <= dim, f"factor {factor} > dim {dim}: rotation would repeat"
 vec_parts = " UNION ALL ".join(
     f"""SELECT vec_id + {k * vec_stride} AS vec_id,
           CAST({f"embedding[{(k % dim) + 1}:] || embedding[:{k % dim}]" if k % dim else "embedding"}
