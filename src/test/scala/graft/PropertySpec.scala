@@ -117,6 +117,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decodeWav: arbitrary byte garbage never throws, loops, or " +
+    "reports impossible formats") {
+    val bytes = Gen.choose(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    // plain garbage
+    forAll(bytes, n = 300) { payload =>
+      graft.operators.Multimodal.decodeWav(payload).foreach {
+        case (rate, ch, _, frames) =>
+          assert(rate > 0 && ch > 0 && frames >= 0)
+      }
+    }
+    // garbage wearing a RIFF/WAVE header — exercises the chunk walker
+    forAll(bytes, n = 300) { tail =>
+      val framed = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+        "WAVE".getBytes ++ tail
+      graft.operators.Multimodal.decodeWav(framed).foreach {
+        case (rate, ch, _, frames) =>
+          assert(rate > 0 && ch > 0 && frames >= 0)
+      }
+    }
+  }
+
   test("Modified: formatted (Updated ...) dates always parse to that date") {
     val dates = for {
       y <- Gen.choose(1990, 2035)
