@@ -713,6 +713,63 @@ object SparkEntry {
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBytesPipeline(s, t(s, dir, "documents"))
 
+  /** SURVEY 39a: the REAL image kernel under the oracle. Solid-color PNGs
+    * whose dimensions and RGB fill are pure functions of doc_id are
+    * ImageIO-encoded on the executors, decoded back by [[Multimodal
+    * .decodeImages]], and the integer outputs (dims, band count, exact
+    * per-channel means — constant fill ⇒ mean == fill, exactly) are
+    * DuckDB-oracled against the generating formulas. */
+  private def multimodalImage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val media = ids.map { id =>
+      val w = 8 + (id % 16).toInt
+      val h = 8 + ((id / 16) % 16).toInt
+      Multimodal.MediaRow(id,
+        Multimodal.solidPng(w, h,
+          (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt),
+        "image/png", 0, 0)
+    }
+    Multimodal.decodeImages(media).toDF().select(
+      col("media_id"),
+      col("ok").cast("bigint").as("ok"),
+      col("width").cast("bigint").as("width"),
+      col("height").cast("bigint").as("height"),
+      col("channels").cast("bigint").as("channels"),
+      element_at(col("channel_mean"), 1).cast("bigint").as("mean_r"),
+      element_at(col("channel_mean"), 2).cast("bigint").as("mean_g"),
+      element_at(col("channel_mean"), 3).cast("bigint").as("mean_b"))
+  }
+
+  /** SURVEY 39b: the REAL audio kernel under the oracle. RIFF/WAVE
+    * payloads (rate/channels/frame count pure functions of doc_id, PCM
+    * body a deterministic byte ramp) are built by [[Multimodal.encodeWav]]
+    * and parsed back by the REAL [[Multimodal.decodeAudio]] chunk walk;
+    * every output — including total byte length 44 + frames·block —
+    * is integer-exact from the formulas. */
+  private def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val media = ids.map { id =>
+      val rate = 8000 + (id % 5).toInt * 2000
+      val ch = 1 + (id % 2).toInt
+      val frames = 64 + (id % 37).toInt
+      val data = new Array[Byte](frames * ch * 2)
+      var i = 0
+      while (i < data.length) { data(i) = ((id + i) % 251).toByte; i += 1 }
+      Multimodal.MediaRow(id, Multimodal.encodeWav(rate, ch, 16, data),
+        "audio/wav", 0, 0)
+    }
+    Multimodal.decodeAudio(media).toDF().select(
+      col("media_id"),
+      col("ok").cast("bigint").as("ok"),
+      col("sample_rate").cast("bigint").as("sample_rate"),
+      col("channels").cast("bigint").as("channels"),
+      col("bits_per_sample").cast("bigint").as("bits_per_sample"),
+      col("n_frames").as("n_frames"),
+      col("n_bytes").as("n_bytes"))
+  }
+
   private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     // daily-ingest shape: the new batch is half known content (copies of
     // corpus docs) and half genuinely new; only the new half survives
@@ -841,6 +898,8 @@ object SparkEntry {
       "dedup_embed" -> (dedupEmbed _),
       "dedup_groups" -> (dedupGroups _),
       "multimodal_meta" -> (multimodalMeta _),
+      "multimodal_image" -> (multimodalImage _),
+      "multimodal_audio" -> (multimodalAudio _),
       "dedup_incremental" -> (dedupIncremental _),
       "scrub_pii" -> (scrubPii _),
       "text_normalize" -> (textNormalize _),
@@ -1189,6 +1248,29 @@ object SparkEntry {
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            CAST(list_reduce(list_transform(string_split(text, ''),
                   c -> CAST(ascii(c) AS BIGINT)), (a, x) -> a + x) AS BIGINT) AS checksum
+         FROM documents""",
+    "multimodal_image" ->
+      // the generating formulas for the solid-color PNG fixtures: a
+      // constant-fill image decodes to per-channel means equal to the fill
+      // values, so the REAL ImageIO kernel's raster walk is integer-exact
+      """SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS ok,
+           CAST(8 + (doc_id % 16) AS BIGINT) AS width,
+           CAST(8 + ((doc_id // 16) % 16) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(doc_id % 256 AS BIGINT) AS mean_r,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+           CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
+         FROM documents""",
+    "multimodal_audio" ->
+      // the generating formulas for the RIFF/WAVE fixtures; n_bytes checks
+      // the canonical 44-byte header + frames*blockAlign data layout the
+      // REAL chunk-walk parser reported
+      """SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS ok,
+           CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate,
+           CAST(1 + (doc_id % 2) AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           CAST(64 + (doc_id % 37) AS BIGINT) AS n_frames,
+           CAST(44 + (64 + (doc_id % 37)) * (1 + (doc_id % 2)) * 2 AS BIGINT) AS n_bytes
          FROM documents""",
     "dedup_minhash" ->
       // identical texts → identical signatures → collide in every band and

@@ -180,6 +180,54 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL WAV encoder — the write twin of [[decodeWav]]: canonical 44-byte
+    * RIFF/WAVE header (PCM `fmt ` + `data` chunks) around raw PCM bytes.
+    * Built with little-endian `ByteBuffer` puts, independent of the
+    * parser's manual byte walk, so an encode→decode round trip exercises
+    * both directions of the RIFF layout (the oracle hook for
+    * `multimodal_audio`). */
+  def encodeWav(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      data: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val blockAlign = channels * bitsPerSample / 8
+    val buf = ByteBuffer.allocate(44 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(US_ASCII)).putInt(36 + data.length)
+      .put("WAVE".getBytes(US_ASCII))
+      .put("fmt ".getBytes(US_ASCII)).putInt(16)
+      .putShort(1.toShort) // audio format 1 = PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes(US_ASCII)).putInt(data.length)
+      .put(data)
+    buf.array()
+  }
+
+  /** Deterministic solid-color PNG through the JDK encoder — the fixture
+    * generator for oracling [[decodeImage]] on real PNG payloads: a
+    * constant-fill image makes the decoded per-channel means exact
+    * integers (`mean == fill value`), so the kernel's raster walk is
+    * checkable bit-exactly from the generating formula. */
+  def solidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Batched audio metadata extraction — the audio twin of
     * [[decodeImages]]; undecodable rows come back `ok = false`. */
   def decodeAudio(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioMeta] = {

@@ -474,6 +474,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(3L).ok) // non-WAV payload quarantined, not dropped
   }
 
+  test("encodeWav: byte-identical to the JDK's own RIFF writer for canonical PCM") {
+    for ((rate, ch, frames) <- Seq((8000, 1, 100), (44100, 2, 313), (12000, 2, 1))) {
+      val pcm = Array.tabulate[Byte](frames * ch * 2)(i => ((i * 37 + 11) % 251).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      assert(java.util.Arrays.equals(
+        Multimodal.encodeWav(rate, ch, 16, pcm), baos.toByteArray),
+        s"encodeWav($rate, $ch) diverges from AudioSystem's WAVE layout")
+    }
+  }
+
+  test("solidPng: real decode recovers exact integer channel means") {
+    val Some((w, h, ch, means)) = Multimodal.decodeImage(
+      Multimodal.solidPng(13, 9, 200, 55, 7))
+    assert(w == 13 && h == 9 && ch == 3)
+    assert(means.toSeq == Seq(200.0, 55.0, 7.0)) // constant fill ⇒ exact
+  }
+
   test("decodeWav survives corrupt chunk sizes and truncated data") {
     val good = testWav(8000, 1, 1000)
     // truncate mid-data: frame count reflects the bytes actually present
