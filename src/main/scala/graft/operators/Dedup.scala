@@ -49,36 +49,68 @@ object Dedup {
     * (scans are cheap, local, columnar); text is shuffled at most once and
     * only for rows that actually collide.
     *
-    * `broadcastColliding` picks the restriction transport. `true` (default)
+    * `broadcastColliding` picks the restriction transport. `Some(true)`
     * broadcasts the colliding ID LIST (8 bytes/row) — right whenever the
     * duplicate fraction is broadcast-sized, i.e. most corpora most days.
     * For a corpus whose duplicate mass itself is huge (first-ever dedup of
     * a raw crawl: billions of colliding ids would blow the broadcast),
-    * pass `false`: one direct (hash, content) grouping — the whole corpus
+    * `Some(false)`: one direct (hash, content) grouping — the whole corpus
     * text rides one bounded shuffle instead of any driver-sized structure.
-    * Same output either way (specced). */
+    *
+    * The default (`None`) AUTO-SELECTS: one extra aggregation job over the
+    * 8-byte hashes counts the colliding rows up front, and the broadcast
+    * path is taken only when that id list fits comfortably under
+    * `spark.sql.autoBroadcastJoinThreshold` — so a first-ever dedup of a
+    * duplicate-heavy raw crawl cannot OOM the driver by default, and the
+    * caller never has to predict duplicate mass. The probe costs one scan
+    * of the hash column (cheap, columnar, no text); at 100 TB that is noise
+    * next to either transport. Same output on every path (specced). */
   def exactGroups(
       df: DataFrame,
       id: Column,
       content: Column,
-      broadcastColliding: Boolean = true): DataFrame = {
-    if (!broadcastColliding)
-      return df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
+      broadcastColliding: Option[Boolean] = None): DataFrame = {
+    def direct: DataFrame =
+      df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
         .groupBy("h", "c")
         .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
         .select("h", "ids", "n")
-    val byHash = df.select(id.as("id"), xxhash64(content).as("h"))
-      .groupBy("h")
-      .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
-    val singles = byHash.filter(col("n") === 1).select("h", "ids", "n")
-    val collidingIds = byHash.filter(col("n") >= 2)
-      .select(explode(col("ids")).as("__cid"))
-    val verified = df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
-      .join(broadcast(collidingIds), col("id") === col("__cid"), "left_semi")
-      .groupBy("h", "c")
-      .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
-      .select("h", "ids", "n")
-    singles.unionByName(verified)
+    def viaBroadcast: DataFrame = {
+      val byHash = df.select(id.as("id"), xxhash64(content).as("h"))
+        .groupBy("h")
+        .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
+      val singles = byHash.filter(col("n") === 1).select("h", "ids", "n")
+      val collidingIds = byHash.filter(col("n") >= 2)
+        .select(explode(col("ids")).as("__cid"))
+      val verified = df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
+        .join(broadcast(collidingIds), col("id") === col("__cid"), "left_semi")
+        .groupBy("h", "c")
+        .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
+        .select("h", "ids", "n")
+      singles.unionByName(verified)
+    }
+    broadcastColliding match {
+      case Some(true)  => viaBroadcast
+      case Some(false) => direct
+      case None =>
+        val collidingRows = df
+          .select(xxhash64(content).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .agg(coalesce(sum("n"), lit(0L)))
+          .head().getLong(0)
+        val threshold =
+          df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+        // a broadcast id list costs well over the raw 8 bytes/row once
+        // boxed + hashed-relation overhead lands; 32 bytes/row is the
+        // conservative planning figure
+        val chooseBroadcast = threshold > 0 && collidingRows * 32L <= threshold
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"exactGroups auto transport: collidingRows=$collidingRows " +
+            s"threshold=$threshold -> " +
+            (if (chooseBroadcast) "broadcast-restricted" else "direct grouping"))
+        if (chooseBroadcast) viaBroadcast else direct
+    }
   }
 
   /** Fan a frame out to the session's shuffle parallelism ONLY when the

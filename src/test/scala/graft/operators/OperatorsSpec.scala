@@ -27,12 +27,49 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "text").limit(100)
     val dups = docs.select((col("doc_id") + 500).as("doc_id"), col("text"))
     val u = docs.unionByName(dups)
-    def canon(broadcastMode: Boolean) =
+    def canon(broadcastMode: Option[Boolean]) =
       Dedup.exactGroups(u, col("doc_id"), col("text"), broadcastMode)
         .collect().map(r => (r.getAs[Seq[Long]]("ids").mkString(","),
           r.getAs[Long]("n"))).toSet
-    assert(canon(true) == canon(false))
-    assert(canon(true).nonEmpty)
+    assert(canon(Some(true)) == canon(Some(false)))
+    assert(canon(Some(true)) == canon(None))
+    assert(canon(Some(true)).nonEmpty)
+  }
+
+  test("exactGroups auto transport: broadcast when colliding mass is small, " +
+    "direct grouping when it would blow the driver") {
+    // the broadcast-restricted plan contains a join (the left_semi id
+    // restriction); the direct plan is a single (h, content) grouping with
+    // no join at all — the chosen path is visible in the optimized plan
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(200)
+    val dups = docs.select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val u = docs.unionByName(dups)
+    // default threshold (10 MB): 400 colliding ids easily fit -> broadcast
+    assert(hasJoin(Dedup.exactGroups(u, col("doc_id"), col("text"))),
+      "small colliding mass must auto-select the broadcast-restricted path")
+    // crank the threshold down below 400 ids' worth: must fall back to the
+    // direct grouping, and still produce the same answer
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1024")
+      val auto = Dedup.exactGroups(u, col("doc_id"), col("text"))
+      assert(!hasJoin(auto),
+        "oversized colliding mass must auto-select the direct grouping")
+      val canonAuto = auto.collect()
+        .map(r => (r.getAs[Seq[Long]]("ids").mkString(","), r.getAs[Long]("n")))
+        .toSet
+      val canonBcast =
+        Dedup.exactGroups(u, col("doc_id"), col("text"), Some(true)).collect()
+          .map(r => (r.getAs[Seq[Long]]("ids").mkString(","), r.getAs[Long]("n")))
+          .toSet
+      assert(canonAuto == canonBcast)
+    } finally spark.conf.set(key, prev)
   }
 
   test("simhashPairs star fallback past maxEqualGroup keeps connectivity") {
