@@ -34,20 +34,26 @@ object Bench {
     catch { case _: Throwable => () }
     val setupSec = (System.nanoTime() - setupT0) / 1e9
 
-    // best of 2: first execution pays JIT/codegen compilation for that
-    // query's operators; the minimum approximates steady-state latency
+    // n=3 per query, median reported: the first execution pays JIT/codegen
+    // compilation for that query's operators, and best-of-2 proved too
+    // noisy to detect regressions (dedup_minhash swung 2.0→5.6→3.9 s across
+    // rounds on an unchanged plan). The median of three is robust to one
+    // outlier in either direction; the minimum rides along as a secondary
+    // steady-state indicator.
     val results = SparkEntry.queries.keys.toSeq.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try run(name) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.sorted
+      name -> (times(1), times.head) // (median of 3, min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup":{"bucketed_layout":$setupSec},"sf":"$sfDir"}""")
+    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"setup":{"bucketed_layout":$setupSec},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
