@@ -42,13 +42,30 @@ object StreamTopK {
   /** One ranked output row, emitted when the window closes. */
   final case class TopEntry(window_start: Long, event_type: String, n: Long, rank: Int)
 
-  /** Streaming top-`k` event types per `windowSeconds` tumbling window. */
+  /** Streaming top-`k` event types per `windowSeconds` tumbling window.
+    *
+    * `maxKeysPerWindow` bounds the per-window state map in KEY CARDINALITY
+    * (the event count never mattered — counts are longs). Below the cap
+    * the operator is exact. At the cap it degrades to the space-saving
+    * summary (Metwally et al., ICDT 2005): an unseen key evicts the
+    * current minimum-count entry and inherits its count + 1. The classic
+    * guarantees hold — any key whose true count exceeds `events/cap` is
+    * retained, and a skewed stream's genuine heavy hitters keep exact
+    * counts as long as they stay above the eviction floor — which is
+    * precisely the top-k question the operator answers. The default cap
+    * (100k keys ≈ a few MB of state per open window) is far above any
+    * enumerable event-type domain, so ordinary use never trips it; it
+    * exists so a high-cardinality key column (user ids, URLs) degrades to
+    * a bounded approximate summary instead of growing state without
+    * limit. */
   def topKPerWindow(
       events: Dataset[TypedEvent],
       windowSeconds: Long,
       k: Int,
-      watermarkDelay: String = "0 seconds"
+      watermarkDelay: String = "0 seconds",
+      maxKeysPerWindow: Int = 100000
   ): Dataset[TopEntry] = {
+    require(maxKeysPerWindow > 0, "maxKeysPerWindow must be positive")
     implicit val stateEnc = Encoders.product[WindowCounts]
     implicit val outEnc = Encoders.product[TopEntry]
     implicit val longEnc = Encoders.scalaLong
@@ -69,7 +86,17 @@ object StreamTopK {
           } else {
             val updated = evs.foldLeft(
               state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])) {
-              (m, e) => m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+              (m, e) =>
+                if (m.contains(e.event_type) || m.size < maxKeysPerWindow)
+                  m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+                else {
+                  // space-saving eviction: the new key replaces the current
+                  // minimum and inherits its count + 1 (deterministic
+                  // victim: smallest count, largest key on ties)
+                  val (vk, vn) = m.minBy { case (key, n) => (n, key) }(
+                    Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+                  (m - vk).updated(e.event_type, vn + 1L)
+                }
             }
             state.update(WindowCounts(updated))
             // fire when the watermark passes the window end (strictly

@@ -131,6 +131,165 @@ class StreamTopKSpec extends graft.SparkSpec {
   }
 }
 
+class StreamTopKCapSpec extends graft.SparkSpec {
+  import graft.streaming.StreamTopK._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000)
+
+  test("maxKeysPerWindow caps state via space-saving; heavy hitters of a " +
+    "skewed stream stay exact") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val name = s"tkcap_${System.nanoTime()}"
+    // cap of 3 state entries; two dominant keys, a tail that churns the
+    // remaining slot
+    val q = topKPerWindow(input.toDS(), windowSeconds = 3600, k = 2,
+      maxKeysPerWindow = 3)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // dominants first (occupy + grow their slots), tail churns slot 3
+      input.addData(Seq.fill(5)(TypedEvent("hot1", ts(100))) ++
+        Seq.fill(4)(TypedEvent("hot2", ts(200))): _*)
+      q.processAllAvailable()
+      input.addData(TypedEvent("cold_a", ts(300)), TypedEvent("cold_b", ts(400)),
+        TypedEvent("cold_c", ts(500)))
+      q.processAllAvailable()
+      // close the window
+      input.addData(TypedEvent("x", ts(10000)))
+      q.processAllAvailable()
+      input.addData(TypedEvent("x", ts(10001)))
+      q.processAllAvailable()
+
+      val rows = spark.table(name).as[TopEntry].collect()
+      // state never exceeded 3 entries, yet the two heavy hitters emerge
+      // with their EXACT counts (they were never eviction victims)
+      assert(rows.toSet == Set(
+        TopEntry(0, "hot1", 5, 1), TopEntry(0, "hot2", 4, 2)), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("below the cap the capped operator is exact (agrees with batch twin)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val name = s"tkuncap_${System.nanoTime()}"
+    val events = Seq(
+      TypedEvent("a", ts(100)), TypedEvent("a", ts(200)),
+      TypedEvent("b", ts(300)), TypedEvent("c", ts(400)))
+    val q = topKPerWindow(input.toDS(), windowSeconds = 3600, k = 3,
+      maxKeysPerWindow = 3)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(TypedEvent("x", ts(10000)))
+      q.processAllAvailable()
+      input.addData(TypedEvent("x", ts(10001)))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[TopEntry].collect().toSet
+      val batch = topKBatch(
+        events.map(e => (e.event_type, e.ts)).toDF("event_type", "ts"),
+        "ts", "event_type", 3600, 3).as[TopEntry].collect().toSet
+      assert(rows == batch, rows.toString)
+    } finally q.stop()
+  }
+}
+
+class RocksDBStateSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000)
+
+  private def withRocksDB[T](body: => T): T = {
+    graft.streaming.StateBackend.useRocksDB(spark)
+    try body finally graft.streaming.StateBackend.useDefault(spark)
+  }
+
+  test("closedSessions runs multi-batch on the RocksDB state store " +
+    "with identical results") {
+    import graft.streaming.StatefulSessionize._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    withRocksDB {
+      val input = MemoryStream[TsEvent]
+      val name = s"rdb_sess_${System.nanoTime()}"
+      val q = closedSessions(input.toDS(), gapSeconds = 60)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        assert(q.lastProgress == null ||
+          !q.lastProgress.stateOperators.isEmpty)
+        input.addData(TsEvent(1, ts(100)), TsEvent(1, ts(130)))
+        q.processAllAvailable()
+        input.addData(TsEvent(1, ts(10000)))
+        q.processAllAvailable()
+        input.addData(TsEvent(2, ts(20000)))
+        q.processAllAvailable()
+        input.addData(TsEvent(2, ts(20001)))
+        q.processAllAvailable()
+        val rows = spark.table(name).as[ClosedSession].collect().toSet
+        assert(rows.contains(ClosedSession(1, 100, 130, 2)), rows.toString)
+        assert(rows.contains(ClosedSession(1, 10000, 10000, 1)), rows.toString)
+        assert(rows.size == spark.table(name).count())
+        // the query really ran on RocksDB, not the default provider
+        val provider = q.lastProgress.stateOperators.head
+          .customMetrics
+        assert(provider.containsKey("rocksdbFilesCopied") ||
+          provider.containsKey("rocksdbBytesCopied"),
+          s"expected RocksDB custom metrics, got ${provider.keySet()}")
+      } finally q.stop()
+    }
+  }
+
+  test("stream_topk runs multi-batch on RocksDB with identical results") {
+    import graft.streaming.StreamTopK._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    withRocksDB {
+      val input = MemoryStream[TypedEvent]
+      val name = s"rdb_tk_${System.nanoTime()}"
+      val q = topKPerWindow(input.toDS(), windowSeconds = 3600, k = 2)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData(
+          TypedEvent("click", ts(100)), TypedEvent("click", ts(200)),
+          TypedEvent("view", ts(300)), TypedEvent("view", ts(400)),
+          TypedEvent("view", ts(500)), TypedEvent("error", ts(600)))
+        q.processAllAvailable()
+        input.addData(TypedEvent("x", ts(10000)))
+        q.processAllAvailable()
+        input.addData(TypedEvent("x", ts(10001)))
+        q.processAllAvailable()
+        val rows = spark.table(name).as[TopEntry].collect().toSet
+        assert(rows == Set(TopEntry(0, "view", 3, 1), TopEntry(0, "click", 2, 2)),
+          rows.toString)
+      } finally q.stop()
+    }
+  }
+
+  test("stream_dedup runs multi-batch on RocksDB with identical results") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    withRocksDB {
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val name = s"rdb_sd_${System.nanoTime()}"
+      val q = graft.streaming.StreamDedup.withinWatermark(
+        input.toDF().toDF("doc_id", "ts", "text"),
+        tsCol = "ts", delay = "10 minutes", keys = Seq("doc_id"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData((1L, ts(100), "a"), (2L, ts(110), "b"))
+        q.processAllAvailable()
+        input.addData((1L, ts(120), "a-dup"), (3L, ts(130), "c"))
+        q.processAllAvailable()
+        val rows = spark.table(name).collect()
+        assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+      } finally q.stop()
+    }
+  }
+}
+
 class StreamJoinSpec extends graft.SparkSpec {
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
