@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 import graft.plans.TablePlan
-import graft.sources.{Jdbc, PgCopy, PqRepo}
+import graft.sources.{Jdbc, PgCopy, PgRoles, PqRepo}
 import graft.sync.Modified
 
 /** Top-level façade: the reference's workflow entry points re-expressed
@@ -108,7 +108,14 @@ object Graft {
     * from the plan's output schema first (the reference's schema-only
     * CTAS, duckdb_ddl.py:3). Every other dialect pairing — or
     * `binaryCopy = false` — falls back to the planned partitioned JDBC
-    * read + typed JDBC write. */
+    * read + typed JDBC write.
+    *
+    * `createRoles` mirrors the reference's public default
+    * (update.py:92-127, `create_roles=True`): on a PostgreSQL destination
+    * the schema is created when absent, a schema-named owner role and a
+    * `<schema>_access` read role are ensured with USAGE, and the loaded
+    * table gets OWNER + GRANT SELECT. Role DDL is PG-dialect-only, so
+    * non-PG destinations skip it (like the COPY pumps). */
   def dbToDb(
       spark: SparkSession,
       srcUrl: String,
@@ -120,12 +127,15 @@ object Graft {
       dstSchema: Option[String] = None,
       dstTable: Option[String] = None,
       colTypes: Map[String, String] = Map.empty,
-      binaryCopy: Boolean = true
+      binaryCopy: Boolean = true,
+      createRoles: Boolean = true
   ): Unit = {
     val ds = dstSchema.getOrElse(schema)
     val dt = dstTable.getOrElse(table)
+    val pgDst = PgCopy.isPostgres(dstUrl)
+    if (pgDst) PgRoles.ensureSchemaAndRoles(dstUrl, ds, createRoles)
     if (binaryCopy && colTypes.isEmpty &&
-        PgCopy.isPostgres(srcUrl) && PgCopy.isPostgres(dstUrl)) {
+        PgCopy.isPostgres(srcUrl) && pgDst) {
       // plan output schema (names + types) without touching the source:
       // apply the plan to an empty frame carrying the source schema
       val out = plan(spark.createDataFrame(
@@ -139,6 +149,7 @@ object Graft {
       Jdbc.writeTable(
         Jdbc.readTable(spark, srcUrl, plan, schema, table, sourceSchema),
         dstUrl, ds, dt, colTypes)
+    if (pgDst && createRoles) PgRoles.applyTableRoles(dstUrl, ds, dt)
   }
 
   /** Export every table of a database schema to the repo
@@ -189,7 +200,11 @@ object Graft {
     * existence semantics COPY has no protocol for, so they always go
     * through the JDBC writer (as do other dialects). Timestamps serialize
     * through JDBC `toString`; keep the JVM and the PG server on UTC
-    * (graft sessions default to UTC) for lossless round-trips. */
+    * (graft sessions default to UTC) for lossless round-trips.
+    *
+    * `createRoles` as in [[dbToDb]]: the reference's schema-owner +
+    * `<schema>_access` role management (update.py:92-127), applied on
+    * PostgreSQL destinations only. */
   def pqToDb(
       repo: PqRepo,
       url: String,
@@ -201,13 +216,16 @@ object Graft {
       mode: SaveMode = SaveMode.Overwrite,
       stampComment: Boolean = false,
       commentWriteSql: Option[String] => Option[String] = _ => None,
-      copyIngest: Boolean = true
+      copyIngest: Boolean = true,
+      createRoles: Boolean = true
   ): Unit = {
     val ds = dstSchema.getOrElse(schema)
     val dt = dstTable.getOrElse(table)
     val df = repo.table(schema, table)
+    val pgDst = PgCopy.isPostgres(url)
+    if (pgDst) PgRoles.ensureSchemaAndRoles(url, ds, createRoles)
     val copyMode = mode == SaveMode.Overwrite || mode == SaveMode.Append
-    if (copyIngest && copyMode && PgCopy.isPostgres(url)) {
+    if (copyIngest && copyMode && pgDst) {
       val pgTypes = colTypes.map { case (c, t) =>
         c -> graft.plans.Types.toPostgres(t)
       }
@@ -221,6 +239,7 @@ object Graft {
       PgCopy.copyFromDataFrame(df, url, ds, dt)
     } else
       Jdbc.writeTable(df, url, ds, dt, colTypes, mode)
+    if (pgDst && createRoles) PgRoles.applyTableRoles(url, ds, dt)
     if (stampComment) {
       val comment = repo.lastModified(schema, table)
       Jdbc.setTableComment(url, dstSchema.getOrElse(schema),
