@@ -93,6 +93,88 @@ object Jdbc {
       predicates.toArray, props)
   }
 
+  /** Quantile-probed range predicates for a skew-resistant partitioned
+    * read.
+    *
+    * Spark's lowerBound/upperBound stride cuts the ID RANGE into equal
+    * widths — on a mostly-deleted or hotspotted id column (every aged
+    * production table) one stripe then holds most of the rows and its
+    * task becomes the straggler that gates the whole ingest. This probe
+    * asks the database for the column's actual row-count quantiles and
+    * cuts there instead, so every partition carries ~rows/numPartitions
+    * regardless of how the ids are distributed.
+    *
+    * The probe is dialect-portable by construction: one COUNT plus
+    * `numPartitions - 1` single-row `ORDER BY col OFFSET k ROWS FETCH
+    * NEXT 1 ROWS ONLY` lookups (SQL:2008, runs on Derby and PostgreSQL
+    * alike) — each an index seek on any sanely-indexed partition column.
+    * Duplicate boundaries (few distinct values) collapse, so predicates
+    * are always disjoint and covering; rows with NULL ids ride in the
+    * first partition. Feed the result to [[readTablePredicates]], or call
+    * [[readTableSkewBalanced]] which does both. */
+  def skewBalancedPredicates(
+      url: String,
+      schema: String,
+      table: String,
+      column: String,
+      numPartitions: Int): Seq[String] = {
+    require(numPartitions >= 1, "numPartitions must be >= 1")
+    val qt = s"${sqlIdent(schema)}.${sqlIdent(table)}"
+    val qc = sqlIdent(column)
+    val conn = java.sql.DriverManager.getConnection(url)
+    val boundaries =
+      try {
+        val st = conn.createStatement()
+        val n =
+          try {
+            val rs = st.executeQuery(s"SELECT COUNT(*) FROM $qt")
+            rs.next(); rs.getLong(1)
+          } finally st.close()
+        (1 until numPartitions)
+          .map(i => i * n / numPartitions)
+          .filter(off => off > 0 && off < n)
+          .distinct
+          .flatMap { off =>
+            val st2 = conn.createStatement()
+            try {
+              val rs = st2.executeQuery(
+                s"SELECT $qc FROM $qt WHERE $qc IS NOT NULL ORDER BY $qc " +
+                  s"OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY")
+              if (rs.next()) Some(rs.getLong(1)) else None
+            } finally st2.close()
+          }
+          .distinct
+          .sorted
+      } finally conn.close()
+    if (boundaries.isEmpty) Seq("1=1")
+    else {
+      val first = s"$qc < ${boundaries.head} OR $qc IS NULL"
+      val mids = boundaries.sliding(2).collect {
+        case Seq(lo, hi) => s"$qc >= $lo AND $qc < $hi"
+      }.toSeq
+      val last = s"$qc >= ${boundaries.last}"
+      (first +: mids) :+ last
+    }
+  }
+
+  /** Partitioned read cut at the column's row-count quantiles instead of
+    * equal id-range widths — the skew-resistant form of the
+    * `partitionColumn` stride. */
+  def readTableSkewBalanced(
+      spark: SparkSession,
+      url: String,
+      plan: TablePlan,
+      schema: String,
+      table: String,
+      sourceSchema: StructType,
+      column: String,
+      numPartitions: Int = 32,
+      properties: java.util.Properties = new java.util.Properties()
+  ): DataFrame =
+    readTablePredicates(spark, url, plan, schema, table, sourceSchema,
+      skewBalancedPredicates(url, schema, table, column, numPartitions),
+      properties)
+
   /** Read the result of an arbitrary SQL query (reference wrds_sql_to_pq,
     * core.py:529): the query runs inside the database. */
   def readSql(

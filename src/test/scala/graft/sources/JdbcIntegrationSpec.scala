@@ -315,8 +315,79 @@ class JdbcPredicatesSpec extends SparkSpec {
   }
 }
 
+/** Skew-resistant partitioned ingest: quantile-probed predicates must
+  * balance a mostly-deleted id range where the equal-width stride cannot. */
+class JdbcSkewBalanceSpec extends SparkSpec {
+  private val url = "jdbc:derby:memory:graftskew;create=true"
+
+  test("quantile-cut predicates balance a skewed id distribution that the " +
+    "equal-width stride piles onto one partition") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("CREATE SCHEMA SK") catch { case _: Exception => }
+      try st.execute("DROP TABLE SK.T") catch { case _: Exception => }
+      st.execute("CREATE TABLE SK.T (ID BIGINT NOT NULL, V DOUBLE)")
+      // the aged-table shape: a dense surviving block of low ids plus a
+      // sparse tail of high ids (everything between was deleted)
+      val ids = (1L to 900L) ++ (0L until 100L).map(i => 100000L + i * 1000L)
+      ids.grouped(100).foreach { chunk =>
+        st.execute("INSERT INTO SK.T VALUES " +
+          chunk.map(i => s"($i, ${i * 0.5})").mkString(", "))
+      }
+    } finally conn.close()
+
+    val sourceSchema = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "SK.T").load().schema
+
+    def partCounts(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.rdd.mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.size.toLong))
+      }.collect().sortBy(_._1).map(_._2).toSeq
+
+    // equal-width stride over the id RANGE: the dense block lands in one
+    // stripe — the straggler this operator exists to prevent
+    val strided = Jdbc.readTable(spark, url, graft.plans.TablePlan(),
+      "SK", "T", sourceSchema, partitionColumn = Some("ID"),
+      lowerBound = Some(1L), upperBound = Some(199001L), numPartitions = 4)
+    assert(partCounts(strided).max >= 900L)
+
+    // quantile-cut predicates: every partition carries ~n/k
+    val preds = Jdbc.skewBalancedPredicates(url, "SK", "T", "ID", 4)
+    assert(preds.length == 4, preds.toString)
+    val balanced = Jdbc.readTableSkewBalanced(spark, url,
+      graft.plans.TablePlan(), "SK", "T", sourceSchema, "ID", 4)
+    val counts = partCounts(balanced)
+    assert(counts.length == 4)
+    assert(counts.sum == 1000L)                   // disjoint + covering
+    assert(counts.max <= 260L, counts.toString)   // ~250 each, no straggler
+    assert(balanced.agg(org.apache.spark.sql.functions.sum("ID")).head().getLong(0)
+      == ((1L to 900L) ++ (0L until 100L).map(i => 100000L + i * 1000L)).sum)
+  }
+
+  test("degenerate cases: single partition and few distinct values") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("CREATE SCHEMA SK") catch { case _: Exception => }
+      try st.execute("DROP TABLE SK.U") catch { case _: Exception => }
+      st.execute("CREATE TABLE SK.U (ID BIGINT)")
+      st.execute("INSERT INTO SK.U VALUES " +
+        (1 to 50).map(_ => "(7)").mkString(", "))
+    } finally conn.close()
+    assert(Jdbc.skewBalancedPredicates(url, "SK", "U", "ID", 1) == Seq("1=1"))
+    // one distinct value: boundaries collapse, predicates stay disjoint
+    val preds = Jdbc.skewBalancedPredicates(url, "SK", "U", "ID", 4)
+    val sourceSchema = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "SK.U").load().schema
+    val df = Jdbc.readTablePredicates(spark, url, graft.plans.TablePlan(),
+      "SK", "U", sourceSchema, preds)
+    assert(df.count() == 50L)
+  }
+}
+
 /** Comment WRITE parity (reference set_table_comment + the pq_to_pg stamp,
-  * update.py:220): stamped comment must feed the read gate end-to-end. */
+    update.py:220): stamped comment must feed the read gate end-to-end. */
 class JdbcCommentWriteSpec extends SparkSpec {
 
   private val url = "jdbc:derby:memory:graftcwrite;create=true"
