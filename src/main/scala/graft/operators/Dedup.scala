@@ -124,36 +124,31 @@ object Dedup {
     if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts, key)
   }
 
-  /** All unordered (i<j) pairs within a collected bucket, scored and
-    * thresholded *inside* the array expression: the explode then emits only
-    * surviving (id_a, id_b, score) structs — candidate pairs never
-    * materialize with their (wide) sketches attached. */
-  private def scoredBucketPairs(
-      xs: Column,
-      score: (Column, Column) => Column,
-      keepIf: Column => Column): Column =
-    flatten(transform(xs, (x, i) =>
-      filter(
-        transform(slice(xs, i + lit(2), size(xs)), y =>
-          struct(
-            least(x.getField("id"), y.getField("id")).as("id_a"),
-            greatest(x.getField("id"), y.getField("id")).as("id_b"),
-            score(x, y).as("score"))),
-        s => keepIf(s.getField("score")))))
-
   /** MinHash-LSH near-duplicate pairs.
     *
     * docs(idCol, textCol) → verified pairs (id_a < id_b, est_jaccard).
-    * Pipeline: distinct char-k-shingles → n-slot signature → b band
-    * hashes → ONE shuffle grouping (band, bandHash) buckets → in-bucket
-    * pair expansion as an array expression → signature-agreement filter.
+    * Pipeline: distinct char-k-shingles → n-slot signature → collapse to
+    * DISTINCT signatures (ids ride along as a list) → equal-signature
+    * pairs directly (est 1.0) + b band hashes over distinct signatures →
+    * bucket grouping → in-bucket pair expansion between distinct
+    * signatures → member-id expansion.
+    *
+    * Collapsing before banding is the duplicate-crowding guard (the same
+    * shape [[simhashPairs]] took from the 20×-scale run, now organic-
+    * corpus-proven here too): a boilerplate doc copied a million times
+    * lands ONE entry per band bucket instead of a million — per-row
+    * banding would blow every one of its buckets past `maxBucket` and
+    * silently drop exactly the duplicates being hunted, or OOM the task
+    * expanding m(m-1)/2 in-array pairs. Equal-signature groups emit their
+    * pairs unconditionally (no bucket cap can lose an exact-duplicate
+    * pair), with `maxEqualGroup` star fallback bounding the in-array
+    * expansion of one degenerate group (connectivity preserved — see
+    * [[simhashPairs]]). `maxBucket` then guards only genuine
+    * distinct-signature band crowding. Corpus-wide shuffles carry the
+    * fixed-width signature, never text.
     *
     * Deliberately NOT a self-join: joining the banded frame with itself
     * would re-execute the (expensive) signature pipeline once per side.
-    * The bucket-collect shape computes signatures once and shuffles only
-    * `(band, hash, id, signature)`. `maxBucket` caps degenerate buckets
-    * (boilerplate-heavy corpora) so no single task explodes — the
-    * standard LSH skew guard at 100 TB.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -163,7 +158,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      maxBucket: Int = 500
+      maxBucket: Int = 500,
+      maxEqualGroup: Int = 2000
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
@@ -193,19 +189,49 @@ object Dedup {
             org.apache.spark.sql.graft.ColumnBridge.expression(col("t")),
             shingleK, numHashes)).as("sig"))
 
-    val banded = sigs
-      .select(col("id"), col("sig"),
+    // collapse to distinct signatures BEFORE banding: the only corpus-wide
+    // shuffle keyed on the fixed-width signature; duplicate mass becomes
+    // list payload instead of bucket crowding
+    val bySig = sigs.groupBy("sig")
+      .agg(sort_array(collect_list("id")).as("ids"))
+
+    // identical signature ⇒ every slot agrees ⇒ est 1.0 (≥ any threshold):
+    // intra-group pairs found unconditionally, star fallback past
+    // maxEqualGroup (all-pairs of a million-copy group would OOM the task)
+    val equalPairs = bySig
+      .filter(size(col("ids")) >= 2)
+      .select(explode(
+        when(size(col("ids")) <= maxEqualGroup, idPairs(col("ids")))
+          .otherwise(starPairs(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+
+    // band buckets over DISTINCT signatures; cross-signature candidate
+    // scoring stays an in-array expression (est < 1.0 by construction —
+    // distinct signatures disagree in at least one slot — so these never
+    // duplicate equalPairs), then expansion to member-id pairs
+    val banded = bySig
+      .select(col("sig"), col("ids"),
         posexplode(MinHash.bandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
 
-    banded
+    val crossPairs = banded
       .groupBy("band", "bh")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
+      .agg(collect_list(struct(col("sig"), col("ids"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-      .select(explode(scoredBucketPairs(col("xs"),
-        (x, y) => MinHash.estJaccard(x.getField("sig"), y.getField("sig")),
-        _ >= threshold)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.score").as("est_jaccard"))
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        filter(
+          transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+            struct(x.getField("ids").as("ids_a"), y.getField("ids").as("ids_b"),
+              MinHash.estJaccard(x.getField("sig"), y.getField("sig"))
+                .as("est"))),
+          s => s.getField("est") >= threshold)))).as("sp"))
+      .select(explode(col("sp.ids_a")).as("ia"), col("sp.ids_b"), col("sp.est"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("est"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("est").as("est_jaccard"))
+
+    equalPairs.unionByName(crossPairs)
       .groupBy("id_a", "id_b")
       .agg(max("est_jaccard").as("est_jaccard"))
   }

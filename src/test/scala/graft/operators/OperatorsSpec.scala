@@ -88,6 +88,29 @@ class DedupSpec extends SparkSpec {
     assert((0 until 12).forall(i => labels(i.toLong) == 0L))
   }
 
+  test("minhashPairs survives duplicate crowding past maxBucket " +
+    "(organic-corpus regression: per-row band buckets dropped dup pairs)") {
+    val docs = ((0 until 30).map(i => (i.toLong, "same exact duplicated content here")) ++
+      Seq((100L, "completely different text payload indeed")))
+      .toDF("doc_id", "text")
+    // maxBucket far below the duplicate count: collapsing to distinct
+    // signatures must still find every identical pair at est 1.0
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 48, bands = 12, threshold = 1.0, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 30 * 29 / 2)
+    assert(pairs.forall { case (a, b, e) => a < b && b < 100L && e == 1.0 })
+  }
+
+  test("minhashPairs star fallback past maxEqualGroup keeps connectivity") {
+    val docs = (0 until 12).map(i => (i.toLong, "identical content here again"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 48, bands = 12, threshold = 1.0, maxEqualGroup = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1 until 12).map(i => (0L, i.toLong)).toSet)
+  }
+
   test("minhashPairs finds planted near-duplicates and not random pairs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").limit(100)
