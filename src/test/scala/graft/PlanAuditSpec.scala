@@ -93,10 +93,25 @@ class PipelinePlanAuditSpec extends SparkSpec {
   }
 
   test("dedup_minhash computes the signature expression exactly once") {
-    val p = physical("dedup_minhash")
-    val occurrences = "graft_minhash_signature".r.findAllIn(p).length
+    // The distinct-signature collapse is a diamond: equal-signature pairs
+    // and band buckets both consume it. The initial plan prints the shared
+    // subtree under each Union branch, but AQE's exchange reuse executes
+    // the scan + signature + collapse shuffle ONCE and feeds the second
+    // branch a ReusedExchange — so the audit must run the query and assert
+    // on the post-execution final plan, where exactly one live signature
+    // computation remains.
+    val df = SparkEntry.queries("dedup_minhash")(spark, sfDir)
+    df.queryExecution.executedPlan.executeCollect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    val occurrences = "graft_minhash_signature".r.findAllIn(finalPlan).length
     assert(occurrences == 1,
-      s"signature should appear once in the plan, found $occurrences:\n$p")
+      s"signature should be computed once in the executed plan, found $occurrences:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"expected the collapse shuffle to be reused by the band branch:\n$finalPlan")
   }
 
   test("scrub_pii stays one codegen projection over the scan (no shuffle)") {
