@@ -48,12 +48,24 @@ object Bench {
       }.sorted
       name -> (times(1), times.head) // (median of 3, min)
     }
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+    // The harness reading this line keeps only a bounded tail of stdout, so
+    // the line must stay short: millisecond precision, medians only. The
+    // full-precision medians AND minimums go to bench_detail.json instead.
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"setup":{"bucketed_layout":$setupSec},"sf":"$sfDir"}""")
+    val detail = {
+      val med = results.map { case (k, (m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+      val mn = results.map { case (k, (_, m)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"sf":"$sfDir"}"""
+    }
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
+    // printed after spark.stop() so no executor/streaming shutdown chatter
+    // can land between this line and end-of-output
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"setup":{"bucketed_layout":${fmt(setupSec)}},"sf":"$sfDir"}""")
   }
 }
