@@ -218,8 +218,10 @@ class RocksDBStateSpec extends graft.SparkSpec {
       val q = closedSessions(input.toDS(), gapSeconds = 60)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
-        assert(q.lastProgress == null ||
-          !q.lastProgress.stateOperators.isEmpty)
+        // no assertion on q.lastProgress here: a zero-data batch 0 may or
+        // may not have completed yet, and its progress carries empty
+        // stateOperators — the custom-metrics check below is the real
+        // proof the query ran on RocksDB
         input.addData(TsEvent(1, ts(100)), TsEvent(1, ts(130)))
         q.processAllAvailable()
         input.addData(TsEvent(1, ts(10000)))
