@@ -829,6 +829,54 @@ object SparkEntry {
         .otherwise(pmod(col("doc_id"), lit(10)) < 2))
       .select(col("doc_id"), col("lang"))
 
+  /** SURVEY 45 `fuzzy_join`: Levenshtein-1 join via deletion-neighborhood
+    * blocking (SymSpell) — probes are part names with one doc-deterministic
+    * character deleted; the join recovers every part whose name is within
+    * edit distance 1, through a hash equi-join on variant hashes plus exact
+    * verification, never a cross product. Oracle is DuckDB's naive
+    * cross-join `levenshtein` filter over the same probes. */
+  private def fuzzyJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val probes = part.filter(col("p_partkey") % 199 === 0).select(
+      col("p_partkey").as("probe_id"),
+      expr("""concat(substring(p_name, 1, cast(p_partkey % length(p_name) as int)),
+                     substring(p_name, cast(p_partkey % length(p_name) as int) + 2))""")
+        .as("probe_name"))
+    operators.FuzzyJoin
+      .join(probes, part, "probe_id", "probe_name", "p_partkey", "p_name", maxDist = 1)
+      .select(col("probe_id"), col("p_partkey").as("cand_id"),
+        col("dist").cast("bigint").as("dist"))
+  }
+
+  /** SURVEY 46 `q_interval_join`: point-in-interval join through day
+    * binning (no nested-loop cross product) — campaigns derived from
+    * orders cover date ranges in the events window; events are attributed
+    * by containment and rolled up per campaign. */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val campaigns = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(
+        col("o_orderkey").as("campaign_id"),
+        expr("date_add(date'2024-01-01', cast(o_orderkey % 28 as int))").as("start_day"),
+        expr("date_add(date'2024-01-01', cast(o_orderkey % 28 as int) + cast(o_orderkey % 7 as int))").as("end_day"))
+    val events = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("value"))
+    operators.IntervalJoin
+      .overlapJoin(events, campaigns, "day", "start_day", "end_day")
+      .groupBy("campaign_id")
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_cents"))
+  }
+
+  /** SURVEY 47 `dedup_substring`: cross-document repeated 8-token spans
+    * (Lee et al. dedup signal) over documents plus planted copies of the
+    * first 50 — span hashes shuffle, text never does. */
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    operators.Dedup.sharedSpans(docs.union(planted), "doc_id", "text", n = 8)
+  }
+
   // ===== registry ===========================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -906,7 +954,10 @@ object SparkEntry {
       "q_repetition" -> (qRepetition _),
       "contamination" -> (contaminationQ _),
       "tfidf_topk" -> (tfidfTopK _),
-      "q_stratified_sample" -> (qStratifiedSample _)
+      "q_stratified_sample" -> (qStratifiedSample _),
+      "fuzzy_join" -> (fuzzyJoinQ _),
+      "q_interval_join" -> (qIntervalJoin _),
+      "dedup_substring" -> (dedupSubstring _)
     )
 
   // ===== oracles ============================================================
@@ -1428,6 +1479,45 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE CASE WHEN lang = 'en' THEN doc_id % 10 < 5
                     ELSE doc_id % 10 < 2 END""",
+    "fuzzy_join" ->
+      // the naive O(|probes|·|part|) shape the operator exists to avoid —
+      // exactly right as an oracle at verification scale
+      """WITH probes AS (
+           SELECT p_partkey AS probe_id,
+             substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+               || substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2) AS probe_name
+           FROM part WHERE p_partkey % 199 = 0)
+         SELECT DISTINCT pr.probe_id, p.p_partkey AS cand_id,
+           CAST(levenshtein(pr.probe_name, p.p_name) AS BIGINT) AS dist
+         FROM probes pr JOIN part p
+           ON levenshtein(pr.probe_name, p.p_name) <= 1""",
+    "q_interval_join" ->
+      """WITH c AS (
+           SELECT o_orderkey AS campaign_id,
+             DATE '2024-01-01' + CAST(o_orderkey % 28 AS INT) AS start_day,
+             DATE '2024-01-01' + CAST(o_orderkey % 28 AS INT)
+               + CAST(o_orderkey % 7 AS INT) AS end_day
+           FROM orders WHERE o_orderkey % 997 = 0)
+         SELECT c.campaign_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events e JOIN c
+           ON CAST(e.ts AS DATE) BETWEEN c.start_day AND c.end_day
+         GROUP BY c.campaign_id""",
+    "dedup_substring" ->
+      raw"""WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+          g AS (
+            SELECT doc_id, list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 7, 0) + 1),
+                     i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS grams
+            FROM (SELECT doc_id, ${wsTokensSql("text")} AS toks FROM u)),
+          e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+          s AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 2)
+          SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(count(*) FILTER (WHERE e.gram IN (SELECT gram FROM s)) AS BIGINT) AS n_shared
+          FROM e GROUP BY e.doc_id""",
     "embed_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
           pairs AS (

@@ -495,4 +495,44 @@ object Dedup {
         sequence(lit(0), size(toks) - lit(n)),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
   }
+
+  /** Cross-document repeated-span profile (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" signal): for each
+    * document, how many of its distinct `n`-token spans also appear in at
+    * least one OTHER document. Documents whose text is mostly shared spans
+    * are boilerplate/template mass that exact and near dedup both miss —
+    * the spans repeat, the documents don't.
+    *
+    * Scale shape: spans leave their document only as 8-byte `xxhash64`
+    * values — the native [[wordNgrams]] kernel builds the distinct span
+    * set in one pass, and both shuffles (span-frequency count, per-doc
+    * roll-up) carry `(hash, id)` pairs, never text. `hashed=false` keeps
+    * the span strings end to end: bit-identical output absent 64-bit hash
+    * collisions (specced), there for audit runs.
+    *
+    * Returns `(idCol, n_spans, n_shared)` — documents with fewer than `n`
+    * tokens have no spans and are absent, mirroring the explode. */
+  def sharedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      hashed: Boolean = true): DataFrame = {
+    val spanKey = if (hashed) xxhash64(col("__span")) else col("__span")
+    val spans = docs
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__span"))
+      .select(col(idCol), spanKey.as("__k"))
+    // span sets are per-doc distinct already (wordNgrams distincts), so
+    // counting rows per key counts documents — no count-distinct Expand
+    val sharedKeys = spans.groupBy("__k")
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select("__k")
+    spans
+      .join(sharedKeys.withColumn("__shared", lit(1L)), Seq("__k"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__shared").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) join without an all-pairs comparison.
+  *
+  * Blocking is by deletion neighborhoods (the SymSpell idea): every string
+  * generates the set of variants reachable by deleting at most `maxDist`
+  * characters, and two strings within Levenshtein distance `maxDist` of
+  * each other always share at least one such variant — substitutions
+  * delete the differing position on both sides, insertions/deletions
+  * delete on one side. The join key is the 8-byte `xxhash64` of the
+  * variant, so candidate generation is one hash-keyed equi-join Catalyst
+  * can shuffle or broadcast like any other; candidates are then verified
+  * with the exact `levenshtein` kernel (which also discards the ~2^-64
+  * hash-collision false positives). Nothing is ever compared across the
+  * full cross product.
+  *
+  * Designed for short join keys — names, titles, codes: a string of length
+  * L fans out to O(L^maxDist) variants, which is the classic space/time
+  * trade for `maxDist` ≤ 2. Reference analog: record-linkage joins the
+  * db2pq workflow does in post-load SQL (db2pq/core.py:529 arbitrary-SQL
+  * reads); here it is a first-class distributed operator.
+  */
+object FuzzyJoin {
+
+  /** Array of all strings reachable from `c` by deleting at most `maxDist`
+    * characters (including `c` itself), distinct. Pure Spark SQL functions
+    * — codegen'd, no UDF. */
+  def deletionVariants(c: Column, maxDist: Int): Column = {
+    require(maxDist >= 0 && maxDist <= 2,
+      s"maxDist must be 0..2 (got $maxDist): variant fan-out is O(len^k)")
+    // one deletion round applied to every string in `arr`
+    def round(arr: Column): Column = array_distinct(flatten(transform(
+      arr,
+      s =>
+        transform(
+          sequence(lit(0), length(s)),
+          i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))))
+    // i = length(s) contributes s itself (delete nothing), so each round
+    // accumulates the smaller neighborhoods for free
+    (1 to maxDist).foldLeft(array(c))((acc, _) => round(acc))
+  }
+
+  /** Join `left` and `right` on Levenshtein(leftCol, rightCol) <= maxDist.
+    *
+    * Emits one row per matching (left id, right id) pair: `(leftId,
+    * rightId, dist)`. Both inputs are exploded into their deletion
+    * neighborhoods, equi-joined on the variant hash, exactly verified, and
+    * deduplicated — a pair sharing several variants still appears once.
+    * The id columns must each be unique within their side. */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      leftCol: String,
+      rightId: String,
+      rightCol: String,
+      maxDist: Int = 1): DataFrame = {
+    val lv = left
+      .select(col(leftId), col(leftCol),
+        explode(deletionVariants(col(leftCol), maxDist)).as("__v"))
+      .select(col(leftId), col(leftCol), xxhash64(col("__v")).as("__vh"))
+      .distinct()
+    val rv = right
+      .select(col(rightId), col(rightCol),
+        explode(deletionVariants(col(rightCol), maxDist)).as("__v"))
+      .select(col(rightId), col(rightCol), xxhash64(col("__v")).as("__vh"))
+      .distinct()
+    lv.join(rv, "__vh")
+      .filter(levenshtein(col(leftCol), col(rightCol)) <= maxDist)
+      .select(col(leftId), col(rightId),
+        levenshtein(col(leftCol), col(rightCol)).as("dist"))
+      .distinct()
+  }
+}
