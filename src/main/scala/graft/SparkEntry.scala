@@ -1289,8 +1289,16 @@ object SparkEntry {
           FROM events GROUP BY 1""",
     "dedup_embed" ->
       // identical vectors always share every LSH bucket → recall is exact,
-      // components collapse to the original ids deterministically
-      "SELECT vec_id FROM embeddings",
+      // components collapse to their minimum id deterministically. Computed
+      // from content (min id per identical-embedding group), not from the
+      // planted structure, so corpora with organic exact-dup cliques (the
+      // --skew robustness corpus) are described correctly too; assumes no
+      // DISTINCT vectors at cos >= 0.999, like the operator's threshold.
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 1000000, embedding FROM embeddings
+                    WHERE vec_id % 5 = 0)
+         SELECT min(vec_id) AS vec_id FROM u GROUP BY embedding""",
     "multimodal_meta" ->
       // documents are ASCII (one byte per char), so the UTF-8 byte sum is
       // the ascii-code sum; the stub decoder's feature fold is that exact
@@ -1350,8 +1358,17 @@ object SparkEntry {
          SELECT doc_id FROM u WHERE strlen(text) < 5""",
     "embed_lsh_ann" ->
       // identical vectors share the sign pattern of every hyperplane →
-      // same bucket, cosine exactly 1.0 after 6-dp rounding
-      "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cos FROM embeddings",
+      // same bucket, cosine exactly 1.0 after 6-dp rounding. The pair set
+      // is recomputed from content equality (canonical id_a < id_b), so
+      // organic exact-dup cliques beyond the planted (v, v+1000000) pairs
+      // — e.g. the --skew robustness corpus — are described correctly.
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 1000000, embedding FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos
+         FROM u a JOIN u b
+           ON a.embedding = b.embedding AND a.vec_id < b.vec_id""",
     "embed_ivf_ann" ->
       // nprobe = numCentroids ≡ exact brute-force top-k
       s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

@@ -8,15 +8,32 @@ transforms:
     structure exactly: each replica carries its own organic duplicates,
     planted +1000000 copies are still the only cross-id equal texts)
   - embeddings: replica k > 0 circularly shifts the vector by k dims
-    (distinct vectors, cosine far from 1, so identical-vector planting
-    oracles are untouched)
+    (distinct vectors, cosine far from 1; the identical-vector oracles
+    recompute pair sets from content equality, so both the rotations and
+    any --skew exact copies are described correctly)
   - events: replica k > 0 shifts event_id and user_id by per-column
     strides (sessions/windows never merge across replicas; timestamps
     unchanged, so hourly windows get factor-times denser — the window /
     sessionize / as-of / streaming-twin stress case)
 All other tables are copied unscaled.
 
-Usage: scale_up.py SRC_SF_DIR DST_DIR FACTOR
+With `--skew`, a zipf-shaped duplicate tail is appended on top of the
+uniform replicas — the organic-skew stress the uniform replication
+preserves away:
+  - documents: hot doc r (r = 1..~50, doc_id % 101 == 0 in the base)
+    gains ceil(200/r) EXACT copies (ids from 5,000,000 up, clear of the
+    +1,000,000 planting offset and every replica id) — equal-text groups
+    of up to 200 members exercise maxBucket/maxEqualGroup guard exactness
+    (the oracle keeps every pair; any guard that silently drops one
+    mismatches)
+  - events: the busiest user's events are replayed 50x with fresh
+    event_ids and +k-second timestamps — one hot session key
+  - embeddings: vector 0 gains 100 exact copies (ids 5,000,000+) — one
+    hot LSH bucket / identical-cosine clique
+Oracles stay valid by construction: the DuckDB oracle recomputes on the
+same files, so added duplicates are described identically on both sides.
+
+Usage: scale_up.py SRC_SF_DIR DST_DIR FACTOR [--skew]
 """
 import os
 import shutil
@@ -25,6 +42,8 @@ import sys
 import duckdb
 
 src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+skew = "--skew" in sys.argv[4:]
+SKEW_BASE = 5_000_000
 os.makedirs(dst, exist_ok=True)
 
 SCALED = ("documents.parquet", "embeddings.parquet", "events.parquet")
@@ -43,6 +62,15 @@ doc_parts = " UNION ALL ".join(
           n_chars{f" + {len(f' rep{k}')}" if k else ""} AS n_chars
         FROM '{src}/documents.parquet'"""
     for k in range(factor))
+if skew:
+    # zipf tail: hot doc with rank r gets ceil(200/r) exact copies
+    doc_parts += f""" UNION ALL
+        SELECT {SKEW_BASE} + row_number() OVER (ORDER BY doc_id, c) AS doc_id,
+          text, lang, source, n_chars
+        FROM (SELECT *, row_number() OVER (ORDER BY doc_id) AS r
+              FROM '{src}/documents.parquet' WHERE doc_id % 101 = 0) h
+        CROSS JOIN (SELECT unnest(range(200)) AS c)
+        WHERE c < CAST(ceil(200.0 / r) AS BIGINT)"""
 con.sql(f"COPY ({doc_parts}) TO '{dst}/documents.parquet' (FORMAT PARQUET)")
 
 vec_stride = con.sql(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
@@ -59,6 +87,11 @@ vec_parts = " UNION ALL ".join(
           label
         FROM '{src}/embeddings.parquet'"""
     for k in range(factor))
+if skew:
+    vec_parts += f""" UNION ALL
+        SELECT {SKEW_BASE} + c AS vec_id, embedding, label
+        FROM (SELECT * FROM '{src}/embeddings.parquet' WHERE vec_id = 0)
+        CROSS JOIN (SELECT unnest(range(100)) AS c)"""
 con.sql(f"COPY ({vec_parts}) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
 
 ev_stride = con.sql(f"SELECT max(event_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
@@ -68,9 +101,17 @@ ev_parts = " UNION ALL ".join(
           user_id + {k * u_stride} AS user_id, event_type, value, props
         FROM '{src}/events.parquet'"""
     for k in range(factor))
+if skew:
+    hot_user = con.sql(f"""SELECT user_id FROM '{src}/events.parquet'
+        GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT 1""").fetchone()[0]
+    ev_parts += f""" UNION ALL
+        SELECT {SKEW_BASE} + row_number() OVER (ORDER BY event_id, c) AS event_id,
+          ts + to_seconds(c + 1) AS ts, user_id, event_type, value, props
+        FROM (SELECT * FROM '{src}/events.parquet' WHERE user_id = {hot_user})
+        CROSS JOIN (SELECT unnest(range(50)) AS c)"""
 con.sql(f"COPY ({ev_parts}) TO '{dst}/events.parquet' (FORMAT PARQUET)")
 
-print(f"scaled {src} -> {dst} x{factor}: "
+print(f"scaled {src} -> {dst} x{factor}{' +skew' if skew else ''}: "
       f"{doc_stride * factor} docs, {vec_stride * factor} vectors, "
       f"{factor}x events")
 
