@@ -877,6 +877,30 @@ object SparkEntry {
     operators.Dedup.sharedSpans(docs.union(planted), "doc_id", "text", n = 8)
   }
 
+  /** SURVEY 48 `pipeline_curate`: the flagship end-to-end curation run —
+    * what a user actually does with this library. Language gate → quality
+    * gate (6-dp-rounded so the double comparison is engine-stable) →
+    * normalized exact dedup → benchmark decontamination (hashed gram join,
+    * the scale path; hash≡string is specced) → training-ready token
+    * counts. Every stage is an already-oracled operator; this query pins
+    * their COMPOSITION end to end. */
+  private def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val gated = docs
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .withColumn("quality", round(TextFunctions.qualityScore(col("text")), 6))
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
+    val deduped = Dedup.exact(
+      gated.withColumn("norm", TextFunctions.normalizeText(col("text"))),
+      Seq("norm"), Seq(col("doc_id")))
+    val contaminated = operators.Contamination.ngramOverlap(
+      deduped, docs.filter(col("doc_id") < 20), "doc_id", "text", n = 5)
+      .select("doc_id")
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).cast("bigint").as("n_tokens"))
+  }
+
   // ===== registry ===========================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -957,7 +981,8 @@ object SparkEntry {
       "q_stratified_sample" -> (qStratifiedSample _),
       "fuzzy_join" -> (fuzzyJoinQ _),
       "q_interval_join" -> (qIntervalJoin _),
-      "dedup_substring" -> (dedupSubstring _)
+      "dedup_substring" -> (dedupSubstring _),
+      "pipeline_curate" -> (pipelineCurate _)
     )
 
   // ===== oracles ============================================================
@@ -983,6 +1008,18 @@ object SparkEntry {
     }
     s"CASE ${whens.mkString(" ")} ELSE '${ls.last}' END"
   }
+
+  /** The quality-score formula over a `text` column — shared by the
+    * `text_quality` oracle and the `pipeline_curate` gate so both describe
+    * the identical double expression (operation order matters). */
+  private val qualitySql: String =
+    raw"""0.5 * (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(len(text), 1) AS DOUBLE))
+          + 0.3 * least((CAST(len(list_filter(${wsTokensSql("lower(text)")},
+                   t -> t IN ${inList(TextFunctions.StopwordsEn)})) AS DOUBLE)
+                   / CAST(greatest(len(${wsTokensSql("text")}), 1) AS DOUBLE)) * 5.0, 1.0)
+          + 0.2 * (1.0 - least((CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(len(text), 1) AS DOUBLE)) * 10.0, 1.0))"""
 
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -1400,15 +1437,7 @@ object SparkEntry {
           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe
           FROM documents""",
     "text_quality" ->
-      raw"""SELECT doc_id, round(
-            0.5 * (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                   / CAST(greatest(len(text), 1) AS DOUBLE))
-          + 0.3 * least((CAST(len(list_filter(${wsTokensSql("lower(text)")},
-                   t -> t IN ${inList(TextFunctions.StopwordsEn)})) AS DOUBLE)
-                   / CAST(greatest(len(${wsTokensSql("text")}), 1) AS DOUBLE)) * 5.0, 1.0)
-          + 0.2 * (1.0 - least((CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                   / CAST(greatest(len(text), 1) AS DOUBLE)) * 10.0, 1.0)), 6) AS quality
-          FROM documents""",
+      s"SELECT doc_id, round($qualitySql, 6) AS quality FROM documents",
     "lang_id" ->
       s"SELECT doc_id, $langCaseSql AS lang_pred FROM (SELECT doc_id, $langScoresSql FROM documents)",
     "doc_fingerprint" ->
@@ -1520,6 +1549,37 @@ object SparkEntry {
          FROM events e JOIN c
            ON CAST(e.ts AS DATE) BETWEEN c.start_day AND c.end_day
          GROUP BY c.campaign_id""",
+    "pipeline_curate" ->
+      raw"""WITH scored AS (
+            SELECT doc_id, text, $langCaseSql AS lang_pred,
+              round($qualitySql, 6) AS quality
+            FROM (SELECT doc_id, text, $langScoresSql FROM documents)),
+          gated AS (
+            SELECT doc_id, text FROM scored
+            WHERE lang_pred = 'en' AND quality >= 0.3),
+          deduped AS (
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+              FROM gated)
+            QUALIFY row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1),
+          bg AS (
+            SELECT DISTINCT unnest(list_transform(
+                range(1, greatest(len(toks) - 4, 0) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS ng
+            FROM (SELECT ${wsTokensSql("text")} AS toks
+                  FROM documents WHERE doc_id < 20)),
+          contam AS (
+            SELECT DISTINCT doc_id FROM (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(toks) - 4, 0) + 1),
+                  i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS ng
+              FROM (SELECT doc_id, ${wsTokensSql("text")} AS toks FROM deduped)) cg
+            WHERE ng IN (SELECT ng FROM bg))
+          SELECT doc_id,
+            CAST(len(${wsTokensSql("text")}) AS BIGINT) AS n_tokens
+          FROM deduped
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam)""",
     "dedup_substring" ->
       raw"""WITH u AS (
             SELECT doc_id, text FROM documents

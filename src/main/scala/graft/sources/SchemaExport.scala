@@ -16,9 +16,31 @@ import graft.plans.TablePlan
   */
 object SchemaExport {
 
+  /** Run `f` over `items` from a bounded thread pool, preserving order.
+    *
+    * Each table export is an independent Spark job writing its own
+    * destination directory; Spark schedules jobs submitted from multiple
+    * threads concurrently, so the per-job planning / parquet-footer /
+    * commit latency overlaps instead of accumulating serially — at a
+    * 1000-table schema the difference between one night and one coffee.
+    * Failures propagate: the first exception aborts the await. */
+  private def inParallel[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+    if (parallelism <= 1 || items.sizeIs <= 1) items.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(parallelism, items.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+      finally pool.shutdown()
+    }
+
   /** Export `tables` from a parquet directory into `repo/<schema>/`.
     * Returns (table, written path) pairs; skips via repo.updateWrite when
-    * `sourceComment` is provided and the destination is current. */
+    * `sourceComment` is provided and the destination is current.
+    * `parallelism` bounds concurrent table jobs (each lands in its own
+    * destination directory, so exports are independent). */
   def fromParquetDir(
       spark: SparkSession,
       srcDir: String,
@@ -27,9 +49,10 @@ object SchemaExport {
       schema: String,
       plan: TablePlan = TablePlan(),
       modified: Option[String] = None,
-      archiveExisting: Boolean = false
+      archiveExisting: Boolean = false,
+      parallelism: Int = 4
   ): Seq[(String, Path)] =
-    tables.map { table =>
+    inParallel(tables, parallelism) { table =>
       val df = plan(spark.read.parquet(s"$srcDir/$table.parquet"))
       table -> repo.write(df, schema, table, modified = modified,
         archiveExisting = archiveExisting)
@@ -45,9 +68,10 @@ object SchemaExport {
       schema: String,
       sourceComment: String => Option[String],
       plan: TablePlan = TablePlan(),
-      force: Boolean = false
+      force: Boolean = false,
+      parallelism: Int = 4
   ): Seq[(String, Option[Path])] =
-    tables.map { table =>
+    inParallel(tables, parallelism) { table =>
       table -> repo.updateWrite(
         plan(spark.read.parquet(s"$srcDir/$table.parquet")),
         schema, table, sourceComment(table), force = force)
