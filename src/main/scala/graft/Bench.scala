@@ -52,7 +52,10 @@ object Bench {
     // the line must stay short: millisecond precision, medians only. The
     // full-precision medians AND minimums go to bench_detail.json instead.
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt(med) }
+    // per-query at centisecond precision: 77+ entries must leave room for
+    // sbt's trailing success line inside the same bounded tail
+    def fmt2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt2(med) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val detail = {
