@@ -901,6 +901,20 @@ object SparkEntry {
         TextFunctions.wsTokenCount(col("text")).cast("bigint").as("n_tokens"))
   }
 
+  /** SURVEY 12d `q_zorder`: the Morton-curve values behind
+    * [[graft.sources.PqRepo.writeZOrdered]]'s multi-dimensional data
+    * skipping, integer-exact under a DuckDB bit-arithmetic oracle (the
+    * layout's bounding-box advantage over 1-D sort is ZOrderSpec's
+    * file-level proof). */
+  private def qZOrder(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+      .select(col("p_partkey"),
+        expr("p_partkey % 256").as("x"),
+        expr("(p_partkey div 7) % 256").as("y"))
+    part.select(col("p_partkey"), col("x"), col("y"),
+      functions.ZOrder.zValue(Seq(col("x"), col("y")), 8).as("z"))
+  }
+
   // ===== registry ===========================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -982,7 +996,8 @@ object SparkEntry {
       "fuzzy_join" -> (fuzzyJoinQ _),
       "q_interval_join" -> (qIntervalJoin _),
       "dedup_substring" -> (dedupSubstring _),
-      "pipeline_curate" -> (pipelineCurate _)
+      "pipeline_curate" -> (pipelineCurate _),
+      "q_zorder" -> (qZOrder _)
     )
 
   // ===== oracles ============================================================
@@ -1549,6 +1564,17 @@ object SparkEntry {
          FROM events e JOIN c
            ON CAST(e.ts AS DATE) BETWEEN c.start_day AND c.end_day
          GROUP BY c.campaign_id""",
+    "q_zorder" ->
+      // naive per-bit interleave: bit i of x lands at 2i, of y at 2i+1
+      """WITH b AS (
+           SELECT p_partkey, p_partkey % 256 AS x,
+             (p_partkey // 7) % 256 AS y
+           FROM part)
+         SELECT p_partkey, x, y,
+           CAST(list_reduce(list_transform(range(0, 8),
+             i -> (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))),
+             (a, v) -> a | v) AS BIGINT) AS z
+         FROM b""",
     "pipeline_curate" ->
       raw"""WITH scored AS (
             SELECT doc_id, text, $langCaseSql AS lang_pred,

@@ -58,16 +58,19 @@ object FuzzyJoin {
       rightId: String,
       rightCol: String,
       maxDist: Int = 1): DataFrame = {
+    // no per-side distinct: deletionVariants already array_distincts, so
+    // each side's exploded (id, variant) rows are unique — a distinct here
+    // would only add a full exchange + two hash aggregates per side. A
+    // pair matching through several shared variants is collapsed by the
+    // final pair-level distinct instead.
     val lv = left
       .select(col(leftId), col(leftCol),
         explode(deletionVariants(col(leftCol), maxDist)).as("__v"))
       .select(col(leftId), col(leftCol), xxhash64(col("__v")).as("__vh"))
-      .distinct()
     val rv = right
       .select(col(rightId), col(rightCol),
         explode(deletionVariants(col(rightCol), maxDist)).as("__v"))
       .select(col(rightId), col(rightCol), xxhash64(col("__v")).as("__vh"))
-      .distinct()
     lv.join(rv, "__vh")
       .filter(levenshtein(col(leftCol), col(rightCol)) <= maxDist)
       .select(col(leftId), col(rightId),

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, max, min}
 import org.apache.spark.sql.types.MetadataBuilder
 
 import graft.sync.Modified
@@ -229,6 +229,41 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     val laid = df
       .repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
+    write(laid, schema, table, modified = modified)
+  }
+
+  /** Z-ordered write: rows are laid out along the Morton curve of
+    * `zCols`, so every output file covers a small hyper-rectangle in ALL
+    * the indexed dimensions and parquet min/max stats skip files for
+    * filters on any of them — where [[writeSorted]] only serves its
+    * leading column (see [[graft.functions.ZOrder]]).
+    *
+    * One cheap min/max aggregation normalizes each column onto the curve
+    * domain (a driver-side handful of doubles — no rank shuffle); the
+    * data then takes exactly one range shuffle on the z-value, like
+    * writeSorted does on its keys. */
+  def writeZOrdered(
+      df: DataFrame,
+      schema: String,
+      table: String,
+      zCols: Seq[String],
+      numFiles: Int,
+      bits: Int = 16,
+      modified: Option[String] = None
+  ): Path = {
+    import graft.functions.ZOrder
+    val bounds = df.select(
+      zCols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))): _*
+    ).head()
+    val normalized = zCols.map { c =>
+      ZOrder.normalize(col(c),
+        lit(bounds.getAs[Any](s"__min_$c")), lit(bounds.getAs[Any](s"__max_$c")), bits)
+    }
+    val laid = df
+      .withColumn("__z", ZOrder.zValue(normalized, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
     write(laid, schema, table, modified = modified)
   }
 
