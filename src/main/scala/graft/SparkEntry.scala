@@ -915,6 +915,20 @@ object SparkEntry {
       functions.ZOrder.zValue(Seq(col("x"), col("y")), 8).as("z"))
   }
 
+  /** SURVEY 23k `q_scd2`: slowly-changing-dimension history over the
+    * events log — per-user runs of equal event_type collapse into validity
+    * intervals; one shuffle on the entity key (Scd2Spec plan audit).
+    * `valid_to` is −1 while current so the nullable column compares
+    * engine-stably. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    operators.Scd2
+      .buildHistory(t(s, dir, "events"), "user_id", "ts",
+        Seq("event_type"), Seq("event_id"))
+      .select(col("user_id"), col("event_type"),
+        epochSec(col("valid_from")).as("valid_from_sec"),
+        coalesce(epochSec(col("valid_to")), lit(-1L)).as("valid_to_sec"),
+        col("version"))
+
   // ===== registry ===========================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -997,7 +1011,8 @@ object SparkEntry {
       "q_interval_join" -> (qIntervalJoin _),
       "dedup_substring" -> (dedupSubstring _),
       "pipeline_curate" -> (pipelineCurate _),
-      "q_zorder" -> (qZOrder _)
+      "q_zorder" -> (qZOrder _),
+      "q_scd2" -> (qScd2 _)
     )
 
   // ===== oracles ============================================================
@@ -1564,6 +1579,27 @@ object SparkEntry {
          FROM events e JOIN c
            ON CAST(e.ts AS DATE) BETWEEN c.start_day AND c.end_day
          GROUP BY c.campaign_id""",
+    "q_scd2" ->
+      """WITH r AS (
+           SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS new_run
+           FROM events),
+         s AS (
+           SELECT *, sum(new_run) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS run
+           FROM r),
+         g AS (
+           SELECT user_id, run, min(event_type) AS event_type,
+             min(ts) AS valid_from
+           FROM s GROUP BY 1, 2)
+         SELECT user_id, event_type,
+           CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from_sec,
+           coalesce(CAST(floor(epoch(lead(valid_from) OVER
+             (PARTITION BY user_id ORDER BY run))) AS BIGINT), -1) AS valid_to_sec,
+           CAST(run AS BIGINT) AS version
+         FROM g""",
     "q_zorder" ->
       // naive per-bit interleave: bit i of x lands at 2i, of y at 2i+1
       """WITH b AS (
