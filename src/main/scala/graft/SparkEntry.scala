@@ -929,6 +929,45 @@ object SparkEntry {
         coalesce(epochSec(col("valid_to")), lit(-1L)).as("valid_to_sec"),
         col("version"))
 
+  /** SURVEY 23l `q_funnel`: ordered conversion funnel view → click →
+    * purchase — each step's earliest qualifying timestamp must follow the
+    * previous step's. Per-step min-aggregations and joins all key on the
+    * user, so every stage reuses one user-hash partitioning; no window
+    * over the full event log. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+    def step(of: String, after: Option[DataFrame]): DataFrame = {
+      val base = ev.filter(col("event_type") === of)
+      val scoped = after match {
+        case None => base
+        case Some(prev) => base.join(prev, "user_id").filter(col("ts") > col("t"))
+      }
+      scoped.groupBy("user_id").agg(min(col("ts")).as("t"))
+    }
+    val s1 = step("view", None)
+    val s2 = step("click", Some(s1.select(col("user_id"), col("t"))))
+    val s3 = step("purchase", Some(s2.select(col("user_id"), col("t"))))
+    Seq(("1_view", s1), ("2_click", s2), ("3_purchase", s3))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** SURVEY 23m `q_retention`: cohort retention — users grouped by first
+    * active day, counted on each later active day as a day offset. The
+    * per-(user, day) distinct rows make the final count Expand-free. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val activity = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = activity.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("day_offset").cast("bigint").as("day_offset"), col("n_users"))
+  }
+
   // ===== registry ===========================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1012,7 +1051,9 @@ object SparkEntry {
       "dedup_substring" -> (dedupSubstring _),
       "pipeline_curate" -> (pipelineCurate _),
       "q_zorder" -> (qZOrder _),
-      "q_scd2" -> (qScd2 _)
+      "q_scd2" -> (qScd2 _),
+      "q_funnel" -> (qFunnel _),
+      "q_retention" -> (qRetention _)
     )
 
   // ===== oracles ============================================================
@@ -1579,6 +1620,32 @@ object SparkEntry {
          FROM events e JOIN c
            ON CAST(e.ts AS DATE) BETWEEN c.start_day AND c.end_day
          GROUP BY c.campaign_id""",
+    "q_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+         SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+         UNION ALL
+         SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+         UNION ALL
+         SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3""",
+    "q_retention" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+         SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2""",
     "q_scd2" ->
       """WITH r AS (
            SELECT user_id, event_type, ts, event_id,
