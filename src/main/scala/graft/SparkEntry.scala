@@ -968,6 +968,25 @@ object SparkEntry {
         col("day_offset").cast("bigint").as("day_offset"), col("n_users"))
   }
 
+  /** SURVEY 40b `url_canonicalize`: URL-level dedup keys — the
+    * crawl-frontier stage that runs before any content is fetched. Noisy
+    * URLs (mixed-case host/scheme, default ports, tracking params,
+    * fragments, shuffled argument order) are pure functions of `doc_id`;
+    * the canonical form must collapse them deterministically. */
+  private def urlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    val noisy = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'https' END"),
+        lit("://Example"), col("doc_id") % 7, lit(".COM"),
+        expr("CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 3 = 2 THEN ':443' ELSE ':80' END) ELSE '' END"),
+        lit("/p/"), col("doc_id") % 50,
+        lit("?utm_source=x&b="), col("doc_id") % 5, lit("&a=1"),
+        expr("CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END")).as("url"))
+    noisy.select(col("doc_id"), col("url"),
+      TextFunctions.canonicalizeUrl(col("url")).as("canon"))
+  }
+
   // ===== registry ===========================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1053,7 +1072,8 @@ object SparkEntry {
       "q_zorder" -> (qZOrder _),
       "q_scd2" -> (qScd2 _),
       "q_funnel" -> (qFunnel _),
-      "q_retention" -> (qRetention _)
+      "q_retention" -> (qRetention _),
+      "url_canonicalize" -> (urlCanonicalize _)
     )
 
   // ===== oracles ============================================================
@@ -1620,6 +1640,38 @@ object SparkEntry {
          FROM events e JOIN c
            ON CAST(e.ts AS DATE) BETWEEN c.start_day AND c.end_day
          GROUP BY c.campaign_id""",
+    "url_canonicalize" ->
+      raw"""WITH u AS (
+            SELECT doc_id,
+              (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'https' END)
+              || '://Example' || (doc_id % 7) || '.COM'
+              || (CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 3 = 2 THEN ':443' ELSE ':80' END) ELSE '' END)
+              || '/p/' || (doc_id % 50)
+              || '?utm_source=x&b=' || (doc_id % 5) || '&a=1'
+              || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+            FROM documents),
+          parts AS (
+            SELECT doc_id, url,
+              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+              lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+(:[0-9]+)', 1) AS port,
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+              regexp_extract(url, '(\?[^#]*)', 1) AS query
+            FROM u)
+          SELECT doc_id, url,
+            scheme || '://' || host
+            || (CASE WHEN port = '' OR (scheme = 'http' AND port = ':80')
+                       OR (scheme = 'https' AND port = ':443')
+                     THEN '' ELSE port END)
+            || (CASE WHEN path = '' THEN '/' ELSE path END)
+            || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS canon
+          FROM (
+            SELECT *, list_sort(list_filter(
+                string_split(regexp_replace(query, '^\?', ''), '&'),
+                p -> p <> '' AND NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid')
+                  OR starts_with(p, 'gclid') OR starts_with(p, 'msclkid')
+                  OR starts_with(p, 'mc_eid') OR starts_with(p, 'ref_')))) AS kept
+            FROM parts)""",
     "q_funnel" ->
       """WITH s1 AS (
            SELECT user_id, min(ts) AS t FROM events

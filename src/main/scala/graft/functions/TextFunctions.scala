@@ -192,4 +192,40 @@ object TextFunctions {
             sequence(lit(1), length(c) - lit(k) + lit(1)),
             i => c.substr(i, lit(k))
           )))
+
+  /** Query parameters stripped before URL-level dedup: tracking junk that
+    * makes one page look like a thousand. */
+  val TrackingParams: Seq[String] =
+    Seq("utm_", "fbclid", "gclid", "msclkid", "mc_eid", "ref_")
+
+  private val UrlPartsRegex =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?(#.*)?$"
+
+  /** Canonical URL for URL-level dedup (the crawl-frontier stage that runs
+    * BEFORE content is ever fetched): lowercase scheme and host, drop
+    * default ports and fragments, remove tracking parameters, sort the
+    * surviving query parameters so argument order doesn't split identical
+    * pages. Non-URLs canonicalize to null. Composed regexp/array
+    * functions — codegen'd, no UDF. */
+  def canonicalizeUrl(c: Column): Column = {
+    def part(i: Int): Column = regexp_extract(c, UrlPartsRegex, i)
+    val scheme = lower(part(1))
+    val host = lower(part(2))
+    val port = part(3)
+    val keptPort = when(
+      port === "" ||
+        (scheme === "http" && port === ":80") ||
+        (scheme === "https" && port === ":443"), "")
+      .otherwise(port)
+    val path = when(part(4) === "", "/").otherwise(part(4))
+    val rawQuery = part(5)
+    val kept = array_sort(filter(
+      split(regexp_replace(rawQuery, "^\\?", ""), "&"),
+      p => p =!= "" && !TrackingParams
+        .map(t => p.startsWith(t)).reduce(_ || _)))
+    val query = when(size(kept) > 0,
+      concat(lit("?"), array_join(kept, "&"))).otherwise("")
+    when(part(1) === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, keptPort, path, query))
+  }
 }
