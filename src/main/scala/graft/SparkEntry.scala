@@ -931,9 +931,11 @@ object SparkEntry {
 
   /** SURVEY 23l `q_funnel`: ordered conversion funnel view → click →
     * purchase — each step's earliest qualifying timestamp must follow the
-    * previous step's. Per-step min-aggregations and joins all key on the
-    * user, so every stage reuses one user-hash partitioning; no window
-    * over the full event log. */
+    * previous step's. Every exchange carries fixed-width (user, ts) pairs
+    * — the event log itself is never shuffled — and the per-user
+    * prior-step frames broadcast while they fit, falling back to a
+    * shuffled join on the user key when they don't (Catalyst picks by
+    * size); no window pass over the full log. */
   private def qFunnel(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
     def step(of: String, after: Option[DataFrame]): DataFrame = {
