@@ -45,10 +45,19 @@ object Graft {
       lowerBound: Option[Long] = None,
       upperBound: Option[Long] = None,
       numPartitions: Int = 32,
-      archive: Boolean = false
+      archive: Boolean = false,
+      skewBalanced: Boolean = false
   ): Path = {
-    val df = Jdbc.readTable(spark, url, plan, schema, table, sourceSchema,
-      partitionColumn, lowerBound, upperBound, numPartitions)
+    // skewBalanced cuts the partition column at database-probed row-count
+    // quantiles instead of equal id-range widths, so a hotspotted or
+    // mostly-deleted id range cannot produce one straggler fetch task
+    val df =
+      if (skewBalanced && partitionColumn.isDefined)
+        Jdbc.readTableSkewBalanced(spark, url, plan, schema, table,
+          sourceSchema, partitionColumn.get, numPartitions)
+      else
+        Jdbc.readTable(spark, url, plan, schema, table, sourceSchema,
+          partitionColumn, lowerBound, upperBound, numPartitions)
     repo.write(df, schema, altTableName.getOrElse(table),
       modified = modified, archiveExisting = archive)
   }

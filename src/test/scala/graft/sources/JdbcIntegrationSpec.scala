@@ -384,6 +384,32 @@ class JdbcSkewBalanceSpec extends SparkSpec {
       "SK", "U", sourceSchema, preds)
     assert(df.count() == 50L)
   }
+
+  test("Graft.dbToPq(skewBalanced = true) lands the full table through " +
+    "quantile-cut partitions") {
+    // reuses SK.T from the balance test (ordered test execution within a
+    // suite); re-create defensively in case it ran alone
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("CREATE SCHEMA SK") catch { case _: Exception => }
+      try {
+        st.execute("CREATE TABLE SK.T (ID BIGINT NOT NULL, V DOUBLE)")
+        val ids = (1L to 900L) ++ (0L until 100L).map(i => 100000L + i * 1000L)
+        ids.grouped(100).foreach { chunk =>
+          st.execute("INSERT INTO SK.T VALUES " +
+            chunk.map(i => s"($i, ${i * 0.5})").mkString(", "))
+        }
+      } catch { case _: Exception => () } // already there
+    } finally conn.close()
+    val sourceSchema = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "SK.T").load().schema
+    val repoDir = java.nio.file.Files.createTempDirectory("skewrepo").toString
+    val repo = PqRepo(spark, repoDir)
+    graft.Graft.dbToPq(spark, url, "SK", "T", sourceSchema, repo,
+      partitionColumn = Some("ID"), numPartitions = 4, skewBalanced = true)
+    assert(repo.table("SK", "T").count() == 1000L)
+  }
 }
 
 /** Comment WRITE parity (reference set_table_comment + the pq_to_pg stamp,
