@@ -989,6 +989,19 @@ object SparkEntry {
       TextFunctions.canonicalizeUrl(col("url")).as("canon"))
   }
 
+  /** SURVEY 23n `q_transitions`: per-user event-type transition counts
+    * (the Markov matrix behind journey analysis): one window pass keyed on
+    * the user (lag over ts, event_id tie-break), then a global rollup of
+    * fixed-width (from, to) pairs. */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // ===== registry ===========================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1075,7 +1088,8 @@ object SparkEntry {
       "q_scd2" -> (qScd2 _),
       "q_funnel" -> (qFunnel _),
       "q_retention" -> (qRetention _),
-      "url_canonicalize" -> (urlCanonicalize _)
+      "url_canonicalize" -> (urlCanonicalize _),
+      "q_transitions" -> (qTransitions _)
     )
 
   // ===== oracles ============================================================
@@ -1642,6 +1656,15 @@ object SparkEntry {
          FROM events e JOIN c
            ON CAST(e.ts AS DATE) BETWEEN c.start_day AND c.end_day
          GROUP BY c.campaign_id""",
+    "q_transitions" ->
+      """SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT event_type, lag(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events)
+         WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2""",
     "url_canonicalize" ->
       raw"""WITH u AS (
             SELECT doc_id,
