@@ -71,10 +71,13 @@ object FuzzyJoin {
       .select(col(rightId), col(rightCol),
         explode(deletionVariants(col(rightCol), maxDist)).as("__v"))
       .select(col(rightId), col(rightCol), xxhash64(col("__v")).as("__vh"))
+    // threshold form early-exits the DP at a band of width maxDist —
+    // O(maxDist·len) per candidate instead of O(len²); returns -1 past
+    // the bound, which is also what discards hash-collision candidates
     lv.join(rv, "__vh")
-      .filter(levenshtein(col(leftCol), col(rightCol)) <= maxDist)
-      .select(col(leftId), col(rightId),
-        levenshtein(col(leftCol), col(rightCol)).as("dist"))
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col(leftId), col(rightId), col("dist"))
       .distinct()
   }
 }
