@@ -1002,6 +1002,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** SURVEY 43a `source_minhash`: group-level MinHash — which SOURCES have
+    * near-identical vocabularies. 32-slot signatures via composed min
+    * aggregates (map-side partials, one shuffle of 32 longs per source);
+    * pair comparison runs over sketch rows only. Integer-exact under a
+    * DuckDB oracle that replicates the Karp–Rabin folds and the 32-bit
+    * avalanche finisher bit-for-bit. */
+  private def sourceMinhash(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "documents").select(
+      col("source"), explode(TextFunctions.wsTokens(col("text"))).as("tok"))
+    operators.SetSketch.signaturePairs(
+      operators.SetSketch.groupMinhash(items, "source", "tok", numHashes = 32),
+      "source")
+  }
+
   // ===== registry ===========================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1089,7 +1103,8 @@ object SparkEntry {
       "q_funnel" -> (qFunnel _),
       "q_retention" -> (qRetention _),
       "url_canonicalize" -> (urlCanonicalize _),
-      "q_transitions" -> (qTransitions _)
+      "q_transitions" -> (qTransitions _),
+      "source_minhash" -> (sourceMinhash _)
     )
 
   // ===== oracles ============================================================
@@ -1656,6 +1671,32 @@ object SparkEntry {
          FROM events e JOIN c
            ON CAST(e.ts AS DATE) BETWEEN c.start_day AND c.end_day
          GROUP BY c.campaign_id""",
+    "source_minhash" -> {
+      def fold(base: Long, mod: Long) =
+        raw"""CASE WHEN len(tok) = 0 THEN 0
+              ELSE list_reduce(list_transform(string_split(tok, ''),
+                     c -> CAST(ascii(c) AS BIGINT)),
+                     (a, x) -> (a * $base + x) % $mod) END"""
+      def mix(x: String) = {
+        val r1 = s"((xor(($x) >> 16, $x) * 73244475) & 4294967295)"
+        val r2 = s"((xor($r1 >> 16, $r1) * 73244475) & 4294967295)"
+        s"xor($r2 >> 16, $r2)"
+      }
+      val h1 = mix(s"(${fold(257, 1000000007L)}) & 4294967295")
+      val h2 = s"(${mix(s"((${fold(131, 1000000009L)}) + 2654435769) & 4294967295")} | 1)"
+      val sigCols = (0 until 32)
+        .map(i => s"min((h1 + $i * h2) % 2147483647) AS s$i").mkString(", ")
+      val matches = (0 until 32)
+        .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      raw"""WITH v AS (
+            SELECT DISTINCT source, unnest(${wsTokensSql("text")}) AS tok
+            FROM documents),
+          h AS (SELECT source, $h1 AS h1, $h2 AS h2 FROM v),
+          s AS (SELECT source, $sigCols FROM h GROUP BY 1)
+          SELECT a.source AS key_a, b.source AS key_b,
+            CAST($matches AS BIGINT) AS n_match
+          FROM s a JOIN s b ON a.source < b.source"""
+    },
     "q_transitions" ->
       """SELECT prev_type AS from_type, event_type AS to_type,
            CAST(count(*) AS BIGINT) AS n

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SetSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sigs(rows: Seq[(String, String)], n: Int) =
+    SetSketch.groupMinhash(rows.toDF("g", "item"), "g", "item", n)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+
+  test("identical item sets produce identical signatures; duplicates are " +
+    "irrelevant; disjoint sets differ") {
+    val a = Seq("x", "y", "z").map("a" -> _)
+    val b = Seq("x", "y", "z", "z", "y").map("b" -> _) // same set, with dups
+    val c = Seq("p", "q", "r").map("c" -> _)
+    val s = sigs(a ++ b ++ c, 32)
+    assert(s("a") == s("b"))
+    assert(s("a") != s("c"))
+    assert(s("a").length == 32)
+  }
+
+  test("signature agreement estimates Jaccard within MinHash tolerance") {
+    val rnd = new scala.util.Random(5)
+    val universe = Seq.tabulate(400)(i => s"tok$i")
+    val setA = universe.take(300).toSet
+    val setB = universe.drop(100).toSet // |A ∩ B| = 200, |A ∪ B| = 400
+    val exact = 200.0 / 400.0
+    val rows = setA.toSeq.map("a" -> _) ++ setB.toSeq.map("b" -> _) ++
+      Seq.fill(1)(rnd.nextInt).map(_ => "c" -> "solo") // unrelated group
+    val s = sigs(rows, 128)
+    val est = s("a").zip(s("b")).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+  }
+
+  test("signaturePairs counts agreements over sketch rows only") {
+    val rows = Seq("x", "y").map("a" -> _) ++ Seq("x", "y").map("b" -> _) ++
+      Seq("q").map("c" -> _)
+    val pairs = SetSketch.signaturePairs(
+      SetSketch.groupMinhash(rows.toDF("g", "item"), "g", "item", 16), "g")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs.exists(p => p._1 == "a" && p._2 == "b" && p._3 == 16L))
+    assert(pairs.size == 3) // (a,b) (a,c) (b,c)
+  }
+
+  test("the signature aggregation partial-aggregates map-side") {
+    val df = Seq("a" -> "x", "b" -> "y").toDF("g", "item")
+    val plan = SetSketch.groupMinhash(df, "g", "item", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"no partial aggregation in:\n$plan")
+  }
+}
