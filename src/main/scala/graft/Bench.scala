@@ -69,6 +69,8 @@ object Bench {
     spark.stop()
     // printed after spark.stop() so no executor/streaming shutdown chatter
     // can land between this line and end-of-output
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"setup":{"bucketed_layout":${fmt(setupSec)}},"sf":"$sfDir"}""")
+    // basename only: the full path spends tail budget on constant prefix
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"setup":{"bucketed_layout":${fmt(setupSec)}},"sf":"$sfName"}""")
   }
 }

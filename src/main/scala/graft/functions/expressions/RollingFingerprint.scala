@@ -19,18 +19,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * NULL input → NULL; empty string → 0L.
   */
-case class RollingFingerprint(child: Expression) extends UnaryExpression {
+case class RollingFingerprint(
+    child: Expression,
+    base: Long = 257L,
+    mod: Long = 1000000007L) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_fingerprint"
 
   override protected def nullSafeEval(input: Any): Any =
-    RollingFingerprint.compute(input.asInstanceOf[UTF8String])
+    RollingFingerprint.compute(input.asInstanceOf[UTF8String], base, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.expressions.RollingFingerprint.compute($c)")
+      c => s"graft.functions.expressions.RollingFingerprint.compute($c, ${base}L, ${mod}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -38,11 +41,12 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
 
 object RollingFingerprint {
 
-  private val Mod = 1000000007L
-
   /** Static kernel (also called from generated code). Walks UTF-8 bytes,
-    * decoding one code point per step — matches `ascii()` per character. */
-  def compute(s: UTF8String): Long = {
+    * decoding one code point per step — matches `ascii()` per character.
+    * Parameterized base/mod so independent hash families (e.g.
+    * [[graft.operators.SetSketch]]'s second fold) reuse the same
+    * zero-allocation walk. */
+  def compute(s: UTF8String, base: Long = 257L, mod: Long = 1000000007L): Long = {
     val bytes = s.getBytes
     val n = bytes.length
     if (n == 0) return 0L
@@ -62,7 +66,7 @@ object RollingFingerprint {
         j += 1
       }
       i += len
-      h = if (h < 0) cp.toLong else (h * 257L + cp) % Mod
+      h = if (h < 0) cp.toLong else (h * base + cp) % mod
     }
     if (h < 0) 0L else h
   }

@@ -31,8 +31,16 @@ object SetSketch {
   private val MixC = 0x45d9f3bL
 
   /** Second Karp–Rabin fold (base 131 mod 1e9+9), independent of
-    * [[TextFunctions.fingerprint]]'s (257 mod 1e9+7). */
-  private[operators] def fingerprint2(c: Column): Column = {
+    * [[TextFunctions.fingerprint]]'s (257 mod 1e9+7) — the same
+    * zero-allocation native kernel, re-based. */
+  private[operators] def fingerprint2(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.RollingFingerprint(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c),
+        base = 131L, mod = 1000000009L))
+
+  /** Composed-Column baseline for the re-based kernel (spec twin). */
+  private[operators] def fingerprint2Composed(c: Column): Column = {
     val codes = transform(split(c, ""), ch => ascii(ch).cast("bigint"))
     when(length(c) === lit(0), lit(0L))
       .otherwise(aggregate(

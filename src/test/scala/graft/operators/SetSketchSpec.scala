@@ -52,3 +52,20 @@ class SetSketchSpec extends SparkSpec {
       s"no partial aggregation in:\n$plan")
   }
 }
+
+class Fingerprint2KernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("re-based native fold is bit-exact vs the composed baseline") {
+    val rnd = new scala.util.Random(13)
+    val strs = Seq("", "a", "tok7", "hello world", "élève") ++
+      Seq.fill(200)(Seq.fill(1 + rnd.nextInt(20))(
+        (32 + rnd.nextInt(95)).toChar).mkString)
+    val df = strs.toDF("s")
+    val out = df.select(
+      SetSketch.fingerprint2(org.apache.spark.sql.functions.col("s")).as("n"),
+      SetSketch.fingerprint2Composed(org.apache.spark.sql.functions.col("s")).as("c"))
+      .collect()
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+}
