@@ -1016,6 +1016,27 @@ object SparkEntry {
       "source")
   }
 
+  /** SURVEY 13a `repo_merge`: copy-on-write upsert — updated rows replace
+    * by key, new rows append, untouched rows carry over, atomically via
+    * tmp+promote. Exercised end to end against a real repo dir; the
+    * oracle recomputes the merge relationally from the same inputs. */
+  private def repoMerge(s: SparkSession, dir: String): DataFrame = {
+    val repo = PqRepo(s, java.nio.file.Files.createTempDirectory("graft_merge").toString)
+    val part = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    repo.write(part, "m", "part")
+    val updates = part.filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey"), col("p_name"),
+        (col("p_retailprice") + 1000.0).as("p_retailprice"))
+      .unionByName(part.filter(col("p_partkey") < 5)
+        .select((col("p_partkey") + 1000000).as("p_partkey"), col("p_name"),
+          col("p_retailprice")))
+    repo.merge(updates, "m", "part", Seq("p_partkey"))
+    repo.table("m", "part")
+      .select(col("p_partkey"), col("p_name"),
+        cents(col("p_retailprice")).as("price_cents"))
+  }
+
   // ===== registry ===========================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1104,7 +1125,8 @@ object SparkEntry {
       "q_retention" -> (qRetention _),
       "url_canonicalize" -> (urlCanonicalize _),
       "q_transitions" -> (qTransitions _),
-      "source_minhash" -> (sourceMinhash _)
+      "source_minhash" -> (sourceMinhash _),
+      "repo_merge" -> (repoMerge _)
     )
 
   // ===== oracles ============================================================
@@ -1671,6 +1693,20 @@ object SparkEntry {
          FROM events e JOIN c
            ON CAST(e.ts AS DATE) BETWEEN c.start_day AND c.end_day
          GROUP BY c.campaign_id""",
+    "repo_merge" ->
+      """WITH updates AS (
+           SELECT p_partkey, p_name, p_retailprice + 1000.0 AS p_retailprice
+           FROM part WHERE p_partkey % 10 = 0
+           UNION ALL
+           SELECT p_partkey + 1000000, p_name, p_retailprice
+           FROM part WHERE p_partkey < 5)
+         SELECT p_partkey, p_name,
+           CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+         FROM (
+           SELECT p.p_partkey, p.p_name, p.p_retailprice FROM part p
+           WHERE p.p_partkey NOT IN (SELECT p_partkey FROM updates)
+           UNION ALL
+           SELECT * FROM updates)""",
     "source_minhash" -> {
       def fold(base: Long, mod: Long) =
         raw"""CASE WHEN len(tok) = 0 THEN 0

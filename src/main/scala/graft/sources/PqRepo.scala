@@ -232,6 +232,33 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     write(laid, schema, table, modified = modified)
   }
 
+  /** Copy-on-write MERGE (upsert): rows of `updates` replace current rows
+    * with the same key tuple, new keys append, everything else carries
+    * over — the Delta/Iceberg `MERGE INTO` primitive on this repo's
+    * atomic tmp+promote machinery. The current table is read while the
+    * tmp file is written and the destination only changes at the promote
+    * rename, so readers never observe a partial merge and a mid-job crash
+    * leaves the original intact.
+    *
+    * Scale shape: one anti join on the key tuple (updates broadcast while
+    * they fit — the common case for incremental loads) plus a full
+    * rewrite of the surviving rows. Whole-table COW is the right default
+    * below the partition-pruning threshold; for very large tables merge
+    * partition-by-partition over a [[writePartitioned]] layout instead. */
+  def merge(
+      updates: DataFrame,
+      schema: String,
+      table: String,
+      keys: Seq[String],
+      modified: Option[String] = None
+  ): Path = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val current = this.table(schema, table)
+    val remaining = current.join(
+      updates.select(keys.map(col): _*), keys, "left_anti")
+    write(remaining.unionByName(updates), schema, table, modified = modified)
+  }
+
   /** Z-ordered write: rows are laid out along the Morton curve of
     * `zCols`, so every output file covers a small hyper-rectangle in ALL
     * the indexed dimensions and parquet min/max stats skip files for
