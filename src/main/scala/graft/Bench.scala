@@ -71,6 +71,13 @@ object Bench {
     // can land between this line and end-of-output
     // basename only: the full path spends tail budget on constant prefix
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"setup":{"bucketed_layout":${fmt(setupSec)}},"sf":"$sfName"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"setup":{"bucketed_layout":${fmt(setupSec)}},"sf":"$sfName"}"""
+    // the consumer keeps a bounded stdout tail (~2000 chars) and sbt
+    // appends its own success line after ours — flag the overflow BEFORE
+    // it silently turns the recorded bench into parsed:null
+    if (line.length > 1850)
+      System.err.println(s"[bench] WARNING: summary line ${line.length} chars " +
+        "— trim per-query precision or drop fields before the tail eats it")
+    println(line)
   }
 }
