@@ -244,7 +244,12 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     * they fit — the common case for incremental loads) plus a full
     * rewrite of the surviving rows. Whole-table COW is the right default
     * below the partition-pruning threshold; for very large tables merge
-    * partition-by-partition over a [[writePartitioned]] layout instead. */
+    * partition-by-partition over a [[writePartitioned]] layout instead.
+    *
+    * `updates` must be key-unique: rows sharing a key tuple within one
+    * updates batch all land (this operator does not pick a winner —
+    * dedupe upstream with [[graft.operators.Dedup.exact]] if the batch
+    * can carry replays). */
   def merge(
       updates: DataFrame,
       schema: String,
