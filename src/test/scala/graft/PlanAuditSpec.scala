@@ -166,3 +166,57 @@ class PipelinePlanAuditSpec extends SparkSpec {
     }
   }
 }
+
+/** Round-6 registered queries: the plan shapes that make them 100 TB-safe,
+  * pinned at the query level so a refactor can't silently regress them. */
+class Round6PlanAuditSpec extends SparkSpec {
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("fuzzy_join: hash equi-join on variant hashes, no cross product") {
+    val p = physical("fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("q_interval_join: bucket equi-join, no nested loop over intervals") {
+    val p = physical("q_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("dedup_substring: exchanges carry span hashes, never document text") {
+    val p = physical("dedup_substring")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")), s"text in exchange:\n$p")
+  }
+
+  test("q_scd2: one data shuffle on the entity key") {
+    val p = physical("q_scd2")
+    val n = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange") &&
+        !l.contains("SinglePartition"))
+    assert(n == 1, s"expected one entity-key shuffle, got $n:\n$p")
+  }
+
+  test("source_minhash: signature aggregation partial-aggregates map-side") {
+    val p = physical("source_minhash")
+    assert(p.contains("partial_min"), s"no map-side partial mins:\n$p")
+  }
+
+  test("q_zorder: single codegen projection over the scan, no shuffle") {
+    val p = physical("q_zorder")
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    // codegen stages print as "*(n)" prefixes in the compact tree
+    assert(p.contains("*("), s"no whole-stage-codegen stage:\n$p")
+  }
+
+  test("q_transitions: window pass then rollup, event log shuffled once") {
+    val p = physical("q_transitions")
+    val n = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+    // one shuffle into the window (user key) + one for the global rollup
+    assert(n <= 2, s"expected <=2 exchanges, got $n:\n$p")
+  }
+}
