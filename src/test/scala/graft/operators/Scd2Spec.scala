@@ -47,3 +47,27 @@ class Scd2Spec extends SparkSpec {
     assert(out == Set(("a", 1L), ("b", 2L)))
   }
 }
+
+class Scd2OrderInvarianceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("history is invariant to input row order and partitioning") {
+    val rnd = new scala.util.Random(3)
+    val events = for {
+      u <- 1L to 20L
+      i <- 1 to 40
+    } yield (u, i * 10L + rnd.nextInt(5), u * 1000 + i,
+      s"s${rnd.nextInt(3)}")
+    def hist(rows: Seq[(Long, Long, Long, String)], parts: Int) =
+      Scd2.buildHistory(
+        rows.toDF("user_id", "ts", "event_id", "attr").repartition(parts),
+        "user_id", "ts", Seq("attr"), Seq("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)), r.getLong(4))).toSet
+    val base = hist(events, 4)
+    assert(base == hist(rnd.shuffle(events), 7))
+    assert(base == hist(events.reverse, 1))
+    assert(base.nonEmpty)
+  }
+}
