@@ -17,7 +17,7 @@ import graft.functions.expressions.{CosineSimilarity, DuplicateNgramFraction, Mi
   *  - `graft_minhash_signature(text, k, numHashes)` → array<bigint>
   *  - `graft_simhash64(text)` → bigint
   *  - `graft_cosine(vec, vec)` → double
-  *  - `graft_fingerprint(text)` → bigint
+  *  - `graft_fingerprint(text[, base, mod])` → bigint (re-basable hash family)
   *  - `graft_word_ngrams(text, n)` → array<string>
   *  - `graft_dup_ngram_fraction(text, n)` → double
   */
@@ -71,8 +71,11 @@ object GraftExtensions {
     FunctionIdentifier("graft_fingerprint"),
     new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
     (exprs: Seq[Expression]) => {
-      require(exprs.length == 1, "graft_fingerprint(text) takes 1 argument")
-      RollingFingerprint(exprs.head)
+      require(exprs.length == 1 || exprs.length == 3,
+        "graft_fingerprint(text[, base, mod]) takes 1 or 3 arguments")
+      if (exprs.length == 1) RollingFingerprint(exprs.head)
+      else RollingFingerprint(exprs.head,
+        intLit(exprs(1), "base").toLong, intLit(exprs(2), "mod").toLong)
     }
   )
 

@@ -86,3 +86,32 @@ class SqlFunctionRegistrationSpec extends SparkSpec {
     assert(cos.nonEmpty && cos.forall(r => math.abs(r.getDouble(0)) <= 1.0))
   }
 }
+
+class RebasedFingerprintSqlSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("graft_fingerprint(text, base, mod) re-bases the SQL function") {
+    graft.GraftExtensions.register(spark)
+    Seq("hello", "", "tok7").toDF("s").createOrReplaceTempView("fp_in")
+    val out = spark.sql(
+      """SELECT graft_fingerprint(s) AS d,
+               graft_fingerprint(s, 257, 1000000007) AS explicit,
+               graft_fingerprint(s, 131, 1000000009) AS rebased
+         FROM fp_in""").collect()
+    // explicit default args == 1-arg form; re-based differs on non-trivial input
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(out.exists(r => r.getLong(0) != r.getLong(2)))
+    // and the re-based SQL form matches the Column-API kernel
+    val viaColumn = Seq("hello", "", "tok7").toDF("s")
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.RollingFingerprint(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            org.apache.spark.sql.functions.col("s")),
+          base = 131L, mod = 1000000009L)))
+      .collect().map(_.getLong(0)).toSeq
+    val viaSql = spark.sql(
+      "SELECT graft_fingerprint(s, 131, 1000000009) FROM fp_in")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaColumn == viaSql)
+  }
+}
