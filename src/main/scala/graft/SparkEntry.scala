@@ -1005,15 +1005,18 @@ object SparkEntry {
   /** SURVEY 43a `source_minhash`: group-level MinHash — which SOURCES have
     * near-identical vocabularies. 32-slot signatures via composed min
     * aggregates (map-side partials, one shuffle of 32 longs per source);
-    * pair comparison runs over sketch rows only. Integer-exact under a
-    * DuckDB oracle that replicates the Karp–Rabin folds and the 32-bit
-    * avalanche finisher bit-for-bit. */
+    * pairing is sub-quadratic LSH banding over the sketch rows (8 bands ×
+    * 4 slots — candidates agree on at least one full band), with the
+    * sketch pipeline computed ONCE (AQE exchange reuse across the
+    * equal-signature/banded diamond — plan-audited). Integer-exact under
+    * a DuckDB oracle that replicates the Karp–Rabin folds, the 32-bit
+    * avalanche finisher, and the band-agreement predicate bit-for-bit. */
   private def sourceMinhash(s: SparkSession, dir: String): DataFrame = {
     val items = t(s, dir, "documents").select(
       col("source"), explode(TextFunctions.wsTokens(col("text"))).as("tok"))
-    operators.SetSketch.signaturePairs(
+    operators.SetSketch.bandedSignaturePairs(
       operators.SetSketch.groupMinhash(items, "source", "tok", numHashes = 32),
-      "source")
+      "source", numHashes = 32, bands = 8)
   }
 
   /** SURVEY 13a `repo_merge`: copy-on-write upsert — updated rows replace
@@ -1724,6 +1727,14 @@ object SparkEntry {
         .map(i => s"min((h1 + $i * h2) % 2147483647) AS s$i").mkString(", ")
       val matches = (0 until 32)
         .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      // LSH candidate predicate: at least one FULL band (4 consecutive
+      // slots of the 8-band × 4-slot layout) agrees — the exact semantics
+      // of bandedSignaturePairs, which re-checks each bucket pair with
+      // slot equality so hash collisions never leak extra pairs
+      val bandMatch = (0 until 8).map { b =>
+        (0 until 4).map(j => s"a.s${b * 4 + j} = b.s${b * 4 + j}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
       raw"""WITH v AS (
             SELECT DISTINCT source, unnest(${wsTokensSql("text")}) AS tok
             FROM documents),
@@ -1731,7 +1742,8 @@ object SparkEntry {
           s AS (SELECT source, $sigCols FROM h GROUP BY 1)
           SELECT a.source AS key_a, b.source AS key_b,
             CAST($matches AS BIGINT) AS n_match
-          FROM s a JOIN s b ON a.source < b.source"""
+          FROM s a JOIN s b ON a.source < b.source
+          WHERE $bandMatch"""
     },
     "q_transitions" ->
       """SELECT prev_type AS from_type, event_type AS to_type,

@@ -83,9 +83,14 @@ object SetSketch {
         array((0 until numHashes).map(i => col(s"__s$i")): _*).as("signature"))
   }
 
-  /** All group pairs with their signature-agreement count (the Jaccard
-    * estimate is `n_match / numHashes`). Signatures are tiny (one row per
-    * GROUP), so the pair join is over sketch rows, never over items. */
+  /** ALL group pairs with their signature-agreement count (the Jaccard
+    * estimate is `n_match / numHashes`) — an O(G²) inequality self-join,
+    * appropriate only when the group count is interactively small (a
+    * debugging/reporting view over tens-to-hundreds of groups). The scale
+    * path is [[bandedSignaturePairs]]: at crawl-domain cardinality
+    * (millions of groups) G² pairs through a nested-loop join is a
+    * scale-killer, and the self-join re-executes the signature pipeline
+    * once per side. */
   def signaturePairs(sigs: DataFrame, keyCol: String): DataFrame = {
     val a = sigs.select(col(keyCol).as("key_a"), col("signature").as("__sa"))
     val b = sigs.select(col(keyCol).as("key_b"), col("signature").as("__sb"))
@@ -95,5 +100,86 @@ object SetSketch {
           zip_with(col("__sa"), col("__sb"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v).as("n_match"))
+  }
+
+  /** Candidate group pairs via LSH banding over the signatures — the
+    * sub-quadratic scale path for [[signaturePairs]].
+    *
+    * Emits exactly the pairs whose signatures agree on at least one FULL
+    * band of `r = numHashes/bands` consecutive slots, with the exact
+    * slot-agreement count `n_match`. Same diamond as
+    * [[Dedup.minhashPairs]] (the shape whose executed plan AQE proved
+    * computes the sketch once): collapse to DISTINCT signatures (keys
+    * ride as a sorted list — identical-vocabulary groups emit their pairs
+    * directly at `n_match = numHashes` without ever entering a bucket),
+    * band-hash the distinct signatures, group by (band, hash), pair
+    * in-array inside each bucket. Deliberately NOT a self-join: both
+    * consumers of the distinct-signature collapse hang off the same
+    * exchange, which AQE deduplicates to a ReusedExchange, so the
+    * tokenize → fingerprint → min-aggregation pipeline runs once.
+    *
+    * Band-hash collisions cannot leak false candidates: each bucket pair
+    * is re-checked with exact slot equality on its own band before
+    * scoring, so the output is a pure function of the signatures —
+    * DuckDB-oracle-able with a `WHERE <band 0 equal> OR <band 1 equal>
+    * OR …` clause over the same integer arithmetic. */
+  def bandedSignaturePairs(
+      sigs: DataFrame,
+      keyCol: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(keyCol != "signature", "key column may not be named 'signature'")
+    val r = numHashes / bands
+
+    // the only wide shuffle: one fixed-width signature row per group
+    val bySig = sigs.groupBy("signature")
+      .agg(sort_array(collect_list(col(keyCol))).as("keys"))
+
+    // identical signatures ⇒ every band agrees ⇒ always candidates, at the
+    // maximal n_match; emitted in-array, never through a band bucket (a
+    // million mirrors of one source would crowd every one of its buckets)
+    val equalPairs = bySig
+      .filter(size(col("keys")) >= 2)
+      .select(explode(flatten(transform(col("keys"), (x, i) =>
+        transform(slice(col("keys"), i + lit(2), size(col("keys"))),
+          y => struct(x.as("key_a"), y.as("key_b")))))).as("p"))
+      .select(col("p.key_a").as("key_a"), col("p.key_b").as("key_b"),
+        lit(numHashes.toLong).as("n_match"))
+
+    // distinct signatures sharing a band bucket: pair in-array, confirm the
+    // band with exact slot equality (kills band-hash collisions), score
+    val banded = bySig.select(col("signature"), col("keys"),
+      posexplode(graft.functions.MinHash.bandHashes(col("signature"), bands, r))
+        .as(Seq("band", "bh")))
+    val crossPairs = banded
+      .groupBy("band", "bh")
+      .agg(collect_list(struct(col("signature").as("sig"), col("keys"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(col("band"), explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+          struct(x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b"),
+            x.getField("keys").as("keys_a"), y.getField("keys").as("keys_b"))))))
+        .as("sp"))
+      .filter(slice(col("sp.sig_a"), col("band") * lit(r) + lit(1), lit(r)) ===
+        slice(col("sp.sig_b"), col("band") * lit(r) + lit(1), lit(r)))
+      .select(col("sp.keys_a").as("keys_a"), col("sp.keys_b").as("keys_b"),
+        aggregate(
+          zip_with(col("sp.sig_a"), col("sp.sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_match"))
+      .select(explode(col("keys_a")).as("ka"), col("keys_b"), col("n_match"))
+      .select(col("ka"), explode(col("keys_b")).as("kb"), col("n_match"))
+      .select(least(col("ka"), col("kb")).as("key_a"),
+        greatest(col("ka"), col("kb")).as("key_b"), col("n_match"))
+
+    // a pair can surface through several bands (and never through both
+    // branches: distinct signatures disagree somewhere, so cross n_match
+    // < numHashes); max is a no-op dedup — every surfacing computed the
+    // same exact count
+    equalPairs.unionByName(crossPairs)
+      .groupBy("key_a", "key_b")
+      .agg(max("n_match").as("n_match"))
   }
 }

@@ -249,7 +249,12 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     * `updates` must be key-unique: rows sharing a key tuple within one
     * updates batch all land (this operator does not pick a winner —
     * dedupe upstream with [[graft.operators.Dedup.exact]] if the batch
-    * can carry replays). */
+    * can carry replays).
+    *
+    * The key join is null-safe (`<=>`): a NULL-keyed update REPLACES an
+    * existing NULL-keyed row instead of appending beside it. A missing
+    * destination is an empty current table, so the first merge is a plain
+    * insert — idempotent bootstrap for incremental loaders. */
   def merge(
       updates: DataFrame,
       schema: String,
@@ -258,10 +263,101 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       modified: Option[String] = None
   ): Path = {
     require(keys.nonEmpty, "merge needs at least one key column")
-    val current = this.table(schema, table)
-    val remaining = current.join(
-      updates.select(keys.map(col): _*), keys, "left_anti")
-    write(remaining.unionByName(updates), schema, table, modified = modified)
+    val dest = tablePath(schema, table)
+    if (!fs(dest).exists(dest))
+      return write(updates, schema, table, modified = modified)
+    val merged = cowMerge(this.table(schema, table), updates, keys)
+    write(merged, schema, table, modified = modified)
+  }
+
+  /** current rows not replaced by `updates` (null-safe key match), plus
+    * all of `updates` — the relational core of [[merge]]. Aliased sides so
+    * shared column names can't trip ambiguous-attribute analysis. */
+  private def cowMerge(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val cur = current.alias("__cur")
+    val upd = updates.select(keys.map(col): _*).alias("__upd")
+    val cond = keys.map(k => col(s"__cur.$k") <=> col(s"__upd.$k")).reduce(_ && _)
+    cur.join(upd, cond, "left_anti").unionByName(updates)
+  }
+
+  /** Partition-pruned copy-on-write MERGE over a [[writePartitioned]]
+    * layout: rewrites ONLY the hive partitions that carry updated or new
+    * keys; untouched partitions' files are never read, rewritten, or even
+    * listed — on a 100 TB date-partitioned table an incremental load
+    * touching 3 days rewrites 3 directories, not the lake.
+    *
+    * Requires `partitionCols ⊆ keys`: then a key can never move between
+    * partitions, so replacing within affected partitions is exactly
+    * whole-table merge semantics restricted to the partitions updates
+    * touch. The affected partition tuples are collected driver-side (a
+    * partition count, bounded by design — hive partitioning only works
+    * with coarse keys) and become an OR-of-conjunctions source filter, so
+    * the current-side scan partition-prunes.
+    *
+    * Each affected partition is written to a temp table then swapped in
+    * with one directory rename per partition (crash mid-swap leaves each
+    * partition either old or new, never half-written; a reader racing the
+    * swap can observe some partitions old and some new — use whole-table
+    * [[merge]] when cross-partition snapshot atomicity matters more than
+    * the rewrite cost). */
+  def mergePartitioned(
+      updates: DataFrame,
+      schema: String,
+      table: String,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      modified: Option[String] = None
+  ): Path = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(partitionCols.nonEmpty && partitionCols.forall(keys.contains),
+      s"partition columns $partitionCols must be a subset of the merge " +
+        s"keys $keys (otherwise a key could move partitions and its old " +
+        "row would survive)")
+    val dest = tablePath(schema, table)
+    val f = fs(dest)
+    if (!f.exists(dest))
+      return writePartitioned(updates, schema, table, partitionCols, modified)
+
+    // the partitions this batch touches: a driver-side list of tuples
+    val affected = updates.select(partitionCols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) return dest
+    val touchFilter = affected.toSeq.map { row =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(row.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+
+    // current rows of affected partitions only (PartitionFilters prune the
+    // rest before I/O), merged with the updates
+    val current = spark.read.parquet(dest.toString).filter(touchFilter)
+    val merged = cowMerge(current, updates, keys)
+
+    // write affected partitions to a tmp layout, then swap each directory
+    val tmp = new Path(new Path(dataDir, schema), s"_tmp_$table.parquet")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    merged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
+
+    // hive-escaped directory names, exactly as Spark's writer lays them out
+    def partDir(base: Path, row: org.apache.spark.sql.Row): Path =
+      partitionCols.zipWithIndex.foldLeft(base) { case (p, (c, i)) =>
+        val v = Option(row.get(i)).map(x =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(x.toString))
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")
+        new Path(p, s"$c=$v")
+      }
+    affected.foreach { row =>
+      val src = partDir(tmp, row)
+      val dst = partDir(dest, row)
+      if (f.exists(dst)) f.delete(dst, true)
+      if (f.exists(src)) { // empty merged partition = nothing to place
+        f.mkdirs(dst.getParent)
+        if (!f.rename(src, dst))
+          throw new java.io.IOException(s"Could not promote $src to $dst")
+      }
+    }
+    f.delete(tmp, true)
+    dest
   }
 
   /** Z-ordered write: rows are laid out along the Morton curve of

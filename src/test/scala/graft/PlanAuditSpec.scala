@@ -205,6 +205,40 @@ class Round6PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_min"), s"no map-side partial mins:\n$p")
   }
 
+  test("source_minhash: one sketch computation, banded pairing, no " +
+    "nested-loop join (the round-6 weak mark)") {
+    // The r6 shape self-joined the sketch frame on key_a < key_b: both
+    // sides re-ran tokenize → fingerprint → 32-min aggregation from the
+    // scan up, paired through a BroadcastNestedLoopJoin — O(G²) at
+    // crawl-domain group cardinality. The banded shape hangs both diamond
+    // branches off the same distinct-signature exchange (AQE reuses it)
+    // and pairs inside band buckets, so the audit runs the query and
+    // asserts on the post-execution final plan.
+    val df = SparkEntry.queries("source_minhash")(spark, sfDir)
+    df.queryExecution.executedPlan.executeCollect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(!finalPlan.contains("NestedLoop") && !finalPlan.contains("CartesianProduct"),
+      s"group pairing must not be a nested-loop join:\n$finalPlan")
+    // the r6 self-join ran the whole pipeline once per side: 2 live scans,
+    // 2 signature aggregations; the banded diamond must have exactly 1 of
+    // each (fingerprint-FOLD occurrences don't discriminate — mix32
+    // textually inlines its argument 8×, deduped by codegen subexpression
+    // elimination)
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 1, s"expected one documents scan, found $scans:\n$finalPlan")
+    val sigAggs = finalPlan.linesIterator
+      .count(l => l.contains("partial_min") && l.contains("HashAggregate"))
+    assert(sigAggs == 1,
+      s"expected one partial signature aggregation, found $sigAggs:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"expected the signature-collapse shuffle reused across the " +
+        s"equal/banded diamond:\n$finalPlan")
+  }
+
   test("q_zorder: single codegen projection over the scan, no shuffle") {
     val p = physical("q_zorder")
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")

@@ -44,6 +44,47 @@ class SetSketchSpec extends SparkSpec {
     assert(pairs.size == 3) // (a,b) (a,c) (b,c)
   }
 
+  test("bandedSignaturePairs: identical sets pair at full agreement, " +
+    "near sets surface through a shared band, disjoint sets don't pair") {
+    val rnd = new scala.util.Random(11)
+    val universe = Seq.tabulate(300)(i => s"tok$i")
+    // a == b (identical), c ~ a (90% overlap), d disjoint
+    val rows = universe.take(200).map("a" -> _) ++
+      universe.take(200).map("b" -> _) ++
+      (universe.take(180) ++ universe.slice(200, 220)).map("c" -> _) ++
+      Seq.tabulate(50)(i => "d" -> s"other$i") ++
+      Seq.fill(1)(rnd.nextInt).map(_ => "e" -> "solo")
+    val sigs = SetSketch.groupMinhash(rows.toDF("g", "item"), "g", "item", 32)
+    val pairs = SetSketch.bandedSignaturePairs(sigs, "g", 32, bands = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs(("a", "b")) == 32L, s"identical sets must fully agree: $pairs")
+    assert(pairs.contains(("a", "c")) && pairs(("a", "c")) < 32L,
+      s"90%-overlap sets should share a band at r=2: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == "d" || p._2 == "d"),
+      s"disjoint set must not pair: $pairs")
+  }
+
+  test("bandedSignaturePairs is signaturePairs restricted to band-sharing " +
+    "pairs (same exact n_match where both emit)") {
+    val rnd = new scala.util.Random(7)
+    val groups = Seq.tabulate(12)(g => s"g$g")
+    val rows = groups.flatMap { g =>
+      val base = rnd.nextInt(6) * 30
+      Seq.tabulate(60)(i => g -> s"tok${base + rnd.nextInt(80)}")
+    }
+    val sigs = SetSketch.groupMinhash(rows.toDF("g", "item"), "g", "item", 32)
+      .cache()
+    val full = SetSketch.signaturePairs(sigs, "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val banded = SetSketch.bandedSignaturePairs(sigs, "g", 32, bands = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    sigs.unpersist()
+    assert(banded.keySet.subsetOf(full.keySet))
+    banded.foreach { case (k, n) => assert(full(k) == n, s"$k: $n vs ${full(k)}") }
+    // every banded pair genuinely agrees on >= r slots (necessary condition)
+    banded.values.foreach(n => assert(n >= 4))
+  }
+
   test("the signature aggregation partial-aggregates map-side") {
     val df = Seq("a" -> "x", "b" -> "y").toDF("g", "item")
     val plan = SetSketch.groupMinhash(df, "g", "item", 8)

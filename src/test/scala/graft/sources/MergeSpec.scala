@@ -29,4 +29,73 @@ class MergeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(out == Set((1L, "x", 1.0), (1L, "y", 5.0), (2L, "z", 9.0)))
   }
+
+  test("a NULL-keyed update replaces the existing NULL-keyed row " +
+    "(null-safe key match), and first merge bootstraps a missing table") {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("mergespec3").toString)
+    // first merge: destination absent -> plain insert
+    repo.merge(Seq((Some("a"), 1.0), (None, 2.0)).toDF("k", "v"),
+      "s", "t", Seq("k"))
+    // NULL-keyed update must REPLACE, not append beside, the NULL row
+    repo.merge(Seq((None: Option[String], 9.0)).toDF("k", "v"),
+      "s", "t", Seq("k"))
+    val out = repo.table("s", "t").collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1))).toSet
+    assert(out == Set((Some("a"), 1.0), (None, 9.0)))
+  }
+
+  test("mergePartitioned rewrites only affected partitions — untouched " +
+    "partition files stay byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("mergespec4")
+    val repo = PqRepo(spark, dir.toString)
+    repo.writePartitioned(
+      Seq(("d1", 1L, 10.0), ("d1", 2L, 20.0), ("d2", 3L, 30.0), ("d3", 4L, 40.0))
+        .toDF("day", "k", "v"),
+      "s", "t", Seq("day"))
+
+    def files(sub: String): Map[String, Array[Byte]] = {
+      val base = java.nio.file.Paths.get(dir.toString, "s", "t.parquet", sub)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.readAllBytes(p))
+        .toMap
+    }
+    val d2Before = files("day=d2")
+    val d3Before = files("day=d3")
+
+    // touches d1 (update k=2) and a NEW partition d4
+    repo.mergePartitioned(
+      Seq(("d1", 2L, 99.0), ("d4", 5L, 50.0)).toDF("day", "k", "v"),
+      "s", "t", keys = Seq("day", "k"), partitionCols = Seq("day"))
+
+    val out = repo.table("s", "t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(out == Set((1L, 10.0, "d1"), (2L, 99.0, "d1"), (3L, 30.0, "d2"),
+      (4L, 40.0, "d3"), (5L, 50.0, "d4")))
+
+    // untouched partitions: same files, same bytes
+    assert(files("day=d2").keySet == d2Before.keySet)
+    assert(files("day=d3").keySet == d3Before.keySet)
+    d2Before.foreach { case (p, bytes) =>
+      assert(java.util.Arrays.equals(bytes, files("day=d2")(p)), s"$p changed") }
+    d3Before.foreach { case (p, bytes) =>
+      assert(java.util.Arrays.equals(bytes, files("day=d3")(p)), s"$p changed") }
+  }
+
+  test("mergePartitioned bootstraps a missing destination and rejects " +
+    "partition columns outside the key set") {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("mergespec5").toString)
+    repo.mergePartitioned(Seq(("d1", 1L, 1.0)).toDF("day", "k", "v"),
+      "s", "t", keys = Seq("day", "k"), partitionCols = Seq("day"))
+    assert(repo.table("s", "t").count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      repo.mergePartitioned(Seq(("d1", 1L, 1.0)).toDF("day", "k", "v"),
+        "s", "t", keys = Seq("k"), partitionCols = Seq("day"))
+    }
+    assert(e.getMessage.contains("subset"))
+  }
 }
