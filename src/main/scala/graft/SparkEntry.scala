@@ -879,24 +879,41 @@ object SparkEntry {
 
   /** SURVEY 48 `pipeline_curate`: the flagship end-to-end curation run —
     * what a user actually does with this library. Language gate → quality
-    * gate (6-dp-rounded so the double comparison is engine-stable) →
-    * normalized exact dedup → benchmark decontamination (hashed gram join,
-    * the scale path; hash≡string is specced) → training-ready token
-    * counts. Every stage is an already-oracled operator; this query pins
-    * their COMPOSITION end to end. */
+    * gate (6-dp-rounded so the double comparison is engine-stable) → exact
+    * dedup on raw text → NEAR dedup ([[Dedup.dropNearDuplicates]]:
+    * MinHash-LSH candidates over the normalized text, byte-verified on the
+    * norm before anything is dropped — so the collapse is provably "equal
+    * modulo case/whitespace", never a probabilistic guess) → benchmark
+    * decontamination (hashed gram join, the scale path; hash≡string is
+    * specced) → training-ready token counts. Every stage is an
+    * already-oracled operator; this query pins their COMPOSITION end to
+    * end, with planted whitespace variants (doubled internal spaces;
+    * leading/trailing padding) that slip past the exact stage and collapse
+    * in the near stage. */
   private def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val base = t(s, dir, "documents").select("doc_id", "text")
+    // near-dup plants: norm-identical, raw-distinct (pure-ASCII space
+    // mutations — engine-stable in both Spark and the DuckDB oracle)
+    val spaced = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        regexp_replace(col("text"), lit(" "), lit("  ")).as("text"))
+    val padded = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("  "), col("text"), lit("  ")).as("text"))
+    val docs = base.unionByName(spaced).unionByName(padded)
     val gated = docs
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
       .withColumn("quality", round(TextFunctions.qualityScore(col("text")), 6))
       .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
-    val deduped = Dedup.exact(
-      gated.withColumn("norm", TextFunctions.normalizeText(col("text"))),
-      Seq("norm"), Seq(col("doc_id")))
+      .select("doc_id", "text")
+    val exactDeduped = Dedup.exact(gated, Seq("text"), Seq(col("doc_id")))
+    val nearDeduped = Dedup.dropNearDuplicates(
+      exactDeduped.withColumn("norm", TextFunctions.normalizeText(col("text"))),
+      "doc_id", "norm", threshold = 1.0, verifyExact = true)
     val contaminated = operators.Contamination.ngramOverlap(
-      deduped, docs.filter(col("doc_id") < 20), "doc_id", "text", n = 5)
+      nearDeduped, base.filter(col("doc_id") < 20), "doc_id", "text", n = 5)
       .select("doc_id")
-    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         TextFunctions.wsTokenCount(col("text")).cast("bigint").as("n_tokens"))
   }
@@ -1845,19 +1862,40 @@ object SparkEntry {
              (a, v) -> a | v) AS BIGINT) AS z
          FROM b""",
     "pipeline_curate" ->
-      raw"""WITH scored AS (
+      // near-dedup stage oracle: dropNearDuplicates(threshold=1.0,
+      // verifyExact=true) over the NORM column keeps the smallest id per
+      // byte-identical-norm group (identical norms → identical signatures
+      // → unconditional equal-signature pairs; verification is byte
+      // equality on the norm, so no probabilistic step survives into the
+      // output); norms shorter than the 5-byte shingle width produce no
+      // signature and pass through untouched
+      raw"""WITH docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000, replace(text, ' ', '  ')
+            FROM documents WHERE doc_id < 40
+            UNION ALL
+            SELECT doc_id + 3000000, '  ' || text || '  '
+            FROM documents WHERE doc_id < 40),
+          scored AS (
             SELECT doc_id, text, $langCaseSql AS lang_pred,
               round($qualitySql, 6) AS quality
-            FROM (SELECT doc_id, text, $langScoresSql FROM documents)),
+            FROM (SELECT doc_id, text, $langScoresSql FROM docs)),
           gated AS (
             SELECT doc_id, text FROM scored
             WHERE lang_pred = 'en' AND quality >= 0.3),
+          exact AS (
+            SELECT doc_id, text FROM gated
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+          normed AS (
+            SELECT doc_id, text,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+            FROM exact),
           deduped AS (
-            SELECT doc_id, text FROM (
-              SELECT doc_id, text,
-                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-              FROM gated)
-            QUALIFY row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1),
+            (SELECT doc_id, text FROM normed WHERE strlen(norm) >= 5
+             QUALIFY row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1)
+            UNION ALL
+            (SELECT doc_id, text FROM normed WHERE strlen(norm) < 5)),
           bg AS (
             SELECT DISTINCT unnest(list_transform(
                 range(1, greatest(len(toks) - 4, 0) + 1),
