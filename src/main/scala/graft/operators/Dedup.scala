@@ -404,7 +404,33 @@ object Dedup {
   def components(
       pairs: DataFrame,
       maxIters: Int = 10,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false,
+      failOnNonConvergence: Boolean = false): DataFrame = {
+    val (labels, stats) =
+      componentsWithStats(pairs, maxIters, reliableCheckpoint)
+    if (!stats.converged) {
+      val msg = s"components: labels still changing after maxIters=$maxIters " +
+        "— components with chains longer than the iteration budget may be " +
+        "under-merged; raise maxIters for this corpus"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    labels
+  }
+
+  /** Convergence telemetry for [[components]]: how many label-propagation
+    * rounds ran, and whether the last one changed nothing. A 100 TB run
+    * must be able to fail loudly instead of silently shipping under-merged
+    * components — the loop is eager (one convergence probe per round), so
+    * the stats are exact at return time, not an estimate. */
+  final case class ComponentsStats(iterations: Int, converged: Boolean)
+
+  /** [[components]] plus its [[ComponentsStats]]; never warns or throws —
+    * the caller owns the non-convergence policy. */
+  def componentsWithStats(
+      pairs: DataFrame,
+      maxIters: Int = 10,
+      reliableCheckpoint: Boolean = false): (DataFrame, ComponentsStats) = {
     def materialize(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
@@ -436,12 +462,7 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"components: labels still changing after maxIters=$maxIters — " +
-          "components with chains longer than the iteration budget may be " +
-          "under-merged; raise maxIters for this corpus")
-    labels
+    (labels, ComponentsStats(i, converged))
   }
 
   /** End-to-end near-duplicate REMOVAL: MinHash-LSH candidate pairs →
@@ -457,14 +478,16 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       verifyExact: Boolean = false,
-      reliableCheckpoint: Boolean = false
+      reliableCheckpoint: Boolean = false,
+      failOnNonConvergence: Boolean = false
   ): DataFrame = {
     val candidates = minhashPairs(docs, idCol, textCol, shingleK, numHashes,
       bands, threshold)
     val pairs =
       if (verifyExact) verifyPairsExact(candidates, docs, idCol, textCol)
       else candidates
-    val losers = components(pairs, reliableCheckpoint = reliableCheckpoint)
+    val losers = components(pairs, reliableCheckpoint = reliableCheckpoint,
+      failOnNonConvergence = failOnNonConvergence)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("__loser"))
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")

@@ -49,7 +49,13 @@ object FuzzyJoin {
     * rightId, dist)`. Both inputs are exploded into their deletion
     * neighborhoods, equi-joined on the variant hash, exactly verified, and
     * deduplicated — a pair sharing several variants still appears once.
-    * The id columns must each be unique within their side. */
+    * The id columns must each be unique within their side.
+    *
+    * `leftCol == rightCol` (fuzzy-joining two tables that share a column
+    * name like `name`) is fine — each side's columns are aliased to
+    * internal names before the join and renamed back in the final select.
+    * `leftId == rightId` is rejected: the output would carry two columns
+    * with the same name, ambiguous for every downstream reference. */
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -58,26 +64,38 @@ object FuzzyJoin {
       rightId: String,
       rightCol: String,
       maxDist: Int = 1): DataFrame = {
+    require(leftId != rightId,
+      s"leftId and rightId are both '$leftId': the output pair frame " +
+        "would have two identically-named id columns — rename one side " +
+        "(e.g. .withColumnRenamed) before the join")
+    // the internal aliases only coexist with the user's id/key columns
+    // inside the per-side projections, so only those four names can clash
+    val internal = Seq("__lid", "__lkey", "__rid", "__rkey", "__v", "__vh", "__dist")
+    require(!internal.contains(leftId) && !internal.contains(leftCol) &&
+      !internal.contains(rightId) && !internal.contains(rightCol),
+      s"FuzzyJoin.join reserves column names ${internal.mkString(", ")} — " +
+        "rename the colliding input column before calling")
     // no per-side distinct: deletionVariants already array_distincts, so
     // each side's exploded (id, variant) rows are unique — a distinct here
     // would only add a full exchange + two hash aggregates per side. A
     // pair matching through several shared variants is collapsed by the
     // final pair-level distinct instead.
     val lv = left
-      .select(col(leftId), col(leftCol),
+      .select(col(leftId).as("__lid"), col(leftCol).as("__lkey"),
         explode(deletionVariants(col(leftCol), maxDist)).as("__v"))
-      .select(col(leftId), col(leftCol), xxhash64(col("__v")).as("__vh"))
+      .select(col("__lid"), col("__lkey"), xxhash64(col("__v")).as("__vh"))
     val rv = right
-      .select(col(rightId), col(rightCol),
+      .select(col(rightId).as("__rid"), col(rightCol).as("__rkey"),
         explode(deletionVariants(col(rightCol), maxDist)).as("__v"))
-      .select(col(rightId), col(rightCol), xxhash64(col("__v")).as("__vh"))
+      .select(col("__rid"), col("__rkey"), xxhash64(col("__v")).as("__vh"))
     // threshold form early-exits the DP at a band of width maxDist —
     // O(maxDist·len) per candidate instead of O(len²); returns -1 past
     // the bound, which is also what discards hash-collision candidates
     lv.join(rv, "__vh")
-      .withColumn("dist", levenshtein(col(leftCol), col(rightCol), maxDist))
-      .filter(col("dist") >= 0)
-      .select(col(leftId), col(rightId), col("dist"))
+      .withColumn("__dist", levenshtein(col("__lkey"), col("__rkey"), maxDist))
+      .filter(col("__dist") >= 0)
+      .select(col("__lid").as(leftId), col("__rid").as(rightId),
+        col("__dist").as("dist"))
       .distinct()
   }
 }

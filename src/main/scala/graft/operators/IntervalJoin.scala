@@ -40,6 +40,8 @@ object IntervalJoin {
       endCol: String,
       bucketDays: Int = 1): DataFrame = {
     require(bucketDays >= 1, s"bucketDays must be >= 1 (got $bucketDays)")
+    graft.InternalCols.requireAbsent(points, "IntervalJoin.overlapJoin", "__bucket")
+    graft.InternalCols.requireAbsent(intervals, "IntervalJoin.overlapJoin", "__bucket")
     def bucketOf(c: Column): Column =
       floor(unix_date(to_date(c)) / bucketDays)
     val binned = intervals.withColumn(

@@ -104,10 +104,16 @@ object Jdbc {
     * cuts there instead, so every partition carries ~rows/numPartitions
     * regardless of how the ids are distributed.
     *
-    * The probe is dialect-portable by construction: one COUNT plus
-    * `numPartitions - 1` single-row `ORDER BY col OFFSET k ROWS FETCH
-    * NEXT 1 ROWS ONLY` lookups (SQL:2008, runs on Derby and PostgreSQL
-    * alike) — each an index seek on any sanely-indexed partition column.
+    * Probe cost by dialect: on engines with ordered-set aggregates
+    * (PostgreSQL, Oracle, SQL Server) ALL quantiles come back in ONE
+    * round trip — `percentile_disc(f_i) WITHIN GROUP (ORDER BY col)`,
+    * one aggregation scan server-side. The portable fallback (Derby and
+    * anything else) is one COUNT plus `numPartitions - 1` single-row
+    * `ORDER BY col OFFSET k ROWS FETCH NEXT 1 ROWS ONLY` lookups
+    * (SQL:2008) — fine with a covering index, but each seek is an
+    * O(offset) scan without one, and k sequential partial scans of a
+    * billion-row table would gate the ingest before it starts; the
+    * one-shot path exists precisely for that table.
     * Duplicate boundaries (few distinct values) collapse, so predicates
     * are always disjoint and covering; rows with NULL ids ride in the
     * first partition. Feed the result to [[readTablePredicates]], or call
@@ -119,33 +125,10 @@ object Jdbc {
       column: String,
       numPartitions: Int): Seq[String] = {
     require(numPartitions >= 1, "numPartitions must be >= 1")
-    val qt = s"${sqlIdent(schema)}.${sqlIdent(table)}"
     val qc = sqlIdent(column)
-    val conn = java.sql.DriverManager.getConnection(url)
     val boundaries =
-      try {
-        val st = conn.createStatement()
-        val n =
-          try {
-            val rs = st.executeQuery(s"SELECT COUNT(*) FROM $qt")
-            rs.next(); rs.getLong(1)
-          } finally st.close()
-        (1 until numPartitions)
-          .map(i => i * n / numPartitions)
-          .filter(off => off > 0 && off < n)
-          .distinct
-          .flatMap { off =>
-            val st2 = conn.createStatement()
-            try {
-              val rs = st2.executeQuery(
-                s"SELECT $qc FROM $qt WHERE $qc IS NOT NULL ORDER BY $qc " +
-                  s"OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY")
-              if (rs.next()) Some(rs.getLong(1)) else None
-            } finally st2.close()
-          }
-          .distinct
-          .sorted
-      } finally conn.close()
+      (if (supportsPercentileDisc(url)) percentileBoundaries _
+       else seekBoundaries _)(url, schema, table, column, numPartitions)
     if (boundaries.isEmpty) Seq("1=1")
     else {
       val first = s"$qc < ${boundaries.head} OR $qc IS NULL"
@@ -155,6 +138,87 @@ object Jdbc {
       val last = s"$qc >= ${boundaries.last}"
       (first +: mids) :+ last
     }
+  }
+
+  /** Dialects whose SQL has the `percentile_disc(...) WITHIN GROUP`
+    * ordered-set aggregate (the one-round-trip quantile probe). */
+  private[sources] def supportsPercentileDisc(url: String): Boolean =
+    Seq("jdbc:postgresql:", "jdbc:oracle:", "jdbc:sqlserver:")
+      .exists(url.startsWith)
+
+  /** The one-shot probe SQL: `numPartitions - 1` `percentile_disc`
+    * ordered-set aggregates in a single SELECT — one server-side
+    * aggregation scan returns every cut point at once. Pure function,
+    * unit-tested; execution is gated on [[supportsPercentileDisc]]. */
+  private[sources] def percentileProbeSql(
+      schema: String,
+      table: String,
+      column: String,
+      numPartitions: Int): String = {
+    val qt = s"${sqlIdent(schema)}.${sqlIdent(table)}"
+    val qc = sqlIdent(column)
+    val cols = (1 until numPartitions).map { i =>
+      val f = i.toDouble / numPartitions
+      s"percentile_disc($f) WITHIN GROUP (ORDER BY $qc)"
+    }
+    s"SELECT ${cols.mkString(", ")} FROM $qt WHERE $qc IS NOT NULL"
+  }
+
+  private def percentileBoundaries(
+      url: String,
+      schema: String,
+      table: String,
+      column: String,
+      numPartitions: Int): Seq[Long] = {
+    if (numPartitions < 2) return Nil
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          percentileProbeSql(schema, table, column, numPartitions))
+        if (!rs.next()) Nil
+        else (1 until numPartitions).flatMap { i =>
+          val v = rs.getLong(i)
+          if (rs.wasNull()) None else Some(v)
+        }.distinct.sorted
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** SQL:2008-portable fallback: COUNT + k−1 single-row OFFSET seeks. */
+  private def seekBoundaries(
+      url: String,
+      schema: String,
+      table: String,
+      column: String,
+      numPartitions: Int): Seq[Long] = {
+    val qt = s"${sqlIdent(schema)}.${sqlIdent(table)}"
+    val qc = sqlIdent(column)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      val n =
+        try {
+          val rs = st.executeQuery(s"SELECT COUNT(*) FROM $qt")
+          rs.next(); rs.getLong(1)
+        } finally st.close()
+      (1 until numPartitions)
+        .map(i => i * n / numPartitions)
+        .filter(off => off > 0 && off < n)
+        .distinct
+        .flatMap { off =>
+          val st2 = conn.createStatement()
+          try {
+            val rs = st2.executeQuery(
+              s"SELECT $qc FROM $qt WHERE $qc IS NOT NULL ORDER BY $qc " +
+                s"OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY")
+            if (rs.next()) Some(rs.getLong(1)) else None
+          } finally st2.close()
+        }
+        .distinct
+        .sorted
+    } finally conn.close()
   }
 
   /** Partitioned read cut at the column's row-count quantiles instead of

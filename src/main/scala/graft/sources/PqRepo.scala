@@ -380,6 +380,7 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       modified: Option[String] = None
   ): Path = {
     import graft.functions.ZOrder
+    graft.InternalCols.requireAbsent(df, "PqRepo.writeZOrdered", "__z")
     val bounds = df.select(
       zCols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))): _*
     ).head()

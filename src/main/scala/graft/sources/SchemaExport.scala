@@ -23,7 +23,11 @@ object SchemaExport {
     * threads concurrently, so the per-job planning / parquet-footer /
     * commit latency overlaps instead of accumulating serially — at a
     * 1000-table schema the difference between one night and one coffee.
-    * Failures propagate: the first exception aborts the await. */
+    * Failures propagate AND abort: the first exception interrupts the
+    * remaining in-flight exports (`shutdownNow` — a graceful shutdown
+    * would let them keep writing in background threads after the caller
+    * has already seen the failure), queued exports never start, and the
+    * exception carries the failing item's identity. */
   private def inParallel[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
     if (parallelism <= 1 || items.sizeIs <= 1) items.map(f)
     else {
@@ -32,7 +36,14 @@ object SchemaExport {
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(math.min(parallelism, items.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+      val tagged = items.map(a => Future(
+        try f(a)
+        catch {
+          case e: Throwable =>
+            throw new RuntimeException(s"export of '$a' failed: ${e.getMessage}", e)
+        }))
+      try Await.result(Future.sequence(tagged), Duration.Inf)
+      catch { case e: Throwable => pool.shutdownNow(); throw e }
       finally pool.shutdown()
     }
 

@@ -74,6 +74,26 @@ class FuzzyJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("shared join-column names work; identical id names and reserved " +
+    "internal names are rejected up front") {
+    // both sides call the fuzzy key 'name' — the r6 ADVICE ambiguity case
+    val l = Seq(1L -> "red widget").toDF("lid", "name")
+    val r = Seq(2L -> "red widgit").toDF("rid", "name")
+    val out = FuzzyJoin.join(l, r, "lid", "name", "rid", "name", 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1)))
+    val dup = intercept[IllegalArgumentException] {
+      FuzzyJoin.join(l, r.withColumnRenamed("rid", "lid"),
+        "lid", "name", "lid", "name", 1)
+    }
+    assert(dup.getMessage.contains("identically-named"))
+    val reserved = intercept[IllegalArgumentException] {
+      FuzzyJoin.join(l.withColumnRenamed("name", "__vh"), r,
+        "lid", "__vh", "rid", "name", 1)
+    }
+    assert(reserved.getMessage.contains("reserves"))
+  }
 }
 
 class IntervalJoinSpec extends SparkSpec {
@@ -102,6 +122,14 @@ class IntervalJoinSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expected, s"bucketDays=$b")
     }
+  }
+
+  test("an input already carrying __bucket is rejected, not silently dropped") {
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(points.withColumn("__bucket", lit(1)),
+        intervals, "d", "s", "e")
+    }
+    assert(e.getMessage.contains("__bucket"))
   }
 
   test("overlap join emits each matching pair exactly once") {

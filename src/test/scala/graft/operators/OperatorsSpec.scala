@@ -88,6 +88,25 @@ class DedupSpec extends SparkSpec {
     assert((0 until 12).forall(i => labels(i.toLong) == 0L))
   }
 
+  test("components surfaces convergence telemetry and can fail loudly on " +
+    "a chain longer than the iteration budget") {
+    // a 12-node path: min-label propagation moves one hop per round, so
+    // 3 rounds cannot converge — exactly the silent under-merge a 100 TB
+    // run must be able to detect
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, stats) = Dedup.componentsWithStats(chain, maxIters = 3)
+    assert(!stats.converged && stats.iterations == 3, stats.toString)
+    assert(labels.filter($"label" =!= 0L).count() > 0) // provably under-merged
+    val e = intercept[IllegalStateException] {
+      Dedup.components(chain, maxIters = 3, failOnNonConvergence = true)
+    }
+    assert(e.getMessage.contains("maxIters=3"))
+    // with budget to spare the stats say so: converged before the cap
+    val (done, okStats) = Dedup.componentsWithStats(chain, maxIters = 20)
+    assert(okStats.converged && okStats.iterations < 20, okStats.toString)
+    assert(done.collect().forall(_.getLong(1) == 0L))
+  }
+
   test("minhashPairs survives duplicate crowding past maxBucket " +
     "(organic-corpus regression: per-row band buckets dropped dup pairs)") {
     val docs = ((0 until 30).map(i => (i.toLong, "same exact duplicated content here")) ++

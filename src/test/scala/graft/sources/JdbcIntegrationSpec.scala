@@ -365,6 +365,23 @@ class JdbcSkewBalanceSpec extends SparkSpec {
       == ((1L to 900L) ++ (0L until 100L).map(i => 100000L + i * 1000L)).sum)
   }
 
+  test("percentile_disc probe: PG-family dialects get the one-round-trip " +
+    "SQL, Derby keeps the portable seek fallback") {
+    assert(Jdbc.supportsPercentileDisc("jdbc:postgresql://h:5432/db"))
+    assert(Jdbc.supportsPercentileDisc("jdbc:oracle:thin:@h:1521/db"))
+    assert(Jdbc.supportsPercentileDisc("jdbc:sqlserver://h;database=db"))
+    assert(!Jdbc.supportsPercentileDisc("jdbc:derby:memory:x;create=true"))
+
+    val sql = Jdbc.percentileProbeSql("SK", "T", "ID", 4)
+    assert(sql ==
+      "SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY \"ID\"), " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY \"ID\"), " +
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY \"ID\") " +
+        "FROM \"SK\".\"T\" WHERE \"ID\" IS NOT NULL", sql)
+    // one SELECT, k-1 aggregates, no OFFSET seeks anywhere
+    assert(!sql.contains("OFFSET"))
+  }
+
   test("degenerate cases: single partition and few distinct values") {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
