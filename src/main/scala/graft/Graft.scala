@@ -192,6 +192,34 @@ object Graft {
     repo.write(Jdbc.readSql(spark, url, sql), schema, table,
       modified = modified, archiveExisting = archive)
 
+  /** Any-backend ingest (reference ibis_to_pq, db2pq/ibis.py:17): the
+    * reference reaches non-PostgreSQL engines through ibis backends; Spark
+    * reaches them through its DataSource registry, so the graft analog is
+    * a thin façade over `spark.read.format(...)` — csv, json, orc,
+    * parquet, avro, jdbc, or any third-party V2 connector name on the
+    * classpath — through the same TablePlan machinery (keep/drop/rename/
+    * cast/where pushed into the scan where the source supports pushdown)
+    * into the same metadata-stamped atomic repo write. */
+  def anyFormatToPq(
+      spark: SparkSession,
+      format: String,
+      options: Map[String, String],
+      repo: PqRepo,
+      schema: String,
+      table: String,
+      path: Option[String] = None,
+      sourceSchema: Option[StructType] = None,
+      plan: TablePlan = TablePlan(),
+      modified: Option[String] = None,
+      archive: Boolean = false
+  ): Path = {
+    val reader = spark.read.format(format).options(options)
+    sourceSchema.foreach(reader.schema)
+    val df = path.map(reader.load).getOrElse(reader.load())
+    repo.write(plan(df), schema, table,
+      modified = modified, archiveExisting = archive)
+  }
+
   /** Load a repo table into a database (pq_to_pg, postgres/update.py:480).
     * `dstSchema`/`dstTable` default to the repo names (reference
     * `dst_schema` / `alt_table_name`). With `stampComment` the repo's

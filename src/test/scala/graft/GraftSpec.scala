@@ -44,4 +44,32 @@ class GraftSpec extends SparkSpec {
       Some("x (Updated 2024-06-01)"), force = true, write = fakeWrite))
     assert(written == 2)
   }
+
+  test("anyFormatToPq ingests any registered DataSource through the " +
+    "TablePlan machinery into the repo") {
+    val repo = PqRepo(spark, Files.createTempDirectory("graft_anyfmt").toString)
+    val staging = Files.createTempDirectory("graft_anyfmt_src").toString
+    nation.write.mode("overwrite").option("header", "true").csv(s"$staging/csv")
+    nation.write.mode("overwrite").json(s"$staging/json")
+
+    val plan = graft.plans.TablePlan(
+      keep = Seq("^(n_nationkey|n_name)$"), where = Some("n_nationkey < 10"))
+    Graft.anyFormatToPq(spark, "csv",
+      Map("header" -> "true"), repo, "fmt", "nation_csv",
+      path = Some(s"$staging/csv"), sourceSchema = Some(nation.schema),
+      plan = plan, modified = Some("csv (Updated 2024-06-01)"))
+    Graft.anyFormatToPq(spark, "json", Map.empty, repo, "fmt", "nation_json",
+      path = Some(s"$staging/json"), sourceSchema = Some(nation.schema),
+      plan = plan)
+
+    val fromCsv = repo.table("fmt", "nation_csv")
+    val fromJson = repo.table("fmt", "nation_json")
+    assert(fromCsv.columns.toSeq == Seq("n_nationkey", "n_name"))
+    assert(fromCsv.count() == 10 && fromJson.count() == 10)
+    assert(fromCsv.collect().map(_.toSeq).toSet ==
+      fromJson.collect().map(_.toSeq).toSet)
+    // the repo write stamped metadata like any other ingest
+    assert(repo.lastModified("fmt", "nation_csv")
+      .contains("csv (Updated 2024-06-01)"))
+  }
 }
