@@ -26,7 +26,18 @@ object Contamination {
   /** Per-corpus-document count of distinct word `n`-grams shared with ANY
     * benchmark document. Documents with zero overlap are omitted (a
     * left-join variant is a trivial composition). Output: (idCol, n_shared).
-    */
+    *
+    * `bloomRestrict` (shuffle path only, requires `hashed`) pre-filters
+    * the corpus grams with a Bloom filter of the benchmark gram hashes
+    * BEFORE the exchange: on a decontamination run the corpus-side gram
+    * shuffle is the dominant cost and almost none of it matches, so
+    * dropping non-members at the scan (codegen'd `might_contain`, false
+    * positives only) shrinks the exchange from "every gram in the corpus"
+    * to "matches + fpp". The Bloom sketch is a bounded driver scalar (a
+    * few bits per benchmark gram — MBs where the gram set itself is GBs),
+    * and the exact join still runs after it, so output is UNCHANGED
+    * (specced): the Bloom can only let extra rows into the exchange,
+    * never drop a true match. */
   def ngramOverlap(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -34,8 +45,12 @@ object Contamination {
       textCol: String,
       n: Int = 5,
       hashed: Boolean = true,
-      broadcastGrams: Boolean = true
+      broadcastGrams: Boolean = true,
+      bloomRestrict: Boolean = false,
+      bloomFpp: Double = 0.03
   ): DataFrame = {
+    require(!bloomRestrict || hashed,
+      "bloomRestrict requires hashed=true (the sketch keys on gram hashes)")
     def keyed(g: org.apache.spark.sql.Column) =
       if (hashed) xxhash64(g) else g
 
@@ -44,10 +59,35 @@ object Contamination {
       .select(keyed(col("g")).as("k"))
       .distinct()
 
-    val corpusGrams = corpus
+    val corpusGrams0 = corpus
       .select(col(idCol).as(idCol),
         explode(Dedup.wordNgrams(col(textCol), n)).as("g"))
       .select(col(idCol), keyed(col("g")).as("k"))
+
+    val corpusGrams =
+      if (!bloomRestrict) corpusGrams0
+      else {
+        import org.apache.spark.sql.graft.ColumnBridge
+        // two scalar jobs over the (small) benchmark side: size the sketch,
+        // build it — Spark's own runtime-filter machinery (the expressions
+        // behind spark.sql.optimizer.runtimeFilter.bloomFilter), driven
+        // explicitly so the restriction survives any optimizer setting
+        val items = math.max(benchGrams.count(), 1L)
+        val nBits = math.max(
+          (-items * math.log(bloomFpp) / (math.log(2) * math.log(2))).toLong, 64L)
+        val bloomBin = benchGrams.agg(ColumnBridge.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(
+              ColumnBridge.expression(col("k")),
+              org.apache.spark.sql.catalyst.expressions.Literal(items),
+              org.apache.spark.sql.catalyst.expressions.Literal(nBits))
+            .toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        corpusGrams0.filter(ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            ColumnBridge.expression(lit(bloomBin)),
+            ColumnBridge.expression(col("k")))))
+      }
 
     val joined =
       if (broadcastGrams) corpusGrams.join(broadcast(benchGrams), "k")

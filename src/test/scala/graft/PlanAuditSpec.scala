@@ -239,6 +239,23 @@ class Round6PlanAuditSpec extends SparkSpec {
         s"equal/banded diamond:\n$finalPlan")
   }
 
+  test("pipeline_curate (v2, with near-dedup): no quadratic join anywhere " +
+    "in the composed flagship plan") {
+    // the flagship is a composition of five audited stages; this pins the
+    // COMPOSITION — an accidental cartesian between stages (e.g. a lost
+    // join key in a refactor) would pass row-level correctness at sf0.01
+    // and detonate at corpus scale
+    val df = SparkEntry.queries("pipeline_curate")(spark, sfDir)
+    df.queryExecution.executedPlan.executeCollect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join in the flagship composition:\n$p")
+  }
+
   test("q_zorder: single codegen projection over the scan, no shuffle") {
     val p = physical("q_zorder")
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")

@@ -106,6 +106,57 @@ class ContaminationSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("ShuffledHashJoin"), plan)
   }
+
+  test("bloomRestrict: identical output to every other mode, and the " +
+    "might_contain restriction sits BELOW the corpus-side exchange") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (corpus, bench) = (d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val reference = canon(Contamination.ngramOverlap(
+      corpus, bench, "doc_id", "text", n = 5))
+    val bloomed = Contamination.ngramOverlap(
+      corpus, bench, "doc_id", "text", n = 5, hashed = true,
+      broadcastGrams = false, bloomRestrict = true)
+    // exact join after the Bloom: false positives cannot reach the output
+    assert(canon(bloomed) == reference)
+
+    // the restriction must cut the exchange, not run after it: in the
+    // UNEXECUTED adaptive plan (exchanges inserted, subtrees still intact
+    // — post-execution AQE stage segmentation would hide them) every
+    // corpus-side shuffle must have the might_contain filter BELOW it
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // a fresh frame: the collect above already segmented `bloomed`'s plan
+    // into query stages, which hides exchange subtrees
+    val fresh = Contamination.ngramOverlap(
+      corpus, bench, "doc_id", "text", n = 5, hashed = true,
+      broadcastGrams = false, bloomRestrict = true)
+    val root = fresh.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan // pre-execution: initial
+      case p => p
+    }
+    val corpusShuffles = root.collect {
+      case e: ShuffleExchangeExec
+        if e.output.exists(_.name == "doc_id") => e
+    }
+    assert(corpusShuffles.nonEmpty, root.toString)
+    corpusShuffles.foreach { e =>
+      val hasBloomBelow = e.child.collectFirst {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f
+      }.nonEmpty
+      assert(hasBloomBelow,
+        s"bloom restriction not below the corpus exchange:\n$e")
+    }
+
+    val err = intercept[IllegalArgumentException] {
+      Contamination.ngramOverlap(corpus, bench, "doc_id", "text",
+        hashed = false, bloomRestrict = true)
+    }
+    assert(err.getMessage.contains("hashed"))
+  }
 }
 
 class TfIdfSpec extends SparkSpec {
