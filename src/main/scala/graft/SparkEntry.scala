@@ -907,9 +907,12 @@ object SparkEntry {
       .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
       .select("doc_id", "text")
     val exactDeduped = Dedup.exact(gated, Seq("text"), Seq(col("doc_id")))
+    // persistInput: the gated+deduped lineage (two text kernels + a
+    // window) feeds four downstream actions — cache it once, disk-backed
     val nearDeduped = Dedup.dropNearDuplicates(
       exactDeduped.withColumn("norm", TextFunctions.normalizeText(col("text"))),
-      "doc_id", "norm", threshold = 1.0, verifyExact = true)
+      "doc_id", "norm", threshold = 1.0, verifyExact = true,
+      persistInput = true)
     val contaminated = operators.Contamination.ngramOverlap(
       nearDeduped, base.filter(col("doc_id") < 20), "doc_id", "text", n = 5)
       .select("doc_id")

@@ -468,7 +468,19 @@ object Dedup {
   /** End-to-end near-duplicate REMOVAL: MinHash-LSH candidate pairs →
     * connected components → keep only the smallest-id member of each
     * component. This is the operator a training-data pipeline actually
-    * runs; [[minhashPairs]] is its observable intermediate. */
+    * runs; [[minhashPairs]] is its observable intermediate.
+    *
+    * The input is consumed by SEVERAL actions (signature pipeline, exact
+    * verification joins, the components edge materialization, the final
+    * anti join): when `docs` is itself an expensive lineage — a gated,
+    * normalized, pre-deduped corpus, the curation-pipeline case — every
+    * action re-runs that lineage from the scan up. `persistInput = true`
+    * caches it MEMORY_AND_DISK for the operator's lifetime (disk-backed,
+    * so a corpus bigger than cluster memory spills instead of failing;
+    * the cached frame stays registered because the returned plan still
+    * reads it — `spark.catalog.clearCache()` reclaims it after the
+    * pipeline materializes). Leave false when `docs` is a plain scan:
+    * re-reading columnar parquet is cheaper than caching it. */
   def dropNearDuplicates(
       docs: DataFrame,
       idCol: String,
@@ -479,18 +491,23 @@ object Dedup {
       threshold: Double = 0.5,
       verifyExact: Boolean = false,
       reliableCheckpoint: Boolean = false,
-      failOnNonConvergence: Boolean = false
+      failOnNonConvergence: Boolean = false,
+      persistInput: Boolean = false
   ): DataFrame = {
-    val candidates = minhashPairs(docs, idCol, textCol, shingleK, numHashes,
+    val in =
+      if (persistInput)
+        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs
+    val candidates = minhashPairs(in, idCol, textCol, shingleK, numHashes,
       bands, threshold)
     val pairs =
-      if (verifyExact) verifyPairsExact(candidates, docs, idCol, textCol)
+      if (verifyExact) verifyPairsExact(candidates, in, idCol, textCol)
       else candidates
     val losers = components(pairs, reliableCheckpoint = reliableCheckpoint,
       failOnNonConvergence = failOnNonConvergence)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("__loser"))
-    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+    in.join(losers, in(idCol) === col("__loser"), "left_anti")
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: |A∩B| / |A∪B|
