@@ -95,7 +95,11 @@ object Bench {
     // per-query at centisecond precision: 77+ entries must leave room for
     // sbt's trailing success line inside the same bounded tail
     def fmt2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt2(med) }
+    // decisecond medians: r8's spread/big20x additions would push the
+    // line past the driver's ~1800-char parse tail at centisecond
+    // precision; full precision always lives in bench_detail.json
+    def fmt1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt1(med) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     // aggregate Spark-vs-DuckDB ratio over the queries both engines ran,
@@ -104,6 +108,91 @@ object Bench {
     val duckdbTotal = common.map { case (k, _) => duckdb(k) }.sum
     val sparkCommonMin = common.map(_._2._2).sum
     val vsDuckdb = if (duckdbTotal > 0) sparkCommonMin / duckdbTotal else -1.0
+
+    // Load self-diagnosis: the med/min ratio per query is ~1 on a quiet
+    // machine and grows with ambient load (the medians absorb it, the
+    // minimums don't). The run-level `spread` (median of per-query
+    // ratios) says how much to trust THIS run's medians; queries past 2x
+    // are individually flagged unreliable so round-over-round comparisons
+    // stop inferring load from file mtimes.
+    val ratios = results.collect { case (k, (med, mn)) if mn > 0 => k -> med / mn }
+    val spread = {
+      val s = ratios.map(_._2).sorted
+      if (s.isEmpty) 1.0 else s(s.length / 2)
+    }
+    val unreliable = ratios.filter(_._2 > 2.0).map(_._1)
+
+    // 20x-corpus section: the sf0.1 medians sit on Spark's per-query floor
+    // (job scheduling, AQE, codegen — ~0.3-0.5 s) for most queries, so the
+    // run-level vs_duckdb is floor-dominated. The headline set — the ten
+    // most expensive DATA-BOUND queries, all over the tables
+    // tools/scale_up.py scales (documents/embeddings/events) — re-measured
+    // on the 20x corpus gives a ratio where the floor amortizes. The big
+    // corpus is built once per machine (scale_up.py, driver-side python);
+    // absent python / testdata, the section degrades to nothing.
+    val headline = Seq("pipeline_curate", "dedup_drop", "q_interval_join",
+      "dedup_minhash", "dedup_embed", "embed_ivf_ann", "dedup_simhash",
+      "multimodal_image", "tfidf_topk", "embed_lsh_ann")
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_BIG_DIR", "/tmp/graft_big20x")
+    val bigReady: Boolean =
+      new java.io.File(s"$bigDir/documents.parquet").exists() || {
+        try {
+          val cmd = Array("python3", "tools/scale_up.py", sfDir, bigDir, "20")
+          new ProcessBuilder(cmd: _*).inheritIO().start().waitFor() == 0
+        } catch { case _: Throwable => false }
+      }
+    val bigResults: Seq[(String, (Double, Double))] =
+      if (!bigReady) Nil
+      else headline.filter(SparkEntry.queries.contains).map { name =>
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, bigDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> (times.last, times.head) // (max of 2, min of 2)
+      }
+    val duckdbBig: Map[String, Double] =
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(sys.env.getOrElse(
+            "SPARK_GRAFT_DUCKDB_BASELINE_BIG", "DUCKDB_BASELINE_20X.json"))),
+          java.nio.charset.StandardCharsets.UTF_8)
+        (JsonMethods.parse(txt) \ "queries" match {
+          case JObject(fields) => fields.flatMap {
+            case (name, q) => q \ "median_sec" match {
+              case JDouble(v) => Some(name -> v)
+              case JInt(v)    => Some(name -> v.toDouble)
+              case _          => None
+            }
+          }.toMap
+          case _ => Map.empty[String, Double]
+        })
+      } catch { case _: Throwable => Map.empty }
+    val bigCommon = bigResults.filter { case (k, _) => duckdbBig.contains(k) }
+    val bigDuckTotal = bigCommon.map { case (k, _) => duckdbBig(k) }.sum
+    val bigSparkMin = bigCommon.map(_._2._2).sum
+    val vsDuckdbBig =
+      if (bigDuckTotal > 0 && bigCommon.nonEmpty) bigSparkMin / bigDuckTotal
+      else -1.0
+    val bigTotalMin = bigResults.map(_._2._2).sum
+    // the DuckDB side of dedup_*/multimodal_*/embed_lsh oracles is an
+    // algebraic SHORTCUT (planted-structure SQL that never builds a
+    // signature / decodes an image — see DUCKDB_BASELINE note), so the
+    // full-headline ratio mixes engine speed with oracle asymmetry. The
+    // compute-equivalent subset is where both engines do the same work —
+    // the honest floor-free engine comparison.
+    val computeEq = bigCommon.filterNot { case (k, _) =>
+      k.startsWith("dedup_") || k.startsWith("multimodal_") ||
+        k.startsWith("embed_lsh") }
+    val eqDuck = computeEq.map { case (k, _) => duckdbBig(k) }.sum
+    val vsDuckdbEq =
+      if (eqDuck > 0 && computeEq.nonEmpty) computeEq.map(_._2._2).sum / eqDuck
+      else -1.0
+
     val detail = {
       val med = results.map { case (k, (m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
       val mn = results.map { case (k, (_, m)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
@@ -115,7 +204,14 @@ object Bench {
           "\"" + k + "\":{\"duckdb_sec\":" + d + ",\"spark_min_sec\":" + mn2 +
             ",\"ratio\":" + (if (d > 0) mn2 / d else -1.0) + "}")
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"sf":"$sfDir"}"""
+      val unrel = unreliable.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val big = bigResults.map { case (k, (mx, mn2)) =>
+        val d = duckdbBig.get(k)
+        "\"" + k + "\":{\"min_sec\":" + mn2 + ",\"max_sec\":" + mx +
+          d.map(v => ",\"duckdb_sec\":" + v +
+            ",\"ratio\":" + (if (v > 0) mn2 / v else -1.0)).getOrElse("") + "}"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"big20x":{"dir":"$bigDir","queries":$big,"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq},"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -130,7 +226,15 @@ object Bench {
     // minimums / sum of DuckDB medians over the oracled queries — full
     // per-query denominators live in bench_detail.json
     val vs = if (vsDuckdb >= 0) s""","vs_duckdb":${fmt2(vsDuckdb)}""" else ""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"setup":{"bucketed_layout":${fmt(setupSec)}}$vs,"sf":"$sfName"}"""
+    // spread (load self-diagnosis) + the floor-free 20x headline ratio:
+    // ~45 chars total, the only r8 additions the tail can afford
+    val sp = s""","spread":${fmt2(spread)}"""
+    val big = if (bigResults.nonEmpty) {
+      val v = if (vsDuckdbBig >= 0) s""","vs":${fmt2(vsDuckdbBig)}""" else ""
+      val veq = if (vsDuckdbEq >= 0) s""","veq":${fmt2(vsDuckdbEq)}""" else ""
+      s""","big20x":{"t":${fmt1(bigTotalMin)}$v$veq}"""
+    } else ""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"setup":{"bucketed_layout":${fmt(setupSec)}}$vs$sp$big,"sf":"$sfName"}"""
     // the consumer keeps a bounded stdout tail (~2000 chars) and sbt
     // appends its own success line after ours — flag the overflow BEFORE
     // it silently turns the recorded bench into parsed:null

@@ -75,6 +75,25 @@ object Contamination {
         val items = math.max(benchGrams.count(), 1L)
         val nBits = math.max(
           (-items * math.log(bloomFpp) / (math.log(2) * math.log(2))).toLong, 64L)
+        // BloomFilterAggregate SILENTLY clamps its arguments to the
+        // session's runtime-bloom-filter caps (defaults 4M items / 64M
+        // bits): past them the realized fpp quietly degrades and the
+        // exchange reduction fades — output stays correct (the exact join
+        // follows), so warn rather than fail, naming the confs to raise
+        val spark = corpus.sparkSession
+        def conf(k: String, dflt: Long) =
+          spark.conf.getOption(k).map(_.toLong).getOrElse(dflt)
+        val maxItems = conf(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+        val maxBits = conf(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)
+        if (items > maxItems || nBits > maxBits)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"bloomRestrict: benchmark gram set needs $items items / $nBits " +
+              s"bits but the session caps the Bloom sketch at $maxItems / " +
+              s"$maxBits — realized fpp will exceed $bloomFpp and the " +
+              "exchange reduction degrades; raise " +
+              "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits")
         val bloomBin = benchGrams.agg(ColumnBridge.column(
           new org.apache.spark.sql.catalyst.expressions.aggregate
             .BloomFilterAggregate(

@@ -408,6 +408,15 @@ object Dedup {
       failOnNonConvergence: Boolean = false): DataFrame = {
     val (labels, stats) =
       componentsWithStats(pairs, maxIters, reliableCheckpoint)
+    enforceConvergence(stats, maxIters, failOnNonConvergence)
+    labels
+  }
+
+  /** The shared non-convergence policy: throw or warn, caller's choice. */
+  private[operators] def enforceConvergence(
+      stats: ComponentsStats,
+      maxIters: Int,
+      failOnNonConvergence: Boolean): Unit =
     if (!stats.converged) {
       val msg = s"components: labels still changing after maxIters=$maxIters " +
         "— components with chains longer than the iteration budget may be " +
@@ -415,8 +424,6 @@ object Dedup {
       if (failOnNonConvergence) throw new IllegalStateException(msg)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    labels
-  }
 
   /** Convergence telemetry for [[components]]: how many label-propagation
     * rounds ran, and whether the last one changed nothing. A 100 TB run
@@ -493,7 +500,31 @@ object Dedup {
       reliableCheckpoint: Boolean = false,
       failOnNonConvergence: Boolean = false,
       persistInput: Boolean = false
-  ): DataFrame = {
+  ): DataFrame =
+    dropNearDuplicatesWithStats(docs, idCol, textCol, shingleK, numHashes,
+      bands, threshold, verifyExact, reliableCheckpoint,
+      failOnNonConvergence, persistInput)._1
+
+  /** [[dropNearDuplicates]] plus the label-propagation
+    * [[ComponentsStats]] — the component loop is eager, so the stats are
+    * exact when this returns even though the survivor frame is still
+    * lazy. The operator a 100 TB run should call: the run can assert
+    * `stats.converged` (or log `stats.iterations`) instead of trusting a
+    * warning buried in executor logs. */
+  def dropNearDuplicatesWithStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      verifyExact: Boolean = false,
+      reliableCheckpoint: Boolean = false,
+      failOnNonConvergence: Boolean = false,
+      persistInput: Boolean = false,
+      maxIters: Int = 10
+  ): (DataFrame, ComponentsStats) = {
     val in =
       if (persistInput)
         docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -503,11 +534,13 @@ object Dedup {
     val pairs =
       if (verifyExact) verifyPairsExact(candidates, in, idCol, textCol)
       else candidates
-    val losers = components(pairs, reliableCheckpoint = reliableCheckpoint,
-      failOnNonConvergence = failOnNonConvergence)
+    val (labels, stats) =
+      componentsWithStats(pairs, maxIters, reliableCheckpoint)
+    enforceConvergence(stats, maxIters, failOnNonConvergence)
+    val losers = labels
       .filter(col("id") =!= col("label"))
       .select(col("id").as("__loser"))
-    in.join(losers, in(idCol) === col("__loser"), "left_anti")
+    (in.join(losers, in(idCol) === col("__loser"), "left_anti"), stats)
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: |A∩B| / |A∪B|

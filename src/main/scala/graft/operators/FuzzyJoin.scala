@@ -69,8 +69,11 @@ object FuzzyJoin {
         "would have two identically-named id columns — rename one side " +
         "(e.g. .withColumnRenamed) before the join")
     // the internal aliases only coexist with the user's id/key columns
-    // inside the per-side projections, so only those four names can clash
-    val internal = Seq("__lid", "__lkey", "__rid", "__rkey", "__v", "__vh", "__dist")
+    // inside the per-side projections, so only those four names can clash;
+    // "dist" is the output score column — an id named "dist" would
+    // duplicate it in the final select
+    val internal =
+      Seq("__lid", "__lkey", "__rid", "__rkey", "__v", "__vh", "__dist", "dist")
     require(!internal.contains(leftId) && !internal.contains(leftCol) &&
       !internal.contains(rightId) && !internal.contains(rightCol),
       s"FuzzyJoin.join reserves column names ${internal.mkString(", ")} — " +

@@ -31,27 +31,56 @@ object IntervalJoin {
     * residual-filter misses). Containment implies the point's date lies
     * within the interval's date range, so day binning never misses a
     * match regardless of the columns' precision. Returns the joined rows
-    * with both sides' columns. */
+    * with both sides' columns.
+    *
+    * Build side: by default the binned intervals are explicitly
+    * `broadcast()`. Left to Catalyst, size estimates after the explode can
+    * flip the broadcast onto the points side — fine at test scale, fatal
+    * when points are the corpus. The intervals side is small by
+    * construction (bounded fan-out of an enumerable dimension), so it is
+    * the build side. Set `broadcastIntervals = false` when the exploded
+    * intervals genuinely exceed broadcast size: the fallback shuffles on
+    * (bucket, salt) instead of bucket alone, because the day-bucket key is
+    * calendar-bounded (~365 distinct values per year of data) and would
+    * otherwise land the whole corpus on a handful of tasks. */
   def overlapJoin(
       points: DataFrame,
       intervals: DataFrame,
       tsCol: String,
       startCol: String,
       endCol: String,
-      bucketDays: Int = 1): DataFrame = {
+      bucketDays: Int = 1,
+      broadcastIntervals: Boolean = true,
+      numSalts: Int = 16): DataFrame = {
     require(bucketDays >= 1, s"bucketDays must be >= 1 (got $bucketDays)")
-    graft.InternalCols.requireAbsent(points, "IntervalJoin.overlapJoin", "__bucket")
-    graft.InternalCols.requireAbsent(intervals, "IntervalJoin.overlapJoin", "__bucket")
+    require(numSalts >= 1, s"numSalts must be >= 1 (got $numSalts)")
+    graft.InternalCols.requireAbsent(points, "IntervalJoin.overlapJoin", "__bucket", "__salt")
+    graft.InternalCols.requireAbsent(intervals, "IntervalJoin.overlapJoin", "__bucket", "__salt")
     def bucketOf(c: Column): Column =
       floor(unix_date(to_date(c)) / bucketDays)
     val binned = intervals.withColumn(
       "__bucket",
       explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
-    points
-      .withColumn("__bucket", bucketOf(col(tsCol)))
-      .join(binned, "__bucket")
-      // residual: bucket equality is necessary, containment is the contract
-      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
-      .drop("__bucket")
+    // residual: bucket equality is necessary, containment is the contract
+    val residual = col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol)
+    val pts = points.withColumn("__bucket", bucketOf(col(tsCol)))
+    if (broadcastIntervals) {
+      pts.join(broadcast(binned), "__bucket").filter(residual).drop("__bucket")
+    } else {
+      // Salted shuffle: replicate each interval bucket across numSalts
+      // sub-keys, spread points uniformly over them, join on both. The
+      // per-task share of a hot day becomes 1/numSalts of it. The
+      // shuffle_hash hint keeps the build on the replicated-intervals side
+      // even when size estimates would otherwise broadcast the points.
+      val replicated = binned.withColumn(
+        "__salt", explode(sequence(lit(0), lit(numSalts - 1))))
+        .hint("shuffle_hash")
+      val salted = pts.withColumn("__salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts))
+          .cast("int"))
+      salted.join(replicated, Seq("__bucket", "__salt"))
+        .filter(residual)
+        .drop("__bucket", "__salt")
+    }
   }
 }

@@ -122,15 +122,27 @@ object SetSketch {
     * is re-checked with exact slot equality on its own band before
     * scoring, so the output is a pure function of the signatures —
     * DuckDB-oracle-able with a `WHERE <band 0 equal> OR <band 1 equal>
-    * OR …` clause over the same integer arithmetic. */
+    * OR …` clause over the same integer arithmetic.
+    *
+    * `maxBucket` caps a band bucket's DISTINCT-signature membership (same
+    * guard as [[Dedup.minhashPairs]]): the distinct collapse bounds
+    * duplicate mass, but a crowd of NEAR-identical distinct signatures —
+    * mirror farms with small vocabulary drift — can still pack one bucket
+    * and its in-array m² pair expansion. A bucket past the cap is dropped
+    * (those pairs usually resurface through another band; a pair whose
+    * every shared band is crowded is lost — the standard LSH recall
+    * trade). Equal-signature pairs never enter a bucket, so the cap
+    * cannot drop them. */
   def bandedSignaturePairs(
       sigs: DataFrame,
       keyCol: String,
       numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int,
+      maxBucket: Int = 500): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     require(keyCol != "signature", "key column may not be named 'signature'")
+    require(maxBucket >= 2, s"maxBucket must be >= 2 (got $maxBucket)")
     val r = numHashes / bands
 
     // the only wide shuffle: one fixed-width signature row per group
@@ -156,7 +168,7 @@ object SetSketch {
     val crossPairs = banded
       .groupBy("band", "bh")
       .agg(collect_list(struct(col("signature").as("sig"), col("keys"))).as("xs"))
-      .filter(size(col("xs")) >= 2)
+      .filter(size(col("xs")).between(2, maxBucket))
       .select(col("band"), explode(flatten(transform(col("xs"), (x, i) =>
         transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
           struct(x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b"),

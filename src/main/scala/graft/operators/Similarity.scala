@@ -251,12 +251,32 @@ object Similarity {
       numPlanes: Int = 8,
       dim: Int = 64,
       seed: Long = 42L
-  ): DataFrame = {
+  ): DataFrame =
+    dropEmbeddingDuplicatesWithStats(
+      corpus, idCol, vecCol, minCos, numPlanes, dim, seed)._1
+
+  /** [[dropEmbeddingDuplicates]] plus the label-propagation
+    * [[Dedup.ComponentsStats]] (exact at return time — the component loop
+    * is eager), so a large run can assert convergence instead of
+    * trusting executor-log warnings. */
+  def dropEmbeddingDuplicatesWithStats(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxIters: Int = 10,
+      failOnNonConvergence: Boolean = false
+  ): (DataFrame, Dedup.ComponentsStats) = {
     val pairs = annBuckets(corpus, idCol, vecCol, numPlanes, dim, seed, minCos)
-    val losers = Dedup.components(pairs)
+    val (labels, stats) = Dedup.componentsWithStats(pairs, maxIters)
+    Dedup.enforceConvergence(stats, maxIters, failOnNonConvergence)
+    val losers = labels
       .filter(col("id") =!= col("label"))
       .select(col("id").as("__loser"))
-    corpus.join(losers, corpus(idCol) === col("__loser"), "left_anti")
+    (corpus.join(losers, corpus(idCol) === col("__loser"), "left_anti"), stats)
   }
 
   /** LSH-bucketed approximate neighbors: candidates share a hyperplane

@@ -141,10 +141,12 @@ object Jdbc {
   }
 
   /** Dialects whose SQL has the `percentile_disc(...) WITHIN GROUP`
-    * ordered-set aggregate (the one-round-trip quantile probe). */
+    * ordered-set AGGREGATE (the one-round-trip quantile probe). SQL Server
+    * is deliberately absent: T-SQL's PERCENTILE_DISC is analytic-only
+    * (requires an OVER clause), so the aggregate-form probe SQL is a
+    * syntax error there — it takes the portable OFFSET-seek path. */
   private[sources] def supportsPercentileDisc(url: String): Boolean =
-    Seq("jdbc:postgresql:", "jdbc:oracle:", "jdbc:sqlserver:")
-      .exists(url.startsWith)
+    Seq("jdbc:postgresql:", "jdbc:oracle:").exists(url.startsWith)
 
   /** The one-shot probe SQL: `numPartitions - 1` `percentile_disc`
     * ordered-set aggregates in a single SELECT — one server-side

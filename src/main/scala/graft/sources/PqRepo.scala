@@ -195,20 +195,27 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       modified: Option[String] = None
   ): Path = {
     val dest = tablePath(schema, table)
-    val out = modified match {
-      case None => df
-      case Some(m) =>
-        val dataCols = df.columns.filterNot(partitionCols.contains)
-        val first = dataCols.head
-        val md = new MetadataBuilder()
-          .withMetadata(df.schema(first).metadata)
-          .putString(MetadataKey, m).build()
-        df.withColumn(first, col(first).as(first, md))
-    }
-    out.write.mode("overwrite")
+    stampModified(df, partitionCols, modified)
+      .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(dest.toString)
     dest
+  }
+
+  /** The lastModified stamp on the first DATA column (partition columns
+    * don't materialize in the files), shared by every partitioned write
+    * path so merge-rewritten partitions keep the stamp too. */
+  private def stampModified(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      modified: Option[String]): DataFrame = modified match {
+    case None => df
+    case Some(m) =>
+      val first = df.columns.filterNot(partitionCols.contains).head
+      val md = new MetadataBuilder()
+        .withMetadata(df.schema(first).metadata)
+        .putString(MetadataKey, m).build()
+      df.withColumn(first, col(first).as(first, md))
   }
 
   /** Range-partitioned, within-partition-sorted write: rows are range-
@@ -295,11 +302,23 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     * the current-side scan partition-prunes.
     *
     * Each affected partition is written to a temp table then swapped in
-    * with one directory rename per partition (crash mid-swap leaves each
-    * partition either old or new, never half-written; a reader racing the
-    * swap can observe some partitions old and some new — use whole-table
+    * via sidecar renames (old dir → `_old_*` sidecar, new dir into place,
+    * sidecar deleted), so EVERY crash point leaves the partition's old or
+    * new directory present — never neither, never half-written (the `_`
+    * prefix hides the sidecar from readers). A reader racing the swap can
+    * still observe some partitions old and some new — use whole-table
     * [[merge]] when cross-partition snapshot atomicity matters more than
-    * the rewrite cost). */
+    * the rewrite cost.
+    *
+    * Before the first swap (and after the tmp write has fully committed) a
+    * `_merge_manifest.json` is written under the table dir recording every
+    * partition the swap will touch and whether the tmp layout holds new
+    * data for it. An interrupted merge is therefore diagnosable (the
+    * manifest names exactly the dirs in flight) and resumable:
+    * [[recoverMergePartitioned]] rolls the recorded swap forward, and the
+    * next [[mergePartitioned]] call runs that recovery automatically
+    * before reading current state. The manifest is deleted only after all
+    * swaps land, so its absence means the table is clean. */
   def mergePartitioned(
       updates: DataFrame,
       schema: String,
@@ -315,6 +334,9 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
         "row would survive)")
     val dest = tablePath(schema, table)
     val f = fs(dest)
+    // a manifest from a crashed previous merge: roll it forward first, so
+    // the current-side read below sees a consistent table
+    recoverMergePartitioned(schema, table)
     if (!f.exists(dest))
       return writePartitioned(updates, schema, table, partitionCols, modified)
 
@@ -333,31 +355,123 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     val merged = cowMerge(current, updates, keys)
 
     // write affected partitions to a tmp layout, then swap each directory
-    val tmp = new Path(new Path(dataDir, schema), s"_tmp_$table.parquet")
+    val tmp = mergeTmpPath(schema, table)
     if (f.exists(tmp)) f.delete(tmp, true)
-    merged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
+    stampModified(merged, partitionCols, modified)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
 
-    // hive-escaped directory names, exactly as Spark's writer lays them out
-    def partDir(base: Path, row: org.apache.spark.sql.Row): Path =
-      partitionCols.zipWithIndex.foldLeft(base) { case (p, (c, i)) =>
-        val v = Option(row.get(i)).map(x =>
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .escapePathName(x.toString))
-          .getOrElse("__HIVE_DEFAULT_PARTITION__")
-        new Path(p, s"$c=$v")
-      }
-    affected.foreach { row =>
-      val src = partDir(tmp, row)
-      val dst = partDir(dest, row)
-      if (f.exists(dst)) f.delete(dst, true)
-      if (f.exists(src)) { // empty merged partition = nothing to place
-        f.mkdirs(dst.getParent)
-        if (!f.rename(src, dst))
-          throw new java.io.IOException(s"Could not promote $src to $dst")
+    // manifest AFTER the tmp write committed, BEFORE the first swap: its
+    // presence certifies the tmp layout is complete and records which
+    // partitions are in flight (hasNew=false ⇒ the merged partition came
+    // out empty and the destination dir's end state is "absent")
+    val entries = affected.toSeq.map { row =>
+      val rel = partitionRelDir(row)
+      rel -> f.exists(new Path(tmp, rel))
+    }
+    writeMergeManifest(schema, table, entries)
+
+    promoteMergedPartitions(f, tmp, dest, entries)
+    f.delete(tmp, true)
+    f.delete(mergeManifestPath(schema, table), false)
+    dest
+  }
+
+  /** Roll an interrupted [[mergePartitioned]] forward from its committed
+    * `_merge_manifest.json`: every recorded partition ends at its merged
+    * state (promoted, or absent for empty merges), sidecars and the tmp
+    * layout are cleaned, the manifest removed. Idempotent; a no-op
+    * returning false when no manifest exists (the table is clean). */
+  def recoverMergePartitioned(schema: String, table: String): Boolean = {
+    val manifest = mergeManifestPath(schema, table)
+    val f = fs(manifest)
+    if (!f.exists(manifest)) return false
+    val entries = readMergeManifest(manifest)
+    val tmp = mergeTmpPath(schema, table)
+    promoteMergedPartitions(f, tmp, tablePath(schema, table), entries)
+    if (f.exists(tmp)) f.delete(tmp, true)
+    f.delete(manifest, false)
+    true
+  }
+
+  /** Idempotent swap of merged partition dirs into the table — the shared
+    * engine of [[mergePartitioned]] and [[recoverMergePartitioned]]. Per
+    * partition: old dir renamed to a reader-invisible `_old_` sidecar, new
+    * dir renamed into place, sidecar deleted. Re-running after a crash at
+    * ANY point completes the partition: a surviving sidecar without new
+    * data to place means the promotion already happened (hasNew partitions
+    * whose tmp dir is gone) and only the sidecar needs cleanup. */
+  private def promoteMergedPartitions(
+      f: org.apache.hadoop.fs.FileSystem,
+      tmp: Path,
+      dest: Path,
+      entries: Seq[(String, Boolean)]): Unit =
+    entries.foreach { case (rel, hasNew) =>
+      val src = new Path(tmp, rel)
+      val dst = new Path(dest, rel)
+      val side = new Path(dst.getParent, s"_old_${dst.getName}")
+      if (hasNew) {
+        if (f.exists(src)) {
+          if (f.exists(side)) f.delete(side, true) // stale from older crash
+          f.mkdirs(dst.getParent)
+          if (f.exists(dst) && !f.rename(dst, side))
+            throw new java.io.IOException(s"Could not sidecar $dst to $side")
+          if (!f.rename(src, dst))
+            throw new java.io.IOException(s"Could not promote $src to $dst")
+        }
+        // src gone ⇒ this partition was already promoted
+        if (f.exists(side)) f.delete(side, true)
+      } else {
+        // merged partition is empty: end state is "absent"
+        if (f.exists(dst)) f.delete(dst, true)
+        if (f.exists(side)) f.delete(side, true)
       }
     }
-    f.delete(tmp, true)
-    dest
+
+  /** Hive-escaped relative partition dir (`a=1/b=2`), exactly as Spark's
+    * writer lays directories out. */
+  private def partitionRelDir(row: org.apache.spark.sql.Row): String =
+    row.schema.fieldNames.zipWithIndex.map { case (c, i) =>
+      val v = Option(row.get(i)).map(x =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(x.toString))
+        .getOrElse("__HIVE_DEFAULT_PARTITION__")
+      s"$c=$v"
+    }.mkString("/")
+
+  private def mergeTmpPath(schema: String, table: String): Path =
+    new Path(new Path(dataDir, schema), s"_tmp_$table.parquet")
+
+  private def mergeManifestPath(schema: String, table: String): Path =
+    new Path(tablePath(schema, table), "_merge_manifest.json")
+
+  private def writeMergeManifest(
+      schema: String,
+      table: String,
+      entries: Seq[(String, Boolean)]): Unit = {
+    val manifest = mergeManifestPath(schema, table)
+    val json = entries.map { case (rel, hasNew) =>
+      // rel is hive-escaped (quotes/backslashes already %-encoded), so the
+      // string embeds into JSON verbatim
+      s"""{"dir":"$rel","hasNew":$hasNew}"""
+    }.mkString(
+      s"""{"table":"$table","tmp":"${mergeTmpPath(schema, table)}","partitions":[""",
+      ",", "]}")
+    val out = fs(manifest).create(manifest, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readMergeManifest(manifest: Path): Seq[(String, Boolean)] = {
+    val in = fs(manifest).open(manifest)
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val parts = root.get("partitions")
+    (0 until parts.size()).map { i =>
+      val e = parts.get(i)
+      e.get("dir").asText() -> e.get("hasNew").asBoolean()
+    }
   }
 
   /** Z-ordered write: rows are laid out along the Morton curve of

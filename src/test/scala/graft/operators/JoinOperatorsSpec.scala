@@ -93,6 +93,12 @@ class FuzzyJoinSpec extends SparkSpec {
         "lid", "__vh", "rid", "name", 1)
     }
     assert(reserved.getMessage.contains("reserves"))
+    // an id named 'dist' would collide with the output score column
+    val distId = intercept[IllegalArgumentException] {
+      FuzzyJoin.join(l.withColumnRenamed("lid", "dist"), r,
+        "dist", "name", "rid", "name", 1)
+    }
+    assert(distId.getMessage.contains("reserves"))
   }
 }
 
@@ -142,6 +148,47 @@ class IntervalJoinSpec extends SparkSpec {
     val p = IntervalJoin.overlapJoin(points, intervals, "d", "s", "e")
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("default plan broadcasts the intervals side (BuildRight), never the points") {
+    val p = IntervalJoin.overlapJoin(points, intervals, "d", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BuildRight"), p)
+    assert(!p.contains("BuildLeft"), p)
+  }
+
+  test("salted shuffle fallback matches the broadcast result") {
+    val got = IntervalJoin.overlapJoin(points, intervals, "d", "s", "e",
+        bucketDays = 1, broadcastIntervals = false, numSalts = 4)
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("salted fallback emits each matching pair exactly once despite replication") {
+    val rows = IntervalJoin.overlapJoin(points, intervals, "d", "s", "e",
+        bucketDays = 1, broadcastIntervals = false, numSalts = 4)
+      .select("pid", "iid").collect()
+    assert(rows.length == expected.size)
+  }
+
+  test("salted fallback does not broadcast-build from the points side") {
+    val p = IntervalJoin.overlapJoin(points, intervals, "d", "s", "e",
+        bucketDays = 1, broadcastIntervals = false, numSalts = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // intervals replicated per salt may still auto-broadcast at this scale,
+    // but the build must never be the points side
+    assert(!p.contains("BuildLeft"), p)
+  }
+
+  test("an input already carrying __salt is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(points.withColumn("__salt", lit(1)),
+        intervals, "d", "s", "e")
+    }
+    assert(e.getMessage.contains("__salt"))
   }
 }
 

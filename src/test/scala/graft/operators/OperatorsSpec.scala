@@ -229,6 +229,24 @@ class DedupSpec extends SparkSpec {
     assert(kept.count(_ < 5000) >= kept.count(_ >= 5000))
   }
 
+  test("dropNearDuplicatesWithStats: same survivors as the plain dropper, " +
+    "convergence telemetry visible to the caller") {
+    val docs = ((0 until 10).map(i => (i.toLong, "identical duplicated payload")) ++
+      Seq((50L, "an entirely different document text")))
+      .toDF("doc_id", "text")
+    val (out, stats) = Dedup.dropNearDuplicatesWithStats(docs, "doc_id", "text",
+      numHashes = 48, bands = 12, threshold = 1.0)
+    // the 10-copy clique collapses to its min id; the stats are exact at
+    // return time (eager component loop) even though `out` is still lazy
+    assert(stats.converged && stats.iterations >= 1, stats.toString)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 50L))
+    val plain = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+      numHashes = 48, bands = 12, threshold = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain == kept)
+  }
+
   test("ngram jaccard: identical = 1, disjoint = 0") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w"))
       .toDF("x", "y")
@@ -242,6 +260,19 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
 
   lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("dropEmbeddingDuplicatesWithStats: survivors match the plain " +
+    "dropper, telemetry exposed") {
+    val corpus = emb.limit(80)
+    val (out, stats) = Similarity.dropEmbeddingDuplicatesWithStats(
+      corpus, "vec_id", "embedding", minCos = 0.999)
+    assert(stats.iterations >= 1, stats.toString)
+    val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    val plain = Similarity.dropEmbeddingDuplicates(
+      corpus, "vec_id", "embedding", minCos = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == plain)
+  }
 
   test("bruteForceTopK returns k ranked neighbors per query, self excluded") {
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),

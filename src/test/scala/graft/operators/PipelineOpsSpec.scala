@@ -157,6 +157,33 @@ class ContaminationSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("hashed"))
   }
+
+  test("bloomRestrict under clamped session Bloom caps: output unchanged " +
+    "(the clamp degrades fpp, never correctness)") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (corpus, bench) = (d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reference = canon(Contamination.ngramOverlap(
+      corpus, bench, "doc_id", "text", n = 5))
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val saved = (spark.conf.getOption(itemsKey), spark.conf.getOption(bitsKey))
+    try {
+      // far below any real gram count: forces the silent clamp (and the
+      // operator's warning) while the exact join keeps the output identical
+      spark.conf.set(itemsKey, "8")
+      spark.conf.set(bitsKey, "128")
+      val clamped = canon(Contamination.ngramOverlap(
+        corpus, bench, "doc_id", "text", n = 5, hashed = true,
+        broadcastGrams = false, bloomRestrict = true))
+      assert(clamped == reference)
+    } finally {
+      def restore(k: String, v: Option[String]) =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore(itemsKey, saved._1); restore(bitsKey, saved._2)
+    }
+  }
 }
 
 class TfIdfSpec extends SparkSpec {

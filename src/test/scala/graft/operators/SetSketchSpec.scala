@@ -85,6 +85,25 @@ class SetSketchSpec extends SparkSpec {
     banded.values.foreach(n => assert(n >= 4))
   }
 
+  test("maxBucket drops a crowded band bucket; equal-signature pairs are " +
+    "unaffected (they never enter a bucket)") {
+    // five DISTINCT signatures sharing band 0 exactly (slots [1,2]) — the
+    // mirror-farm shape: near-identical signatures crowding one bucket
+    val crowd = (1 to 5).map(i => (s"g$i", Seq(1L, 2L, 100L + i, 200L + i)))
+    val equal = Seq(("e1", Seq(9L, 9L, 9L, 9L)), ("e2", Seq(9L, 9L, 9L, 9L)))
+    val sigDf = (crowd ++ equal).toDF("g", "signature")
+    val uncapped = SetSketch.bandedSignaturePairs(sigDf, "g", 4, bands = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped.contains(("e1", "e2")))
+    assert(uncapped.count(p => p._1.startsWith("g")) == 10,
+      s"all 5-choose-2 crowd pairs should surface via band 0: $uncapped")
+    val capped = SetSketch
+      .bandedSignaturePairs(sigDf, "g", 4, bands = 2, maxBucket = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == Set(("e1", "e2")),
+      s"crowded bucket must be dropped at the cap, equal pair kept: $capped")
+  }
+
   test("the signature aggregation partial-aggregates map-side") {
     val df = Seq("a" -> "x", "b" -> "y").toDF("g", "item")
     val plan = SetSketch.groupMinhash(df, "g", "item", 8)

@@ -369,7 +369,10 @@ class JdbcSkewBalanceSpec extends SparkSpec {
     "SQL, Derby keeps the portable seek fallback") {
     assert(Jdbc.supportsPercentileDisc("jdbc:postgresql://h:5432/db"))
     assert(Jdbc.supportsPercentileDisc("jdbc:oracle:thin:@h:1521/db"))
-    assert(Jdbc.supportsPercentileDisc("jdbc:sqlserver://h;database=db"))
+    // T-SQL PERCENTILE_DISC is analytic-only (OVER required): the
+    // aggregate-form probe would be a syntax error, so SQL Server must
+    // take the portable seek path
+    assert(!Jdbc.supportsPercentileDisc("jdbc:sqlserver://h;database=db"))
     assert(!Jdbc.supportsPercentileDisc("jdbc:derby:memory:x;create=true"))
 
     val sql = Jdbc.percentileProbeSql("SK", "T", "ID", 4)

@@ -85,6 +85,66 @@ class MergeSpec extends SparkSpec {
       assert(java.util.Arrays.equals(bytes, files("day=d3")(p)), s"$p changed") }
   }
 
+  test("mergePartitioned stamps lastModified on rewritten partitions " +
+    "(the merge path keeps writePartitioned's metadata contract)") {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("mergespec6").toString)
+    repo.writePartitioned(Seq(("d1", 1L, 1.0)).toDF("day", "k", "v"),
+      "s", "t", Seq("day"), modified = Some("2026-01-01"))
+    assert(repo.lastModified("s", "t").contains("2026-01-01"))
+    repo.mergePartitioned(Seq(("d1", 1L, 2.0)).toDF("day", "k", "v"),
+      "s", "t", keys = Seq("day", "k"), partitionCols = Seq("day"),
+      modified = Some("2026-02-02"))
+    assert(repo.lastModified("s", "t").contains("2026-02-02"))
+  }
+
+  test("a merge killed between two partition swaps recovers from the " +
+    "manifest: every recorded partition reaches its merged state") {
+    val dir = java.nio.file.Files.createTempDirectory("mergespec7")
+    val repo = PqRepo(spark, dir.toString)
+    repo.writePartitioned(
+      Seq(("d1", 1L, 10.0), ("d2", 2L, 20.0), ("d3", 3L, 30.0))
+        .toDF("day", "k", "v"),
+      "s", "t", Seq("day"))
+
+    // Reconstruct the exact on-disk state of a merge (updates touching d1
+    // and d2) killed between the two swaps: the tmp layout and manifest are
+    // committed, d1 is mid-swap (old dir already renamed to its sidecar,
+    // new dir not yet promoted), d2's swap hasn't started.
+    val base = java.nio.file.Paths.get(dir.toString, "s")
+    Seq(("d1", 1L, 99.0), ("d2", 2L, 88.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").parquet(base.resolve("_tmp_t.parquet").toString)
+    val tableDir = base.resolve("t.parquet")
+    java.nio.file.Files.writeString(
+      tableDir.resolve("_merge_manifest.json"),
+      s"""{"table":"t","tmp":"${base.resolve("_tmp_t.parquet")}","partitions":[""" +
+        """{"dir":"day=d1","hasNew":true},{"dir":"day=d2","hasNew":true}]}""")
+    java.nio.file.Files.move(
+      tableDir.resolve("day=d1"), tableDir.resolve("_old_day=d1"))
+
+    // the interrupted state is visible: d1 missing entirely (the documented
+    // crash window the sidecar protocol bounds), d2 still old
+    assert(!java.nio.file.Files.exists(tableDir.resolve("day=d1")))
+
+    assert(repo.recoverMergePartitioned("s", "t"))
+    val out = repo.table("s", "t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(out == Set((1L, 99.0, "d1"), (2L, 88.0, "d2"), (3L, 30.0, "d3")))
+    // all machinery cleaned up: no sidecars, no tmp layout, no manifest
+    assert(!java.nio.file.Files.exists(tableDir.resolve("_old_day=d1")))
+    assert(!java.nio.file.Files.exists(tableDir.resolve("_merge_manifest.json")))
+    assert(!java.nio.file.Files.exists(base.resolve("_tmp_t.parquet")))
+    // a clean table has nothing to recover
+    assert(!repo.recoverMergePartitioned("s", "t"))
+
+    // and a subsequent normal merge still behaves
+    repo.mergePartitioned(Seq(("d3", 3L, 77.0)).toDF("day", "k", "v"),
+      "s", "t", keys = Seq("day", "k"), partitionCols = Seq("day"))
+    val after = repo.table("s", "t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(after == Set((1L, 99.0, "d1"), (2L, 88.0, "d2"), (3L, 77.0, "d3")))
+  }
+
   test("mergePartitioned bootstraps a missing destination and rejects " +
     "partition columns outside the key set") {
     val repo = PqRepo(spark,

@@ -27,8 +27,9 @@ Caveats recorded in the artifact:
     entries — a constant overhead that amortizes at real scale, which is
     the scale this library is designed for.
 
-Usage: duckdb_bench.py SF_DIR VERIFY_OUT_DIR [OUT_JSON]
-  (VERIFY_OUT_DIR must contain oracle_sql.json from graft.Verify)
+Usage: duckdb_bench.py SF_DIR VERIFY_OUT_DIR [OUT_JSON] [--only=q1,q2,...]
+  (VERIFY_OUT_DIR must contain oracle_sql.json from graft.Verify;
+   --only restricts to the named queries — the 20x headline baseline)
 """
 import json
 import sys
@@ -41,13 +42,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sfdir, verify_out, out_json):
+def main(sfdir, verify_out, out_json, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.loads(Path(f"{verify_out}/oracle_sql.json").read_text())
     queries = {}
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -77,5 +80,10 @@ def main(sfdir, verify_out, out_json):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2],
-         sys.argv[3] if len(sys.argv) > 3 else "DUCKDB_BASELINE.json")
+    only = None
+    args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+    main(args[0], args[1],
+         args[2] if len(args) > 2 else "DUCKDB_BASELINE.json", only)
