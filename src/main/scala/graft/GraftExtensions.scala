@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expressions.{CosineSimilarity, DuplicateNgramFraction, MinHashSignature, RollingFingerprint, SimHash64, WordNgrams}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, DuplicateNgramFraction, MinHashSignature, RollingFingerprint, SimHash64, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions. Activate with
@@ -17,6 +17,7 @@ import graft.functions.expressions.{CosineSimilarity, DuplicateNgramFraction, Mi
   *  - `graft_minhash_signature(text, k, numHashes)` → array<bigint>
   *  - `graft_simhash64(text)` → bigint
   *  - `graft_cosine(vec, vec)` → double
+  *  - `graft_dot(vec, vec)` → double
   *  - `graft_fingerprint(text[, base, mod])` → bigint (re-basable hash family)
   *  - `graft_word_ngrams(text, n)` → array<string>
   *  - `graft_dup_ngram_fraction(text, n)` → double
@@ -66,6 +67,16 @@ object GraftExtensions {
     }
   )
 
+  private[graft] val dotFn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "graft_dot(a, b) takes 2 arguments")
+      DotProduct(exprs.head, exprs(1))
+    }
+  )
+
   private[graft] val fingerprintFn
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_fingerprint"),
@@ -102,7 +113,7 @@ object GraftExtensions {
   )
 
   private[graft] val all = Seq(minhashSignatureFn, simhash64Fn, cosineFn,
-    fingerprintFn, wordNgramsFn, dupNgramFractionFn)
+    dotFn, fingerprintFn, wordNgramsFn, dupNgramFractionFn)
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

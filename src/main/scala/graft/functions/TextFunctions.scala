@@ -41,20 +41,41 @@ object TextFunctions {
     size(filter(wsTokens(lower(c)), t => t.isin(words.map(lit): _*))).cast("double") /
       greatest(size(wsTokens(c)), lit(1)).cast("double")
 
+  /** One-pass token counts against several word sets:
+    * `[total, |tokens ∩ set_0|, ...]` (fused native kernel — the composed
+    * per-set tokenize/filter passes dominated the curation gate at 20×).
+    * Bit-identical to the composed counts (TokenSetCountsSpec). */
+  def tokenSetCounts(c: Column, sets: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.TokenSetCounts(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), sets))
+
   val StopwordsEn: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
   /** Heuristic document quality score in [0,1]: rewards alphabetic content
     * and a natural stopword rate, penalizes punctuation soup. Fixed double
-    * expression — identical operation order in the SQL oracle. */
+    * expression — identical operation order in the SQL oracle. The
+    * stopword ratio reads the fused [[tokenSetCounts]] kernel (same
+    * integer counts, same cast/divide shape as the composed
+    * [[wordSetRatio]] — bit-identical doubles); [[qualityScoreComposed]]
+    * is the specced baseline. */
   def qualityScore(c: Column): Column = {
-    val alpha = alphaRatio(c)
-    val punct = punctRatio(c)
-    val stop = wordSetRatio(c, StopwordsEn)
+    val counts = tokenSetCounts(c, Seq(StopwordsEn))
+    val stop = element_at(counts, 2).cast("double") /
+      greatest(element_at(counts, 1), lit(1)).cast("double")
+    qualityFormula(alphaRatio(c), punctRatio(c), stop)
+  }
+
+  /** Composed-Column quality score — the spec baseline for the fused
+    * stopword counting in [[qualityScore]]. */
+  private[graft] def qualityScoreComposed(c: Column): Column =
+    qualityFormula(alphaRatio(c), punctRatio(c), wordSetRatio(c, StopwordsEn))
+
+  private def qualityFormula(alpha: Column, punct: Column, stop: Column): Column =
     lit(0.5) * alpha +
       lit(0.3) * least(stop * lit(5.0), lit(1.0)) +
       lit(0.2) * (lit(1.0) - least(punct * lit(10.0), lit(1.0)))
-  }
 
   /** Small per-language marker-word profiles for n-gram-free language ID.
     * Order is the deterministic tie-break priority. */
@@ -73,10 +94,24 @@ object TextFunctions {
   }
 
   /** Argmax language over the profiles, first-profile-wins on ties —
-    * expressed as a `when` chain so the SQL oracle is a literal CASE. */
+    * expressed as a `when` chain so the SQL oracle is a literal CASE. All
+    * five profile counts come from ONE [[tokenSetCounts]] pass (the
+    * composed form re-tokenized the document per language);
+    * [[langIdComposed]] is the specced baseline. */
   def langId(c: Column): Column = {
-    val scores = LangProfiles.map { case (l, _) => l -> langScore(c, l) }
-    // CASE WHEN s0 >= s1 AND s0 >= s2 ... THEN l0 WHEN s1 >= s2 ... ELSE last
+    val counts = tokenSetCounts(c, LangProfiles.map(_._2))
+    langArgmax(LangProfiles.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(counts, i + 2)
+    })
+  }
+
+  /** Composed-Column language ID — the spec baseline for the fused
+    * counting in [[langId]]. */
+  private[graft] def langIdComposed(c: Column): Column =
+    langArgmax(LangProfiles.map { case (l, _) => l -> langScore(c, l) })
+
+  // CASE WHEN s0 >= s1 AND s0 >= s2 ... THEN l0 WHEN s1 >= s2 ... ELSE last
+  private def langArgmax(scores: Seq[(String, Column)]): Column =
     scores.zipWithIndex.reverse.foldLeft(lit(scores.last._1)) {
       case (els, ((l, s), i)) =>
         val later = scores.drop(i + 1)
@@ -84,7 +119,6 @@ object TextFunctions {
         else when(later.map { case (_, s2) => s >= s2 }.reduce(_ && _), lit(l))
           .otherwise(els)
     }
-  }
 
   /** Karp–Rabin rolling hash of the whole string: polynomial fold
     * `h = h*257 + code(char) mod 1e9+7`, seeded with the first character —

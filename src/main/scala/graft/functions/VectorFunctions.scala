@@ -22,8 +22,16 @@ object VectorFunctions {
 
   private def d(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision. Fused single-pass
+    * native expression (the composed fold is interpreted per element and
+    * allocates the zipped array — at 16 centroid dots per row it was the
+    * whole cost of IVF assignment); [[dotComposed]] is the specced
+    * bit-identical baseline. */
   def dot(a: Column, b: Column): Column =
+    toCol(graft.functions.expressions.DotProduct(toExpr(a), toExpr(b)))
+
+  /** Composed-Column dot — the spec baseline for the native kernel. */
+  private[graft] def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -65,9 +65,17 @@ case class MinHashSignature(child: Expression, k: Int, numHashes: Int)
 object MinHashSignature {
 
   private val M = 1L << 45
+  private val Mask = M - 1
 
   /** Static kernel (also called from generated code). Returns null when
-    * fewer than one k-byte window exists. */
+    * fewer than one k-byte window exists.
+    *
+    * The lane loop computes `(a + j*b) mod 2^45` incrementally: M is a
+    * power of two, so the mod is a mask, and the affine stride is one
+    * add-and-mask per lane (`h_{j} = (h_{j-1} + b) & Mask` — a and b are
+    * already reduced below 2^45, so the sum never overflows and the
+    * values are IDENTICAL to the closed form, just without the per-lane
+    * 64-bit multiply and modulo that dominated the signature stage). */
   def compute(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
     val bytes = s.getBytes
     val windows = bytes.length - k + 1
@@ -79,12 +87,15 @@ object MinHashSignature {
       val off = Platform.BYTE_ARRAY_OFFSET + i
       val h1 = XXH64.hashUnsafeBytes(bytes, off, k, 42L)
       val h2 = XXH64.hashUnsafeBytes(bytes, off, k, 1337L)
-      val a = ((h1 % M) + M) % M
-      val b = (((h2 % M) + M) % M) | 1L
+      // two's-complement residue mod a power of two is a mask, for
+      // negative inputs too: identical to ((h % M) + M) % M
+      val a = h1 & Mask
+      val b = (h2 & Mask) | 1L
+      var h = a
       var j = 0
       while (j < numHashes) {
-        val h = (a + j * b) % M
         if (h < sig(j)) sig(j) = h
+        h = (h + b) & Mask
         j += 1
       }
       i += 1

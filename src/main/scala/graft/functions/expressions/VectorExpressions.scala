@@ -44,6 +44,27 @@ object VectorKernels {
     if (denom == 0.0) 0.0 else xy / denom
   }
 
+  /** Dot product of two float/double arrays — the accumulation half of
+    * [[cosine]]. Mirrors `VectorFunctions.dotComposed`'s semantics: null
+    * when lengths differ (zip_with pads with nulls, which poison the
+    * fold) or any element is null; 0.0 on empty arrays (the fold's
+    * init). Left-to-right double-precision accumulation — bit-identical
+    * to the composed fold. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var xy = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      xy += x * y
+      i += 1
+    }
+    xy
+  }
+
   /** Sign-pattern LSH bucket: bit j = (v · plane_j >= 0). Mirrors the
     * composed `lshBucket`: any null element or dimension mismatch makes
     * every projection null, whose `when` falls to 0 — bucket 0. */
@@ -134,6 +155,57 @@ case class CosineSimilarity(left: Expression, right: Expression)
       double ${ev.value} = 0.0;
       if (!${lGen.isNull} && !${rGen.isNull}) {
         java.lang.Double $boxed = graft.functions.expressions.VectorKernels.cosine(
+          ${lGen.value}, ${rGen.value}, $lFloat, $rFloat);
+        if ($boxed != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = $boxed.doubleValue();
+        }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot(a, b) as one fused pass — see [[VectorKernels.dot]]. The hot core
+  * of IVF centroid assignment (16+ dots per row: the composed
+  * `aggregate(zip_with(...))` fold is interpreted per element and
+  * allocates the zipped array per centroid per row). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.checkVectorInputs(prettyName,
+      "left" -> left.dataType, "right" -> right.dataType)
+
+  private lazy val lFloat = VectorKernels.isFloatArray(left.dataType)
+  private lazy val rFloat = VectorKernels.isFloatArray(right.dataType)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    VectorKernels.dot(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], lFloat, rFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    val boxed = ctx.freshName("dotBoxed")
+    ev.copy(code = code"""
+      ${lGen.code}
+      ${rGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${lGen.isNull} && !${rGen.isNull}) {
+        java.lang.Double $boxed = graft.functions.expressions.VectorKernels.dot(
           ${lGen.value}, ${rGen.value}, $lFloat, $rFloat);
         if ($boxed != null) {
           ${ev.isNull} = false;

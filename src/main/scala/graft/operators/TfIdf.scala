@@ -40,8 +40,12 @@ object TfIdf {
       explode(TextFunctions.wsTokens(lower(col(textCol)))).as("term"))
 
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.select("id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df from tf, not from a second tokenize pass: tf is already one row
+    // per DISTINCT (id, term), so counting terms over it IS the document
+    // frequency — the corpus is tokenized and exploded exactly once, and
+    // the distinct's corpus-wide (id, term) exchange disappears (df's
+    // input is the already-aggregated tf frame, map-side combined)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
     val joined =
       if (broadcastDf) tf.join(broadcast(df), "term")

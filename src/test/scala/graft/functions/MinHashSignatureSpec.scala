@@ -40,6 +40,42 @@ class MinHashSignatureSpec extends SparkSpec {
     assert(agree(sigs(0), sigs(2)) < 0.2, s"far agreement ${agree(sigs(0), sigs(2))}")
   }
 
+  test("incremental lane loop equals the closed-form (a + j*b) mod 2^45 " +
+    "family slot by slot") {
+    // recompute the signature from the documented closed form with the
+    // same window hashes — pins the kernel's add-and-mask stride to the
+    // arithmetic the oracle-facing docs promise
+    val M = 1L << 45
+    def closedForm(s: String, k: Int, n: Int): Seq[Long] = {
+      val bytes = s.getBytes("UTF-8")
+      val windows = bytes.length - k + 1
+      val sig = Array.fill(n)(Long.MaxValue)
+      for (i <- 0 until windows) {
+        val h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, k, 42L)
+        val h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, k, 1337L)
+        val a = ((h1 % M) + M) % M
+        val b = (((h2 % M) + M) % M) | 1L
+        for (j <- 0 until n) {
+          val h = (a + j * b) % M
+          if (h < sig(j)) sig(j) = h
+        }
+      }
+      sig.toSeq
+    }
+    val rnd = new scala.util.Random(17)
+    val texts = Seq("hello world document body", "abcde") ++
+      Seq.fill(50)(Seq.fill(20 + rnd.nextInt(100))(
+        (32 + rnd.nextInt(95)).toChar).mkString)
+    texts.foreach { t =>
+      val kernel = MinHashSignature.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 5, 64)
+        .toLongArray().toSeq
+      assert(kernel == closedForm(t, 5, 64), s"mismatch for: $t")
+    }
+  }
+
   test("interpreted eval and codegen agree") {
     val df = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val viaCodegen = df.select(col("doc_id"), sigCol(col("text"), 5, 32).as("s"))

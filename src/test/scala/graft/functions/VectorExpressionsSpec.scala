@@ -55,6 +55,46 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nv.head().isNullAt(0))
   }
 
+  test("native dot is bit-identical to the composed fold, including " +
+    "against a literal double-array side (the IVF centroid shape)") {
+    val a = vecDf(4).withColumnRenamed("v", "a")
+    val b = vecDf(5).withColumnRenamed("v", "b")
+    val both = a.join(b, "id")
+    both.select(
+      VectorFunctions.dot(col("a"), col("b")).as("fused"),
+      VectorFunctions.dotComposed(col("a"), col("b")).as("composed"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+    // float column vs literal double array — exactly centroidCols' shape
+    val rnd = new scala.util.Random(9)
+    val centroid = Seq.fill(64)(rnd.nextDouble() * 2 - 1)
+    val centroidCol = array(centroid.map(lit): _*)
+    vecDf(6).select(
+      VectorFunctions.dot(col("v"), centroidCol).as("fused"),
+      VectorFunctions.dotComposed(col("v"), centroidCol).as("composed"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+  }
+
+  test("native dot edge cases: empty arrays fold to 0.0, dim mismatch and " +
+    "null element go null") {
+    val df = Seq(
+      (1L, Array.empty[Float], Array.empty[Float]),
+      (2L, Array(1f, 2f), Array(1f, 2f, 3f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.dotComposed(col("a"), col("b")).as("dc"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L)._1.contains(0.0) && out(1L)._2.contains(0.0))
+    assert(out(2L)._1.isEmpty && out(2L)._2.isEmpty)
+  }
+
   test("native lshBucket matches the composed bucket on random vectors") {
     val planes = VectorFunctions.hyperplanes(numPlanes = 12, dim = 64, seed = 7)
     val out = vecDf(3).select(
