@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expressions.{CosineSimilarity, DotProduct, DuplicateNgramFraction, MinHashSignature, RollingFingerprint, SimHash64, WordNgrams}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, DuplicateNgramFraction, MinHashSignature, RollingFingerprint, SimHash64, SlotAgreement, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions. Activate with
@@ -18,6 +18,7 @@ import graft.functions.expressions.{CosineSimilarity, DotProduct, DuplicateNgram
   *  - `graft_simhash64(text)` → bigint
   *  - `graft_cosine(vec, vec)` → double
   *  - `graft_dot(vec, vec)` → double
+  *  - `graft_slot_agreement(array<bigint>, array<bigint>)` → bigint
   *  - `graft_fingerprint(text[, base, mod])` → bigint (re-basable hash family)
   *  - `graft_word_ngrams(text, n)` → array<string>
   *  - `graft_dup_ngram_fraction(text, n)` → double
@@ -77,6 +78,17 @@ object GraftExtensions {
     }
   )
 
+  private[graft] val slotAgreementFn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_slot_agreement"),
+    new ExpressionInfo(classOf[SlotAgreement].getName, "graft_slot_agreement"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        "graft_slot_agreement(a, b) takes 2 arguments")
+      SlotAgreement(exprs.head, exprs(1))
+    }
+  )
+
   private[graft] val fingerprintFn
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_fingerprint"),
@@ -113,7 +125,7 @@ object GraftExtensions {
   )
 
   private[graft] val all = Seq(minhashSignatureFn, simhash64Fn, cosineFn,
-    dotFn, fingerprintFn, wordNgramsFn, dupNgramFractionFn)
+    dotFn, slotAgreementFn, fingerprintFn, wordNgramsFn, dupNgramFractionFn)
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -62,8 +62,22 @@ object MinHash {
   }
 
   /** Estimated Jaccard similarity from two signatures: fraction of
-    * agreeing slots. */
-  def estJaccard(sigA: Column, sigB: Column): Column =
+    * agreeing slots. The agreement count runs as the fused
+    * [[graft.functions.expressions.SlotAgreement]] kernel — an LSH bucket
+    * of m signatures scores m(m-1)/2 pairs, and the composed
+    * `aggregate(zip_with(...))` fold was the bucket stage's interpreted
+    * hot path (same finding as the IVF dot product). Values are identical
+    * ([[estJaccardComposed]] is the spec baseline). */
+  def estJaccard(sigA: Column, sigB: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.SlotAgreement(
+      ColumnBridge.expression(sigA), ColumnBridge.expression(sigB)))
+      .cast("double") / size(sigA).cast("double")
+  }
+
+  /** The composed-Column form of [[estJaccard]] — the bit-exactness
+    * baseline for the fused kernel (VectorExpressionsSpec). */
+  private[graft] def estJaccardComposed(sigA: Column, sigB: Column): Column =
     aggregate(
       zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),

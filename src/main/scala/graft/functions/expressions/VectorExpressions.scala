@@ -94,6 +94,25 @@ object VectorKernels {
     bucket
   }
 
+  /** Count of slot positions where two bigint arrays hold equal non-null
+    * values. Mirrors the composed
+    * `aggregate(zip_with(a, b, (x,y) => when(x === y, 1L).otherwise(0L)), 0L, _+_)`
+    * exactly: `zip_with` pads the shorter array with nulls and a
+    * null-vs-anything comparison falls to `otherwise(0)`, so slots beyond
+    * the shorter length and null slots contribute 0 — i.e. only positions
+    * below min(len) with equal non-null values count. */
+  def slotAgreement(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        cnt += 1L
+      i += 1
+    }
+    cnt
+  }
+
   private[expressions] def isFloatArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _)  => true
     case ArrayType(DoubleType, _) => false
@@ -213,6 +232,44 @@ case class DotProduct(left: Expression, right: Expression)
         }
       }""")
   }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** slot-agreement count of two bigint arrays as one fused pass — see
+  * [[VectorKernels.slotAgreement]]. The hot core of LSH candidate scoring:
+  * the composed `aggregate(zip_with(...))` fold runs interpreted per slot
+  * and allocates the zipped array per signature pair, and a band bucket of
+  * m signatures evaluates it m(m-1)/2 times. */
+case class SlotAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_slot_agreement"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    Seq("left" -> left.dataType, "right" -> right.dataType)
+      .find { case (_, dt) => !ok(dt) } match {
+      case Some((arg, dt)) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> for $arg, got ${dt.simpleString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.slotAgreement(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.VectorKernels.slotAgreement($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

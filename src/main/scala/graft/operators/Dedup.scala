@@ -231,7 +231,17 @@ object Dedup {
         greatest(col("ia"), col("ib")).as("id_b"),
         col("est").as("est_jaccard"))
 
-    equalPairs.unionByName(crossPairs)
+    // Distinct signatures disagree in >= 1 slot, so a cross-signature
+    // candidate's est is at most (numHashes-1)/numHashes: any threshold
+    // above that makes the banding branch PROVABLY empty. Skip it — the
+    // exact-duplicate mainline (threshold = 1.0, what the dedup queries
+    // and the curation pipeline run) then pays only the signature
+    // collapse, not a band shuffle that replicates every distinct
+    // signature `bands` times to produce zero pairs. equalPairs needs no
+    // dedup on its own: signature groups are disjoint and intra-group
+    // pairs are unique, so the cross-branch merge groupBy goes too.
+    if (threshold * numHashes > numHashes - 1) equalPairs
+    else equalPairs.unionByName(crossPairs)
       .groupBy("id_a", "id_b")
       .agg(max("est_jaccard").as("est_jaccard"))
   }

@@ -57,9 +57,36 @@ object Multimodal {
       channels: Int,
       channel_mean: Array[Double])
 
-  /** REAL image decode (ImageIO): dimensions, band count, per-channel mean
-    * sample value. Returns None when the payload is not a decodable image. */
+  /** REAL image decode: dimensions, band count, per-channel mean sample
+    * value. Returns None when the payload is not a decodable image.
+    *
+    * Common-profile PNGs (8-bit, non-interlaced, no palette/tRNS) take the
+    * [[Png]] fast path — raw samples are identical to what ImageIO's
+    * raster exposes for those color types, and the sums are integer-exact
+    * in doubles, so the result is bit-identical to the ImageIO walk
+    * (PngCodecSpec pins the equivalence per filter type and color type).
+    * Everything else — other formats, other PNG profiles — falls back to
+    * ImageIO unchanged. */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
+    Png.decode(payload) match {
+      case Some(d) =>
+        val ch = d.channels
+        val sums = new Array[Double](ch)
+        val samples = d.samples
+        var i = 0
+        while (i < samples.length) {
+          var c = 0
+          while (c < ch) { sums(c) += samples(i + c) & 0xff; c += 1 }
+          i += ch
+        }
+        val n = d.width.toDouble * d.height.toDouble
+        Some((d.width, d.height, ch, sums.map(_ / n)))
+      case None => decodeImageIo(payload)
+    }
+
+  /** The ImageIO fallback walk (also the fast path's equivalence baseline). */
+  private[operators] def decodeImageIo(
+      payload: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
     try {
       Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
         val w = img.getWidth
@@ -209,23 +236,23 @@ object Multimodal {
     buf.array()
   }
 
-  /** Deterministic solid-color PNG through the JDK encoder — the fixture
-    * generator for oracling [[decodeImage]] on real PNG payloads: a
-    * constant-fill image makes the decoded per-channel means exact
-    * integers (`mean == fill value`), so the kernel's raster walk is
-    * checkable bit-exactly from the generating formula. */
+  /** Deterministic solid-color PNG — the fixture generator for oracling
+    * [[decodeImage]] on real PNG payloads: a constant-fill image makes the
+    * decoded per-channel means exact integers (`mean == fill value`), so
+    * the kernel's sample walk is checkable bit-exactly from the generating
+    * formula. Encoded through [[Png.encodeRgb8]] (a valid truecolor PNG
+    * any reader decodes — ImageIO round-trip specced); the JDK decoder
+    * remains the equivalence baseline in PngCodecSpec. */
   def solidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
-    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    val rgb = (r << 16) | (g << 8) | b
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
+    val pixels = new Array[Byte](width * height * 3)
+    var i = 0
+    while (i < pixels.length) {
+      pixels(i) = r.toByte
+      pixels(i + 1) = g.toByte
+      pixels(i + 2) = b.toByte
+      i += 3
     }
-    val baos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    Png.encodeRgb8(width, height, pixels)
   }
 
   /** Batched audio metadata extraction — the audio twin of

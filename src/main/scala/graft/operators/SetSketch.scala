@@ -177,10 +177,13 @@ object SetSketch {
       .filter(slice(col("sp.sig_a"), col("band") * lit(r) + lit(1), lit(r)) ===
         slice(col("sp.sig_b"), col("band") * lit(r) + lit(1), lit(r)))
       .select(col("sp.keys_a").as("keys_a"), col("sp.keys_b").as("keys_b"),
-        aggregate(
-          zip_with(col("sp.sig_a"), col("sp.sig_b"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v).as("n_match"))
+        // fused slot-agreement kernel — identical to the composed
+        // aggregate(zip_with(...)) fold (VectorExpressionsSpec)
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.SlotAgreement(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("sp.sig_a")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("sp.sig_b"))))
+          .as("n_match"))
       .select(explode(col("keys_a")).as("ka"), col("keys_b"), col("n_match"))
       .select(col("ka"), explode(col("keys_b")).as("kb"), col("n_match"))
       .select(least(col("ka"), col("kb")).as("key_a"),

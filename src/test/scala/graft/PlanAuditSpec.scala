@@ -92,14 +92,16 @@ class PipelinePlanAuditSpec extends SparkSpec {
       s"window exchange must partition on the hash alias, not text:\n$exchange")
   }
 
-  test("dedup_minhash computes the signature expression exactly once") {
-    // The distinct-signature collapse is a diamond: equal-signature pairs
-    // and band buckets both consume it. The initial plan prints the shared
-    // subtree under each Union branch, but AQE's exchange reuse executes
-    // the scan + signature + collapse shuffle ONCE and feeds the second
-    // branch a ReusedExchange — so the audit must run the query and assert
-    // on the post-execution final plan, where exactly one live signature
-    // computation remains.
+  test("dedup_minhash computes the signature expression exactly once " +
+    "and pays no band stage at threshold 1.0") {
+    // The registered query runs at threshold 1.0, where cross-signature
+    // candidates are provably empty (distinct signatures disagree in >= 1
+    // slot), so minhashPairs short-circuits the banding branch away
+    // entirely: the executed plan must carry exactly one live signature
+    // computation and NO band posexplode — the signature collapse is the
+    // only consumer of the sketch. (Below the est ceiling the branch
+    // reappears as a ReusedExchange diamond — audited in DedupSpec's
+    // short-circuit test.)
     val df = SparkEntry.queries("dedup_minhash")(spark, sfDir)
     df.queryExecution.executedPlan.executeCollect()
     val finalPlan = df.queryExecution.executedPlan match {
@@ -110,8 +112,8 @@ class PipelinePlanAuditSpec extends SparkSpec {
     val occurrences = "graft_minhash_signature".r.findAllIn(finalPlan).length
     assert(occurrences == 1,
       s"signature should be computed once in the executed plan, found $occurrences:\n$finalPlan")
-    assert(finalPlan.contains("ReusedExchange"),
-      s"expected the collapse shuffle to be reused by the band branch:\n$finalPlan")
+    assert(!finalPlan.contains("posexplode"),
+      s"threshold-1.0 plan must not carry the band stage:\n$finalPlan")
   }
 
   test("scrub_pii stays one codegen projection over the scan (no shuffle)") {

@@ -95,6 +95,45 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(2L)._1.isEmpty && out(2L)._2.isEmpty)
   }
 
+  test("native slotAgreement is identical to the composed zip_with fold, " +
+    "including length mismatch and null slots") {
+    val rnd = new scala.util.Random(11)
+    // pairs drawn from a small value space so agreements actually occur
+    val df = (0 until 300).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextInt(4).toLong),
+        Array.fill(64)(rnd.nextInt(4).toLong))
+    }.toDF("id", "a", "b")
+    df.select(
+      MinHash.estJaccard(col("a"), col("b")).as("fused"),
+      MinHash.estJaccardComposed(col("a"), col("b")).as("composed"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+    // mismatched lengths: zip_with pads with nulls -> those slots count 0
+    graft.GraftExtensions.register(spark)
+    val edge = Seq(
+      (1L, Array(1L, 2L, 3L), Array(1L, 2L)),
+      (2L, Array.empty[Long], Array(1L, 2L)),
+      (3L, Array(5L, 5L, 5L), Array(5L, 5L, 5L))
+    ).toDF("id", "a", "b")
+    val out = edge.select(col("id"),
+      expr("graft_slot_agreement(a, b)").as("fused"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v).as("composed"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((2L, 2L)))
+    assert(out(2L) === ((0L, 0L)))
+    assert(out(3L) === ((3L, 3L)))
+    // null input -> null through both paths
+    val nv = Seq((Option.empty[Array[Long]], Some(Array(1L))))
+      .toDF("a", "b")
+      .select(expr("graft_slot_agreement(a, b)"))
+    assert(nv.head().isNullAt(0))
+  }
+
   test("native lshBucket matches the composed bucket on random vectors") {
     val planes = VectorFunctions.hyperplanes(numPlanes = 12, dim = 64, seed = 7)
     val out = vecDf(3).select(

@@ -130,6 +130,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs == (1 until 12).map(i => (0L, i.toLong)).toSet)
   }
 
+  test("minhashPairs above the cross-signature est ceiling skips banding " +
+    "(threshold 1.0 pays no band shuffle) and keeps the exact pair set") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(80)
+    val dup = docs.limit(15)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+    val in = docs.unionByName(dup)
+    val exact = Dedup.minhashPairs(in, "doc_id", "text",
+      numHashes = 48, bands = 12, threshold = 1.0)
+    // the banding branch is provably empty at threshold 1.0: no band
+    // posexplode and no band-bucket aggregation may appear in the plan
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(!plan.contains("posexplode"),
+      "threshold=1.0 plan still carries the band stage")
+    // a threshold below the (numHashes-1)/numHashes ceiling keeps it
+    val banded = Dedup.minhashPairs(in, "doc_id", "text",
+      numHashes = 48, bands = 12, threshold = 0.5)
+    assert(banded.queryExecution.executedPlan.toString.contains("posexplode"))
+    // and the short-circuited result is exactly the identical-signature
+    // pair set: the banded run at a lower threshold, filtered to est 1.0
+    val fast = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val slow = banded.filter(col("est_jaccard") >= 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == slow && fast.size >= 15, s"fast=${fast.size} slow=${slow.size}")
+  }
+
   test("minhashPairs finds planted near-duplicates and not random pairs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").limit(100)

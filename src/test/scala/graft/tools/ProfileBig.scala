@@ -49,8 +49,29 @@ object ProfileBig {
 
     // ---- tfidf_topk ----
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    time("tfidf:tf-only") {
+      docs.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.wsTokens(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    }
     time("tfidf:full") {
       TfIdf.topTerms(docs, "doc_id", "text", 3)
+    }
+
+    // ---- multimodal_image halves ----
+    {
+      import spark.implicits._
+      val ids = docs.select(col("doc_id")).as[Long]
+      def media = ids.map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 8 + ((id / 16) % 16).toInt
+        Multimodal.MediaRow(id,
+          Multimodal.solidPng(w, h,
+            (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt),
+          "image/png", 0, 0)
+      }
+      time("img:encode-only") { media.toDF().select(length(col("payload"))) }
+      time("img:encode+decode") { Multimodal.decodeImages(media).toDF() }
     }
 
     // ---- pipeline_curate stages ----
@@ -72,12 +93,23 @@ object ProfileBig {
     time("cur:gate+exact") { exactDeduped }
     def normed = exactDeduped
       .withColumn("norm", graft.functions.TextFunctions.normalizeText(col("text")))
+    time("cur:+norm") { normed }
+    time("cur:+sig-only") {
+      normed.select(col("doc_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.MinHashSignature(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("norm")),
+            5, 64)).as("sig"))
+    }
     time("cur:+minhashPairs") {
       Dedup.minhashPairs(normed, "doc_id", "norm", threshold = 1.0)
     }
     time("cur:+dropNear(full)") {
       Dedup.dropNearDuplicates(normed, "doc_id", "norm",
         threshold = 1.0, verifyExact = true, persistInput = true)
+    }
+    time("cur:full-query") {
+      graft.SparkEntry.queries("pipeline_curate")(spark, dir)
     }
     spark.stop()
   }
