@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expressions.{CosineSimilarity, DotProduct, DuplicateNgramFraction, MinHashSignature, RollingFingerprint, SimHash64, SlotAgreement, WordNgrams}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, DuplicateNgramFraction, MinHashSignature, RollingFingerprint, SimHash64, SlotAgreement, TokenCounts, WordNgrams}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions. Activate with
@@ -19,6 +19,7 @@ import graft.functions.expressions.{CosineSimilarity, DotProduct, DuplicateNgram
   *  - `graft_cosine(vec, vec)` → double
   *  - `graft_dot(vec, vec)` → double
   *  - `graft_slot_agreement(array<bigint>, array<bigint>)` → bigint
+  *  - `graft_token_counts(text)` → map<string,bigint>
   *  - `graft_fingerprint(text[, base, mod])` → bigint (re-basable hash family)
   *  - `graft_word_ngrams(text, n)` → array<string>
   *  - `graft_dup_ngram_fraction(text, n)` → double
@@ -89,6 +90,16 @@ object GraftExtensions {
     }
   )
 
+  private[graft] val tokenCountsFn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_token_counts"),
+    new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "graft_token_counts(text) takes 1 argument")
+      TokenCounts(exprs.head)
+    }
+  )
+
   private[graft] val fingerprintFn
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_fingerprint"),
@@ -125,7 +136,8 @@ object GraftExtensions {
   )
 
   private[graft] val all = Seq(minhashSignatureFn, simhash64Fn, cosineFn,
-    dotFn, slotAgreementFn, fingerprintFn, wordNgramsFn, dupNgramFractionFn)
+    dotFn, slotAgreementFn, tokenCountsFn, fingerprintFn, wordNgramsFn,
+    dupNgramFractionFn)
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

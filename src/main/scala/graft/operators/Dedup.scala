@@ -119,7 +119,7 @@ object Dedup {
     * real scale the input has thousands of splits, the branch is not taken,
     * and the kernel runs inside the scan stage — document text never rides
     * this (or any) exchange. */
-  private def fanOut(df: DataFrame, key: Column): DataFrame = {
+  private[operators] def fanOut(df: DataFrame, key: Column): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts, key)
   }

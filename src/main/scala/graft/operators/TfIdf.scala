@@ -16,9 +16,10 @@ import graft.functions.TextFunctions
   * decreasing in document frequency). Ties are broken by term order, so
   * the top-k is fully deterministic.
   *
-  * Scale shape: tf is a map-side-combined groupBy on (doc, term); df is a
-  * groupBy on term whose result is vocabulary-sized (≪ corpus) and
-  * broadcasts into the scoring join. A web-scale corpus's vocabulary
+  * Scale shape: tf is computed INSIDE each row (a fused token->count map,
+  * exploded) — term frequency is a within-document statistic, so the
+  * corpus never shuffles for it; df is a groupBy on term whose result is
+  * vocabulary-sized (≪ corpus) and broadcasts into the scoring join. A web-scale corpus's vocabulary
   * (billions of rare tokens) outgrows a broadcast — `broadcastDf = false`
   * switches the scoring join to a shuffled hash join building from the df
   * side: the tf side shuffles (id, term, tf) rows, the vocabulary is
@@ -27,7 +28,11 @@ import graft.functions.TextFunctions
 object TfIdf {
 
   /** Top-`k` terms per document by `tf * (scale div df)`.
-    * Output: (id, term, tf, df, score, rank). */
+    * Output: (id, term, tf, df, score, rank).
+    *
+    * `idCol` must identify a document: each input row is tokenized and
+    * counted independently (term frequency is a within-document statistic,
+    * so rows sharing an id would rank separately per row's text). */
   def topTerms(
       docs: DataFrame,
       idCol: String,
@@ -36,15 +41,27 @@ object TfIdf {
       scale: Long = 1000000L,
       broadcastDf: Boolean = true
   ): DataFrame = {
-    val terms = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.wsTokens(lower(col(textCol)))).as("term"))
-
-    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // tf WITHOUT an exchange: the fused TokenCounts kernel builds the
+    // per-document token->count map inside the row and explodes it — one
+    // row per distinct (id, term) with its count, exactly what
+    // explode(tokens) + groupBy(id, term).count() produced, minus the
+    // corpus-wide (id, term) shuffle and its ObjectHashAggregate (a
+    // within-document statistic needs no cross-partition merge). Case
+    // folding stays Spark's own `lower`. fanOut spreads the CPU-heavy
+    // tokenize across the session's parallelism when the scan arrives in
+    // few fat splits (test inputs); at real scale it is a no-op.
+    val tf = Dedup.fanOut(
+      docs.select(col(idCol).as("id"), lower(col(textCol)).as("t")),
+      col("id"))
+      .select(col("id"),
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.TokenCounts(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("t")))))
+          .as(Seq("term", "tf")))
     // df from tf, not from a second tokenize pass: tf is already one row
     // per DISTINCT (id, term), so counting terms over it IS the document
-    // frequency — the corpus is tokenized and exploded exactly once, and
-    // the distinct's corpus-wide (id, term) exchange disappears (df's
-    // input is the already-aggregated tf frame, map-side combined)
+    // frequency (df's input is map-side combined into vocabulary-sized
+    // partials before its exchange)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
     val joined =
