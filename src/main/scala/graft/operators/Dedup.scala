@@ -539,6 +539,56 @@ object Dedup {
       if (persistInput)
         docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else docs
+    // Above the cross-signature est ceiling (see minhashPairs) the
+    // candidate graph is a disjoint union of CLIQUES — signature-equality
+    // groups; with verifyExact, text-equality groups (equal text implies
+    // equal signature, so verification splits a colliding sig group into
+    // text classes) — and the connected components of cliques are the
+    // cliques themselves: each one's survivor is its min id. The
+    // label-propagation loop (a checkpointed shuffle round plus a
+    // convergence probe per iteration) reduces to ONE aggregation:
+    // exactGroups' hash-grouped, collision-verified text classes
+    // (text moves only for hash-colliding rows) or the fixed-width
+    // signature collapse. Rows without a signature (null text, shorter
+    // than shingleK bytes) never enter the candidate graph and always
+    // survive — both paths. Stats report iterations = 0: no propagation
+    // ran, trivially converged.
+    //
+    // (One behavioral corner, fast path vs loop: a signature group past
+    // maxEqualGroup whose members hold SEVERAL distinct texts — a sketch
+    // collision inside a star-fallback group, ~2^-45-rare per slot
+    // family. The loop's star edges verify only against the hub, leaving
+    // hub-unequal members unpaired; the fast path dedups each text class
+    // exactly. The fast path's semantics is the stronger guarantee and
+    // matches the operator's contract — "equal modulo nothing" — so it is
+    // the one specced.)
+    val exactOnly = threshold * numHashes > numHashes - 1
+    if (exactOnly) {
+      val eligible = col(textCol).isNotNull &&
+        octet_length(col(textCol)) >= shingleK
+      val losers =
+        if (verifyExact)
+          exactGroups(in.filter(eligible), col(idCol), col(textCol))
+            .filter(col("n") >= 2)
+            .select(explode(
+              slice(col("ids"), lit(2), size(col("ids")) - 1)).as("__loser"))
+        else {
+          import org.apache.spark.sql.graft.ColumnBridge
+          val sig = ColumnBridge.column(
+            graft.functions.expressions.MinHashSignature(
+              ColumnBridge.expression(col("__t")), shingleK, numHashes))
+          fanOut(in.filter(eligible)
+            .select(col(idCol).as("__id"), col(textCol).as("__t")), col("__id"))
+            .select(col("__id"), sig.as("__sig"))
+            .groupBy("__sig")
+            .agg(sort_array(collect_list("__id")).as("ids"))
+            .filter(size(col("ids")) >= 2)
+            .select(explode(
+              slice(col("ids"), lit(2), size(col("ids")) - 1)).as("__loser"))
+        }
+      return (in.join(losers, in(idCol) === col("__loser"), "left_anti"),
+        ComponentsStats(iterations = 0, converged = true))
+    }
     val candidates = minhashPairs(in, idCol, textCol, shingleK, numHashes,
       bands, threshold)
     val pairs =

@@ -263,15 +263,56 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val (out, stats) = Dedup.dropNearDuplicatesWithStats(docs, "doc_id", "text",
       numHashes = 48, bands = 12, threshold = 1.0)
-    // the 10-copy clique collapses to its min id; the stats are exact at
-    // return time (eager component loop) even though `out` is still lazy
-    assert(stats.converged && stats.iterations >= 1, stats.toString)
+    // at threshold 1.0 the clique fast path runs: no propagation loop,
+    // iterations = 0, trivially converged
+    assert(stats.converged && stats.iterations == 0, stats.toString)
     val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L, 50L))
     val plain = Dedup.dropNearDuplicates(docs, "doc_id", "text",
       numHashes = 48, bands = 12, threshold = 1.0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(plain == kept)
+    // below the est ceiling the label-propagation loop runs and its
+    // telemetry is real (eager loop: stats exact while `out` stays lazy)
+    val (out2, stats2) = Dedup.dropNearDuplicatesWithStats(docs, "doc_id",
+      "text", numHashes = 48, bands = 12, threshold = 0.9)
+    assert(stats2.converged && stats2.iterations >= 1, stats2.toString)
+    assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 50L))
+  }
+
+  test("dropNearDuplicates fast path: clique survivors equal the " +
+    "label-propagation survivors, short/null texts always survive") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val dup = docs.limit(20)
+      .select((col("doc_id") + 7000).as("doc_id"), col("text"))
+    val shorty = Seq((8001L, "ab"), (8002L, "ab"),
+      (8003L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val in = docs.unionByName(dup).unionByName(shorty)
+    for (verify <- Seq(true, false)) {
+      val fast = Dedup.dropNearDuplicates(in, "doc_id", "text",
+        numHashes = 48, bands = 12, threshold = 1.0, verifyExact = verify)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // survivors: the 60 originals (min ids of each clique), none of the
+      // 20 planted copies, and every signature-less row untouched
+      assert((0 until 60).forall(i => fast.contains(i.toLong)), s"verify=$verify")
+      assert((0 until 20).forall(i => !fast.contains(i + 7000L)), s"verify=$verify")
+      assert(Set(8001L, 8002L, 8003L).subsetOf(fast), s"verify=$verify")
+      // and the label-propagation path agrees where it must: a threshold
+      // AT the ceiling (47/48, not above it) keeps banding and the
+      // component loop alive. With exact verification the loop's pairs
+      // reduce to the same text cliques -> identical survivors; without
+      // it the loop may additionally drop genuine 47/48-similarity
+      // near-dups (the corpus plants some), so fast-path survivors are a
+      // superset there.
+      val loop = Dedup.dropNearDuplicates(in, "doc_id", "text",
+        numHashes = 48, bands = 12, threshold = 47.0 / 48.0,
+        verifyExact = verify)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      if (verify) assert(loop == fast)
+      else assert(loop.subsetOf(fast), s"loop=${loop.size} fast=${fast.size}")
+    }
   }
 
   test("ngram jaccard: identical = 1, disjoint = 0") {
