@@ -415,9 +415,10 @@ object Dedup {
       pairs: DataFrame,
       maxIters: Int = 10,
       reliableCheckpoint: Boolean = false,
-      failOnNonConvergence: Boolean = false): DataFrame = {
+      failOnNonConvergence: Boolean = false,
+      smallGraphLimit: Long = 1000000L): DataFrame = {
     val (labels, stats) =
-      componentsWithStats(pairs, maxIters, reliableCheckpoint)
+      componentsWithStats(pairs, maxIters, reliableCheckpoint, smallGraphLimit)
     enforceConvergence(stats, maxIters, failOnNonConvergence)
     labels
   }
@@ -443,11 +444,26 @@ object Dedup {
   final case class ComponentsStats(iterations: Int, converged: Boolean)
 
   /** [[components]] plus its [[ComponentsStats]]; never warns or throws —
-    * the caller owns the non-convergence policy. */
+    * the caller owns the non-convergence policy.
+    *
+    * Scale-adaptive: an edge list at or below `smallGraphLimit` rows
+    * (after direction doubling) with long/int/string ids is solved
+    * EXACTLY on the driver — union-find over the already-materialized
+    * edges, the same bounded-collect pattern as the IVF centroid pulls.
+    * A dedup run's pair graph is almost always tiny next to its corpus
+    * (the duplicates ARE the graph), so the common case pays one collect
+    * instead of per-iteration checkpoint + convergence-probe jobs, has NO
+    * iteration cap to under-merge long chains, and reports
+    * `iterations = 0, converged = true`. Graphs past the limit (or with
+    * exotic id types) run the distributed label-propagation loop
+    * unchanged — pass `smallGraphLimit = 0` to force it. String minima
+    * use unsigned UTF-8 byte order, matching Spark's `min`/`least` on
+    * strings, so the driver labels are bit-identical to the loop's. */
   def componentsWithStats(
       pairs: DataFrame,
       maxIters: Int = 10,
-      reliableCheckpoint: Boolean = false): (DataFrame, ComponentsStats) = {
+      reliableCheckpoint: Boolean = false,
+      smallGraphLimit: Long = 1000000L): (DataFrame, ComponentsStats) = {
     def materialize(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
@@ -457,6 +473,17 @@ object Dedup {
     val edges = materialize(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+
+    val idType = edges.schema("src").dataType
+    val driverSolvable = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (driverSolvable && smallGraphLimit > 0 &&
+        edges.count() <= smallGraphLimit)
+      return (driverComponents(edges, idType), ComponentsStats(0, converged = true))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
@@ -480,6 +507,85 @@ object Dedup {
       i += 1
     }
     (labels, ComponentsStats(i, converged))
+  }
+
+  /** Exact driver-side connected components over a small materialized
+    * edge list: union-find with path compression, component label = min
+    * member (longs numerically; strings by unsigned UTF-8 byte order —
+    * Spark's own string ordering). Null endpoints are skipped: in the
+    * loop they can never join-match, never merge, and never become
+    * losers, so dropping them reproduces the observable semantics. */
+  private def driverComponents(
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val rows = edges.collect()
+    val index = new java.util.HashMap[Any, Integer]()
+    val nodes = new scala.collection.mutable.ArrayBuffer[Any]()
+    def idx(v: Any): Int = {
+      val i = index.get(v)
+      if (i != null) i.intValue()
+      else {
+        val n = nodes.length
+        index.put(v, Integer.valueOf(n))
+        nodes += v
+        n
+      }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    rows.foreach { r =>
+      val a = r.get(0)
+      val b = r.get(1)
+      if (a != null && b != null) {
+        val ia = idx(a); while (parent.length < nodes.length) parent += parent.length
+        val ib = idx(b); while (parent.length < nodes.length) parent += parent.length
+        val ra = find(ia); val rb = find(ib)
+        if (ra != rb) parent(rb) = ra
+      }
+    }
+    val lt: (Any, Any) => Boolean = idType match {
+      case org.apache.spark.sql.types.StringType =>
+        (x, y) => {
+          val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          var res = a.length - b.length // tentative: shorter is smaller on tie
+          var done = false
+          while (!done && i < a.length && i < b.length) {
+            val d = (a(i) & 0xff) - (b(i) & 0xff)
+            if (d != 0) { res = d; done = true }
+            i += 1
+          }
+          res < 0
+        }
+      case _ => (x, y) =>
+        x.asInstanceOf[Number].longValue() < y.asInstanceOf[Number].longValue()
+    }
+    // min member per root
+    val minOf = new java.util.HashMap[Int, Any]()
+    var i = 0
+    while (i < nodes.length) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || lt(nodes(i), cur)) minOf.put(r, nodes(i))
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.length)
+    i = 0
+    while (i < nodes.length) {
+      out.add(org.apache.spark.sql.Row(nodes(i), minOf.get(find(i))))
+      i += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("label", idType)))
+    edges.sparkSession.createDataFrame(out, schema)
   }
 
   /** End-to-end near-duplicate REMOVAL: MinHash-LSH candidate pairs →
@@ -533,7 +639,8 @@ object Dedup {
       reliableCheckpoint: Boolean = false,
       failOnNonConvergence: Boolean = false,
       persistInput: Boolean = false,
-      maxIters: Int = 10
+      maxIters: Int = 10,
+      smallGraphLimit: Long = 1000000L
   ): (DataFrame, ComponentsStats) = {
     val in =
       if (persistInput)
@@ -595,7 +702,7 @@ object Dedup {
       if (verifyExact) verifyPairsExact(candidates, in, idCol, textCol)
       else candidates
     val (labels, stats) =
-      componentsWithStats(pairs, maxIters, reliableCheckpoint)
+      componentsWithStats(pairs, maxIters, reliableCheckpoint, smallGraphLimit)
     enforceConvergence(stats, maxIters, failOnNonConvergence)
     val losers = labels
       .filter(col("id") =!= col("label"))

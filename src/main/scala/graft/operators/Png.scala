@@ -108,7 +108,11 @@ object Png {
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n == 0 without more input coming: truncated stream, or a
+        // preset-dictionary stream (needsDictionary) — decline rather
+        // than spin
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None
         off += n
       }
       if (off != raw.length) return None

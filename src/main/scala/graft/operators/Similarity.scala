@@ -268,10 +268,12 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       maxIters: Int = 10,
-      failOnNonConvergence: Boolean = false
+      failOnNonConvergence: Boolean = false,
+      smallGraphLimit: Long = 1000000L
   ): (DataFrame, Dedup.ComponentsStats) = {
     val pairs = annBuckets(corpus, idCol, vecCol, numPlanes, dim, seed, minCos)
-    val (labels, stats) = Dedup.componentsWithStats(pairs, maxIters)
+    val (labels, stats) =
+      Dedup.componentsWithStats(pairs, maxIters, smallGraphLimit = smallGraphLimit)
     Dedup.enforceConvergence(stats, maxIters, failOnNonConvergence)
     val losers = labels
       .filter(col("id") =!= col("label"))

@@ -92,19 +92,52 @@ class DedupSpec extends SparkSpec {
     "a chain longer than the iteration budget") {
     // a 12-node path: min-label propagation moves one hop per round, so
     // 3 rounds cannot converge — exactly the silent under-merge a 100 TB
-    // run must be able to detect
+    // run must be able to detect. smallGraphLimit = 0 forces the
+    // distributed loop (the driver fast path has no iteration cap).
     val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, stats) = Dedup.componentsWithStats(chain, maxIters = 3)
+    val (labels, stats) =
+      Dedup.componentsWithStats(chain, maxIters = 3, smallGraphLimit = 0)
     assert(!stats.converged && stats.iterations == 3, stats.toString)
     assert(labels.filter($"label" =!= 0L).count() > 0) // provably under-merged
     val e = intercept[IllegalStateException] {
-      Dedup.components(chain, maxIters = 3, failOnNonConvergence = true)
+      Dedup.components(chain, maxIters = 3, failOnNonConvergence = true,
+        smallGraphLimit = 0)
     }
     assert(e.getMessage.contains("maxIters=3"))
     // with budget to spare the stats say so: converged before the cap
-    val (done, okStats) = Dedup.componentsWithStats(chain, maxIters = 20)
+    val (done, okStats) =
+      Dedup.componentsWithStats(chain, maxIters = 20, smallGraphLimit = 0)
     assert(okStats.converged && okStats.iterations < 20, okStats.toString)
     assert(done.collect().forall(_.getLong(1) == 0L))
+  }
+
+  test("driver-side components equal the distributed loop on chains, " +
+    "cliques, and string ids; the auto path engages below the limit") {
+    // long chain (worst case for propagation), two cliques, an isolated
+    // pair — driver union-find has no iteration budget to under-merge
+    val edges = ((0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L)))
+      .toDF("id_a", "id_b")
+    val (fast, fastStats) = Dedup.componentsWithStats(edges)
+    assert(fastStats.iterations == 0 && fastStats.converged)
+    val (loop, _) = Dedup.componentsWithStats(edges, maxIters = 50,
+      smallGraphLimit = 0)
+    val f = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l = loop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f == l)
+    assert((0L to 40L).forall(f(_) == 0L))
+    assert(f(100L) == 100L && f(102L) == 100L && f(201L) == 200L)
+
+    // string ids: min label under unsigned UTF-8 byte order (same as
+    // Spark's min on strings) — ties of prefix vs longer string included
+    val sEdges = Seq(("b", "ab"), ("ab", "abc"), ("z", "za"))
+      .toDF("id_a", "id_b")
+    val sf = Dedup.componentsWithStats(sEdges)._1
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sl = Dedup.componentsWithStats(sEdges, smallGraphLimit = 0)._1
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sf == sl)
+    assert(sf("b") == "ab" && sf("abc") == "ab" && sf("za") == "z")
   }
 
   test("minhashPairs survives duplicate crowding past maxBucket " +
@@ -272,10 +305,12 @@ class DedupSpec extends SparkSpec {
       numHashes = 48, bands = 12, threshold = 1.0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(plain == kept)
-    // below the est ceiling the label-propagation loop runs and its
-    // telemetry is real (eager loop: stats exact while `out` stays lazy)
+    // below the est ceiling with the loop forced (smallGraphLimit = 0)
+    // the label-propagation telemetry is real (eager loop: stats exact
+    // while `out` stays lazy)
     val (out2, stats2) = Dedup.dropNearDuplicatesWithStats(docs, "doc_id",
-      "text", numHashes = 48, bands = 12, threshold = 0.9)
+      "text", numHashes = 48, bands = 12, threshold = 0.9,
+      smallGraphLimit = 0)
     assert(stats2.converged && stats2.iterations >= 1, stats2.toString)
     assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(0L, 50L))
@@ -332,14 +367,20 @@ class SimilaritySpec extends SparkSpec {
   test("dropEmbeddingDuplicatesWithStats: survivors match the plain " +
     "dropper, telemetry exposed") {
     val corpus = emb.limit(80)
+    // loop forced: the telemetry is the real propagation count
     val (out, stats) = Similarity.dropEmbeddingDuplicatesWithStats(
-      corpus, "vec_id", "embedding", minCos = 0.999)
+      corpus, "vec_id", "embedding", minCos = 0.999, smallGraphLimit = 0)
     assert(stats.iterations >= 1, stats.toString)
     val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
     val plain = Similarity.dropEmbeddingDuplicates(
       corpus, "vec_id", "embedding", minCos = 0.999)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == plain)
+    // auto path (tiny pair graph): exact driver components, same survivors
+    val (outAuto, statsAuto) = Similarity.dropEmbeddingDuplicatesWithStats(
+      corpus, "vec_id", "embedding", minCos = 0.999)
+    assert(statsAuto.iterations == 0 && statsAuto.converged)
+    assert(outAuto.select("vec_id").collect().map(_.getLong(0)).toSet == kept)
   }
 
   test("bruteForceTopK returns k ranked neighbors per query, self excluded") {
