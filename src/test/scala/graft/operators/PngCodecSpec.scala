@@ -144,6 +144,30 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random dims x colors x filters round-trip bit-exactly " +
+    "through the codec and agree with ImageIO") {
+    val rnd = new Random(2024)
+    (0 until 60).foreach { _ =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val colorType = Seq(0, 2, 4, 6)(rnd.nextInt(4))
+      val ch = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4 }
+      val filter = rnd.nextInt(5)
+      val samples = Array.fill[Byte](w * h * ch)(rnd.nextInt(256).toByte)
+      val png = encodeForcedFilter(w, h, colorType, samples, filter)
+      val d = Png.decode(png)
+      assert(d.isDefined, s"w=$w h=$h ct=$colorType f=$filter")
+      assert(d.get.samples.toSeq == samples.toSeq,
+        s"sample drift w=$w h=$h ct=$colorType f=$filter")
+      assertSameDecode(png)
+      // our own encoder round-trips the RGB slice of the space too
+      if (colorType == 2) {
+        val reenc = Png.encodeRgb8(w, h, samples)
+        assert(Png.decode(reenc).get.samples.toSeq == samples.toSeq)
+      }
+    }
+  }
+
   test("out-of-profile payloads fall back instead of mis-decoding") {
     // palette PNG: fast path declines, ImageIO fallback still decodes
     val indexed = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_INDEXED)
