@@ -54,6 +54,25 @@ class TokenCountsSpec extends SparkSpec {
     assert(viaSql == 2L)
   }
 
+  test("property: random whitespace/token soups count identically to the " +
+    "composed pipeline") {
+    val rnd = new scala.util.Random(31)
+    val alphabet = "ab \t\néxyz .,!\r\f"
+    val soups = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(60))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = soups.toDF("id", "t")
+    val fused = df
+      .select(col("id"), explode(tokenCounts(col("t"))).as(Seq("term", "tf")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val composed = df
+      .select(col("id"), explode(TextFunctions.wsTokens(col("t"))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(fused == composed)
+  }
+
   test("TfIdf.topTerms through the fused tf stage matches the composed " +
     "groupBy pipeline end to end") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

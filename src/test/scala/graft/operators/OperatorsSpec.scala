@@ -138,6 +138,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(sf == sl)
     assert(sf("b") == "ab" && sf("abc") == "ab" && sf("za") == "z")
+
+    // empty pair set: an empty labels frame with the right schema on both
+    // paths, and a dup-free corpus survives a dropper untouched
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val (e1, es1) = Dedup.componentsWithStats(empty)
+    assert(e1.count() == 0 && e1.columns.toSeq == Seq("id", "label"))
+    assert(es1.converged)
+    val uniqueDocs = (0 until 20)
+      .map(i => (i.toLong, s"clearly unique document number $i with enough bytes"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.dropNearDuplicates(uniqueDocs, "doc_id", "text",
+      numHashes = 48, bands = 12, threshold = 1.0, verifyExact = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (0 until 20).map(_.toLong).toSet)
   }
 
   test("minhashPairs survives duplicate crowding past maxBucket " +
