@@ -148,14 +148,23 @@ object Bench {
         // min-of-2 headline row can carry one (a 4.9 s dedup_minhash
         // against 1.6-2.0 s in adjacent runs) — one more repetition is
         // ~seconds of bench time for a round-over-round-comparable min
+        var failed = false
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, bigDir)
             .write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
+          catch { case e: Throwable =>
+            // a failed query must NOT enter the published ratio as a
+            // near-zero "time" — a half-built corpus dir would otherwise
+            // silently flatter vs_duckdb with no trace in the artifact
+            failed = true
+            System.err.println(
+              s"[bench] big20x $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        name -> (times.last, times.head) // (max of 3, min of 3)
+        if (failed) name -> (-1.0, -1.0)
+        else name -> (times.last, times.head) // (max of 3, min of 3)
       }
     val duckdbBig: Map[String, Double] =
       try {
@@ -176,13 +185,16 @@ object Bench {
           case _ => Map.empty[String, Double]
         })
       } catch { case _: Throwable => Map.empty }
-    val bigCommon = bigResults.filter { case (k, _) => duckdbBig.contains(k) }
+    // failed rows (min_sec = -1) stay visible in the detail artifact but
+    // are excluded from every aggregate
+    val bigOk = bigResults.filter(_._2._2 >= 0.0)
+    val bigCommon = bigOk.filter { case (k, _) => duckdbBig.contains(k) }
     val bigDuckTotal = bigCommon.map { case (k, _) => duckdbBig(k) }.sum
     val bigSparkMin = bigCommon.map(_._2._2).sum
     val vsDuckdbBig =
       if (bigDuckTotal > 0 && bigCommon.nonEmpty) bigSparkMin / bigDuckTotal
       else -1.0
-    val bigTotalMin = bigResults.map(_._2._2).sum
+    val bigTotalMin = bigOk.map(_._2._2).sum
     // the DuckDB side of dedup_*/multimodal_*/embed_lsh oracles is an
     // algebraic SHORTCUT (planted-structure SQL that never builds a
     // signature / decodes an image — see DUCKDB_BASELINE note), so the

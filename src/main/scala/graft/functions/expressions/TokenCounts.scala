@@ -29,11 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * (explodes to zero rows, like the composed explode of an empty token
   * array).
   */
+/** The ONE definition of the byte-level whitespace set (Java regex `\s`:
+  * space, tab, LF, VT, FF, CR) shared by every fused tokenizer kernel —
+  * [[TokenCountsKernel]] and [[TokenSetCountsKernel]] must never drift
+  * from each other or from `wsTokens`'s `split("\\s+")`. */
+private[expressions] object WsBytes {
+  @inline def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+}
+
 object TokenCountsKernel {
 
-  /** Whitespace = Java regex `\s`: space, tab, LF, VT, FF, CR. */
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+  import WsBytes.isSpace
 
   def counts(s: UTF8String): MapData = {
     val bytes = s.getBytes

@@ -28,9 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TokenSetCountsKernel {
 
-  /** Whitespace = Java regex `\s`: space, tab, LF, VT, FF, CR. */
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+  import WsBytes.isSpace // the shared `\s` byte set — one definition
 
   /** Compiled form of the word sets: for each distinct token length, the
     * (wordBytes, setIndex) pairs of that length. Tiny (tens of words). */

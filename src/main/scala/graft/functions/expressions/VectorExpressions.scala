@@ -20,11 +20,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   */
 object VectorKernels {
 
-  /** Cosine similarity of two float/double arrays.
+  // element-kind codes for the numeric array types the kernels read
+  // directly (the composed folds cast any numeric element to double, so
+  // the fused forms must accept the same inputs — an integer-quantized
+  // embedding column is a legitimate caller)
+  final val KFloat = 0
+  final val KDouble = 1
+  final val KInt = 2
+  final val KLong = 3
+  final val KShort = 4
+  final val KByte = 5
+
+  @inline private def readD(a: ArrayData, i: Int, kind: Int): Double =
+    kind match {
+      case KFloat  => a.getFloat(i).toDouble
+      case KDouble => a.getDouble(i)
+      case KInt    => a.getInt(i).toDouble
+      case KLong   => a.getLong(i).toDouble
+      case KShort  => a.getShort(i).toDouble
+      case _       => a.getByte(i).toDouble
+    }
+
+  /** Cosine similarity of two numeric arrays.
     * Mirrors `VectorFunctions.cosine`'s composed semantics: 0.0 when either
     * norm is zero; null when lengths differ or any element is null (the
     * composed `zip_with` pads with nulls, which poison the fold). */
-  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+  def cosine(a: ArrayData, b: ArrayData, aKind: Int, bKind: Int): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     var xy = 0.0
@@ -33,8 +54,8 @@ object VectorKernels {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = readD(a, i, aKind)
+      val y = readD(b, i, bKind)
       xy += x * y
       xx += x * x
       yy += y * y
@@ -44,21 +65,21 @@ object VectorKernels {
     if (denom == 0.0) 0.0 else xy / denom
   }
 
-  /** Dot product of two float/double arrays — the accumulation half of
+  /** Dot product of two numeric arrays — the accumulation half of
     * [[cosine]]. Mirrors `VectorFunctions.dotComposed`'s semantics: null
     * when lengths differ (zip_with pads with nulls, which poison the
     * fold) or any element is null; 0.0 on empty arrays (the fold's
     * init). Left-to-right double-precision accumulation — bit-identical
     * to the composed fold. */
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+  def dot(a: ArrayData, b: ArrayData, aKind: Int, bKind: Int): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     var xy = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = readD(a, i, aKind)
+      val y = readD(b, i, bKind)
       xy += x * y
       i += 1
     }
@@ -68,7 +89,7 @@ object VectorKernels {
   /** Sign-pattern LSH bucket: bit j = (v · plane_j >= 0). Mirrors the
     * composed `lshBucket`: any null element or dimension mismatch makes
     * every projection null, whose `when` falls to 0 — bucket 0. */
-  def lshBucket(v: ArrayData, planes: Array[Array[Double]], vFloat: Boolean): Long = {
+  def lshBucket(v: ArrayData, planes: Array[Array[Double]], vKind: Int): Long = {
     val n = v.numElements()
     if (planes.length == 0) return 0L
     if (n != planes(0).length) return 0L
@@ -84,7 +105,7 @@ object VectorKernels {
       var proj = 0.0
       var k = 0
       while (k < n) {
-        val x = if (vFloat) v.getFloat(k).toDouble else v.getDouble(k)
+        val x = readD(v, k, vKind)
         proj += x * p(k)
         k += 1
       }
@@ -113,15 +134,22 @@ object VectorKernels {
     cnt
   }
 
-  private[expressions] def isFloatArray(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _)  => true
-    case ArrayType(DoubleType, _) => false
+  private[expressions] def elemKind(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _)   => KFloat
+    case ArrayType(DoubleType, _)  => KDouble
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => KInt
+    case ArrayType(LongType, _)    => KLong
+    case ArrayType(org.apache.spark.sql.types.ShortType, _)   => KShort
+    case ArrayType(org.apache.spark.sql.types.ByteType, _)    => KByte
     case other => throw new IllegalArgumentException(
-      s"expected array<float> or array<double>, got ${other.simpleString}")
+      s"expected an array of a primitive numeric type, got ${other.simpleString}")
   }
 
   private[expressions] def isVectorType(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType | DoubleType |
+                   org.apache.spark.sql.types.IntegerType | LongType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.ByteType, _) => true
     case _ => false
   }
 
@@ -132,7 +160,7 @@ object VectorKernels {
       name: String, inputs: (String, DataType)*): TypeCheckResult = {
     inputs.find { case (_, dt) => !isVectorType(dt) } match {
       case Some((arg, dt)) => TypeCheckResult.TypeCheckFailure(
-        s"$name requires array<float> or array<double> for $arg, " +
+        s"$name requires an array of a primitive numeric type for $arg, " +
           s"got ${dt.simpleString}")
       case None => TypeCheckResult.TypeCheckSuccess
     }
@@ -151,8 +179,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     VectorKernels.checkVectorInputs(prettyName,
       "left" -> left.dataType, "right" -> right.dataType)
 
-  private lazy val lFloat = VectorKernels.isFloatArray(left.dataType)
-  private lazy val rFloat = VectorKernels.isFloatArray(right.dataType)
+  private lazy val lKind = VectorKernels.elemKind(left.dataType)
+  private lazy val rKind = VectorKernels.elemKind(right.dataType)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val l = left.eval(input)
@@ -160,7 +188,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val r = right.eval(input)
     if (r == null) return null
     VectorKernels.cosine(
-      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], lFloat, rFloat)
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], lKind, rKind)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -174,7 +202,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       double ${ev.value} = 0.0;
       if (!${lGen.isNull} && !${rGen.isNull}) {
         java.lang.Double $boxed = graft.functions.expressions.VectorKernels.cosine(
-          ${lGen.value}, ${rGen.value}, $lFloat, $rFloat);
+          ${lGen.value}, ${rGen.value}, $lKind, $rKind);
         if ($boxed != null) {
           ${ev.isNull} = false;
           ${ev.value} = $boxed.doubleValue();
@@ -202,8 +230,8 @@ case class DotProduct(left: Expression, right: Expression)
     VectorKernels.checkVectorInputs(prettyName,
       "left" -> left.dataType, "right" -> right.dataType)
 
-  private lazy val lFloat = VectorKernels.isFloatArray(left.dataType)
-  private lazy val rFloat = VectorKernels.isFloatArray(right.dataType)
+  private lazy val lKind = VectorKernels.elemKind(left.dataType)
+  private lazy val rKind = VectorKernels.elemKind(right.dataType)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val l = left.eval(input)
@@ -211,7 +239,7 @@ case class DotProduct(left: Expression, right: Expression)
     val r = right.eval(input)
     if (r == null) return null
     VectorKernels.dot(
-      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], lFloat, rFloat)
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], lKind, rKind)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -225,7 +253,7 @@ case class DotProduct(left: Expression, right: Expression)
       double ${ev.value} = 0.0;
       if (!${lGen.isNull} && !${rGen.isNull}) {
         java.lang.Double $boxed = graft.functions.expressions.VectorKernels.dot(
-          ${lGen.value}, ${rGen.value}, $lFloat, $rFloat);
+          ${lGen.value}, ${rGen.value}, $lKind, $rKind);
         if ($boxed != null) {
           ${ev.isNull} = false;
           ${ev.value} = $boxed.doubleValue();
@@ -294,17 +322,17 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
   override def checkInputDataTypes(): TypeCheckResult =
     VectorKernels.checkVectorInputs(prettyName, "input" -> child.dataType)
 
-  private lazy val vFloat = VectorKernels.isFloatArray(child.dataType)
+  private lazy val vKind = VectorKernels.elemKind(child.dataType)
   @transient private lazy val planesArr: Array[Array[Double]] =
     planes.map(_.toArray).toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorKernels.lshBucket(input.asInstanceOf[ArrayData], planesArr, vFloat)
+    VectorKernels.lshBucket(input.asInstanceOf[ArrayData], planesArr, vKind)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("graftLshPlanes", planesArr, "double[][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.VectorKernels.lshBucket($c, $planesRef, $vFloat)")
+      s"graft.functions.expressions.VectorKernels.lshBucket($c, $planesRef, $vKind)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -512,9 +512,10 @@ object Dedup {
   /** Exact driver-side connected components over a small materialized
     * edge list: union-find with path compression, component label = min
     * member (longs numerically; strings by unsigned UTF-8 byte order —
-    * Spark's own string ordering). Null endpoints are skipped: in the
-    * loop they can never join-match, never merge, and never become
-    * losers, so dropping them reproduces the observable semantics. */
+    * Spark's own string ordering). An edge with one null endpoint keeps
+    * its non-null node as an isolated self-labeled row (what the loop's
+    * never-matching join produces); only the null node itself is omitted
+    * — it can never merge or become a loser either way. */
   private def driverComponents(
       edges: DataFrame,
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
@@ -547,6 +548,12 @@ object Dedup {
         val ib = idx(b); while (parent.length < nodes.length) parent += parent.length
         val ra = find(ia); val rb = find(ib)
         if (ra != rb) parent(rb) = ra
+      } else if (a != null || b != null) {
+        // a null partner can never join-match in the loop, but the
+        // non-null endpoint still appears there as an isolated node
+        // labeled by itself — keep that row set identical
+        idx(if (a != null) a else b)
+        while (parent.length < nodes.length) parent += parent.length
       }
     }
     val lt: (Any, Any) => Boolean = idType match {
@@ -673,12 +680,21 @@ object Dedup {
     if (exactOnly) {
       val eligible = col(textCol).isNotNull &&
         octet_length(col(textCol)) >= shingleK
+      // array_distinct before dropping the min: a duplicated id inside a
+      // group (two rows sharing an id — a corpus glitch) must not put the
+      // min id itself into the loser list and silently delete EVERY row
+      // of that document; the loop path never drops a node equal to its
+      // own label, and neither may this. ids arrive sorted, and
+      // array_distinct preserves order, so element 1 stays the min.
+      def losersOf(ids: Column): Column = {
+        val uniq = array_distinct(ids)
+        explode(slice(uniq, lit(2), size(uniq) - 1))
+      }
       val losers =
         if (verifyExact)
           exactGroups(in.filter(eligible), col(idCol), col(textCol))
             .filter(col("n") >= 2)
-            .select(explode(
-              slice(col("ids"), lit(2), size(col("ids")) - 1)).as("__loser"))
+            .select(losersOf(col("ids")).as("__loser"))
         else {
           import org.apache.spark.sql.graft.ColumnBridge
           val sig = ColumnBridge.column(
@@ -690,8 +706,7 @@ object Dedup {
             .groupBy("__sig")
             .agg(sort_array(collect_list("__id")).as("ids"))
             .filter(size(col("ids")) >= 2)
-            .select(explode(
-              slice(col("ids"), lit(2), size(col("ids")) - 1)).as("__loser"))
+            .select(losersOf(col("ids")).as("__loser"))
         }
       return (in.join(losers, in(idCol) === col("__loser"), "left_anti"),
         ComponentsStats(iterations = 0, converged = true))

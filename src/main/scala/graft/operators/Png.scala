@@ -97,11 +97,15 @@ object Png {
       case _ => return None
     }
     val bpp = channels // bytes per pixel at bit depth 8
-    val stride = w * bpp
-    val rawLen = h.toLong * (stride + 1)
-    if (rawLen > Int.MaxValue - 8) return None
-
-    val raw = new Array[Byte](rawLen.toInt)
+    // size arithmetic in Long BEFORE any Int is formed: a crafted IHDR
+    // declaring a ~600M width would overflow `w * bpp` to a negative Int
+    // and reach the allocation as a NegativeArraySizeException — decode
+    // must never throw on malformed input, only decline
+    val strideL = w.toLong * bpp
+    val rawLenL = h.toLong * (strideL + 1L)
+    if (rawLenL <= 0L || rawLenL > Int.MaxValue - 8) return None
+    val stride = strideL.toInt
+    val raw = new Array[Byte](rawLenL.toInt)
     val inflater = new Inflater()
     try {
       inflater.setInput(idat.toByteArray)

@@ -80,6 +80,27 @@ class VectorExpressionsSpec extends SparkSpec {
       }
   }
 
+  test("native dot/cosine accept integer-quantized arrays like the " +
+    "composed cast-to-double folds did") {
+    val rnd = new scala.util.Random(21)
+    val df = (0 until 100).map { i =>
+      (i.toLong,
+        Array.fill(32)(rnd.nextInt(255) - 127),
+        Array.fill(32)((rnd.nextInt(255) - 127).toLong))
+    }.toDF("id", "qa", "qb") // array<int> x array<bigint>
+    df.select(
+      VectorFunctions.dot(col("qa"), col("qb")).as("fused"),
+      VectorFunctions.dotComposed(col("qa"), col("qb")).as("composed"),
+      VectorFunctions.cosine(col("qa"), col("qb")).as("cfused"),
+      VectorFunctions.cosineComposed(col("qa"), col("qb")).as("ccomposed"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      }
+  }
+
   test("native dot edge cases: empty arrays fold to 0.0, dim mismatch and " +
     "null element go null") {
     val df = Seq(

@@ -139,6 +139,15 @@ class DedupSpec extends SparkSpec {
     assert(sf == sl)
     assert(sf("b") == "ab" && sf("abc") == "ab" && sf("za") == "z")
 
+    // one-null-endpoint edges: the non-null node stays as an isolated
+    // self-labeled row on both paths (the loop's join can never match a
+    // null; the driver path must keep the same row set)
+    val nEdges = Seq((Option.empty[Long], Some(5L)), (Some(7L), Some(8L)))
+      .toDF("id_a", "id_b")
+    val nFast = Dedup.componentsWithStats(nEdges)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nFast == Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
+
     // empty pair set: an empty labels frame with the right schema on both
     // paths, and a dup-free corpus survives a dropper untouched
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
@@ -361,6 +370,24 @@ class DedupSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       if (verify) assert(loop == fast)
       else assert(loop.subsetOf(fast), s"loop=${loop.size} fast=${fast.size}")
+    }
+  }
+
+  test("dropNearDuplicates fast path: a duplicated id never deletes its " +
+    "own document (the group min keeps every row, like the loop)") {
+    // id 1 appears twice with the same long text; ids 2,3 are copies
+    val rows = Seq(
+      (1L, "the same long duplicated body of text with enough bytes"),
+      (1L, "the same long duplicated body of text with enough bytes"),
+      (2L, "the same long duplicated body of text with enough bytes"),
+      (3L, "another body that is unique and long enough to sign"))
+      .toDF("doc_id", "text")
+    for (verify <- Seq(true, false)) {
+      val out = Dedup.dropNearDuplicates(rows, "doc_id", "text",
+        numHashes = 48, bands = 12, threshold = 1.0, verifyExact = verify)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      // both rows of the min id survive; id 2 is the loser; 3 untouched
+      assert(out == Seq(1L, 1L, 3L), s"verify=$verify got $out")
     }
   }
 

@@ -193,5 +193,24 @@ class PngCodecSpec extends AnyFunSuite {
     // non-image garbage: both paths decline
     assert(Multimodal.decodeImage("not a png".getBytes) === None)
     assert(Multimodal.decodeImage(null) === None)
+
+    // crafted IHDR with a ~600M width (valid CRCs): w*bpp overflows Int —
+    // decode must DECLINE, never throw, and decodeImage must stay total
+    val huge = {
+      val out = new ByteArrayOutputStream()
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'), 0, 8)
+      val ihdr = new Array[Byte](13)
+      val w = 600000000
+      ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+      ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+      ihdr(7) = 2 // height 2
+      ihdr(8) = 8; ihdr(9) = 6 // bit depth 8, RGBA (bpp 4)
+      crcChunk(out, "IHDR", ihdr)
+      crcChunk(out, "IDAT", Array[Byte](1, 2, 3))
+      crcChunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    assert(Png.decode(huge).isEmpty)
+    assert(Multimodal.decodeImage(huge) === None)
   }
 }
