@@ -92,6 +92,20 @@ class PipelinePlanAuditSpec extends SparkSpec {
       s"window exchange must partition on the hash alias, not text:\n$exchange")
   }
 
+  test("dedup_drop's clique fast path plans one aggregation: no band " +
+    "stage, no label-propagation checkpoints, hash-restricted text") {
+    // threshold 1.0 + verifyExact: survivors come from exactGroups' hash
+    // classes + one anti join. The plan must carry NO posexplode (banding
+    // skipped) and NO checkpointed RDD scan (the propagation loop never
+    // ran — its localCheckpoint materializations would surface as
+    // "Scan ExistingRDD" leaves).
+    val p = physical("dedup_drop")
+    assert(!p.contains("posexplode"),
+      s"fast path must not plan the band stage:\n$p")
+    assert(!p.contains("ExistingRDD"),
+      s"fast path must not read checkpointed propagation state:\n$p")
+  }
+
   test("dedup_minhash computes the signature expression exactly once " +
     "and pays no band stage at threshold 1.0") {
     // The registered query runs at threshold 1.0, where cross-signature
