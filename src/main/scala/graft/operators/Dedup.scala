@@ -247,14 +247,14 @@ object Dedup {
   }
 
   /** All unordered (i<j) pairs of a sorted id array as (id_a, id_b). */
-  private def idPairs(ids: Column): Column =
+  private[operators] def idPairs(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
 
   /** Star pairs of a sorted id array: (min id, other) for every other
     * member — m-1 pairs instead of m(m-1)/2, same connectivity. */
-  private def starPairs(ids: Column): Column =
+  private[operators] def starPairs(ids: Column): Column =
     transform(slice(ids, lit(2), greatest(size(ids) - 1, lit(0))),
       y => struct(element_at(ids, 1).as("id_a"), y.as("id_b")))
 

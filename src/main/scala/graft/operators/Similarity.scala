@@ -286,9 +286,13 @@ object Similarity {
     * is tuned by `numPlanes` (fewer planes → bigger buckets → higher
     * recall, more work).
     *
-    * One shuffle (groupBy bucket) with in-bucket pair expansion — a
-    * self-join here would re-execute the projection pipeline per side.
-    * `maxBucket` guards degenerate buckets at scale. */
+    * Vectors collapse to DISTINCT values before bucketing (ids ride as
+    * lists) — the duplicate-crowding guard the sketch deduppers carry:
+    * equal-vector pairs are emitted unconditionally from their group, so
+    * no `maxBucket` cap can drop an exact-duplicate pair, and `maxBucket`
+    * guards only genuine distinct-vector bucket crowding. In-bucket
+    * scoring stays an array expression — a self-join would re-execute the
+    * projection pipeline per side. */
   /** Multi-table LSH ANN: `numTables` independent hyperplane tables, each
     * vector bucketed once per table in a single pass (posexplode over the
     * per-table bucket ids — the corpus is scanned once, not L times).
@@ -305,35 +309,54 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       minCos: Double = 0.0,
-      maxBucket: Int = 2000
+      maxBucket: Int = 2000,
+      maxEqualGroup: Int = 2000
   ): DataFrame = {
-    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val tablePlanes = (0 until numTables).map(t =>
       VectorFunctions.hyperplanes(numPlanes, dim, seed + t))
-    val bucketed = corpus
+
+    // distinct-vector collapse before bucketing — same duplicate-crowding
+    // guard as [[annBuckets]] (equal vectors collide in EVERY table; one
+    // direct emission replaces numTables bucket entries per copy)
+    val byVec = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(parts, col("id"))
-      .select(col("id"), col("v"),
-        posexplode(array(tablePlanes.map(p =>
-          VectorFunctions.lshBucket(col("v"), p)): _*)).as(Seq("tbl", "bucket")))
+      .groupBy("v")
+      .agg(sort_array(collect_list("id")).as("ids"))
 
-    val pairs = flatten(transform(col("xs"), (x, i) =>
-      filter(
-        transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
-          struct(
-            least(x.getField("id"), y.getField("id")).as("id_a"),
-            greatest(x.getField("id"), y.getField("id")).as("id_b"),
-            round(VectorFunctions.cosine(
-              x.getField("v"), y.getField("v")), 6).as("cos"))),
-        s => s.getField("cos") >= minCos)))
+    val equalPairs = byVec
+      .filter(size(col("ids")) >= 2)
+      .select(col("v"), explode(
+        when(size(col("ids")) <= maxEqualGroup, Dedup.idPairs(col("ids")))
+          .otherwise(Dedup.starPairs(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        round(VectorFunctions.cosine(col("v"), col("v")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
 
-    bucketed
+    val bucketed = byVec.select(col("v"), col("ids"),
+      posexplode(array(tablePlanes.map(p =>
+        VectorFunctions.lshBucket(col("v"), p)): _*)).as(Seq("tbl", "bucket")))
+
+    // distinct-vector pairs may surface in several tables — the final
+    // (id_a, id_b) max dedupes across tables, as before; equal-vector
+    // pairs never enter a bucket so the union cannot double-count
+    val crossPairs = bucketed
       .groupBy("tbl", "bucket")
-      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .agg(collect_list(struct(col("v"), col("ids"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-      .select(explode(pairs).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(max(col("p.cos")).as("cos"))
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        filter(
+          transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+            struct(x.getField("ids").as("ids_a"), y.getField("ids").as("ids_b"),
+              round(VectorFunctions.cosine(
+                x.getField("v"), y.getField("v")), 6).as("cos"))),
+          s => s.getField("cos") >= minCos)))).as("sp"))
+      .select(explode(col("sp.ids_a")).as("ia"), col("sp.ids_b"), col("sp.cos"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("cos"))
+      .groupBy(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+      .agg(max(col("cos")).as("cos"))
+
+    equalPairs.unionByName(crossPairs)
   }
 
   def annBuckets(
@@ -344,34 +367,61 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       minCos: Double = 0.0,
-      maxBucket: Int = 2000
+      maxBucket: Int = 2000,
+      maxEqualGroup: Int = 2000
   ): DataFrame = {
     val planes = VectorFunctions.hyperplanes(numPlanes, dim, seed)
-    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val bucketed = corpus
+
+    // Collapse to DISTINCT vectors before bucketing — the same
+    // duplicate-crowding guard minhashPairs and simhashPairs carry (their
+    // 20x-scale lesson applies verbatim here): a million copies of one
+    // boilerplate embedding land ONE entry in their bucket instead of a
+    // million, where per-row bucketing would blow the bucket past
+    // `maxBucket` and silently drop exactly the duplicate pairs
+    // dropEmbeddingDuplicates exists to find. Equal-vector groups emit
+    // their pairs unconditionally (no bucket cap can lose them), with the
+    // `maxEqualGroup` star fallback bounding one degenerate group's
+    // in-array expansion (connectivity preserved); `maxBucket` then
+    // guards only genuine distinct-vector bucket crowding.
+    val byVec = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(parts, col("id"))
-      .select(col("id"), col("v"),
-        VectorFunctions.lshBucket(col("v"), planes).as("bucket"))
+      .groupBy("v")
+      .agg(sort_array(collect_list("id")).as("ids"))
+
+    // cos is computed, not assumed 1.0: a pair of identical zero vectors
+    // scores 0.0 and null-element vectors score null, exactly as the
+    // in-bucket expression scored them before the collapse
+    val equalPairs = byVec
+      .filter(size(col("ids")) >= 2)
+      .select(col("v"), explode(
+        when(size(col("ids")) <= maxEqualGroup, Dedup.idPairs(col("ids")))
+          .otherwise(Dedup.starPairs(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        round(VectorFunctions.cosine(col("v"), col("v")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+
+    val bucketed = byVec.select(col("v"), col("ids"),
+      VectorFunctions.lshBucket(col("v"), planes).as("bucket"))
 
     // Score + threshold inside the bucket array expression so exploded
-    // rows are (id_a, id_b, cos) structs, never vector pairs.
-    val pairs = flatten(transform(col("xs"), (x, i) =>
-      filter(
-        transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
-          struct(
-            least(x.getField("id"), y.getField("id")).as("id_a"),
-            greatest(x.getField("id"), y.getField("id")).as("id_b"),
-            round(VectorFunctions.cosine(
-              x.getField("v"), y.getField("v")), 6).as("cos"))),
-        s => s.getField("cos") >= minCos)))
-
-    bucketed
+    // rows are (ids_a, ids_b, cos) structs, never vector pairs; distinct
+    // vectors share exactly one bucket, so no cross-pair repeats.
+    val crossPairs = bucketed
       .groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .agg(collect_list(struct(col("v"), col("ids"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-      .select(explode(pairs).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.cos").as("cos"))
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        filter(
+          transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+            struct(x.getField("ids").as("ids_a"), y.getField("ids").as("ids_b"),
+              round(VectorFunctions.cosine(
+                x.getField("v"), y.getField("v")), 6).as("cos"))),
+          s => s.getField("cos") >= minCos)))).as("sp"))
+      .select(explode(col("sp.ids_a")).as("ia"), col("sp.ids_b"), col("sp.cos"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("cos"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cos"))
+
+    equalPairs.unionByName(crossPairs)
   }
 }

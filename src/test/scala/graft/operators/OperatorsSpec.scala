@@ -227,6 +227,27 @@ class DedupSpec extends SparkSpec {
     assert(found.size >= 95, s"recall ${found.size}/100")
   }
 
+  test("annBuckets survives duplicate crowding past maxBucket " +
+    "(same latent flaw the 20x run caught for SimHash: per-row buckets " +
+    "drop identical-vector pairs once duplicate mass crowds the cap)") {
+    import spark.implicits._
+    val same = Array.fill(16)(0.5f)
+    val rows = (0 until 30).map(i => (i.toLong, same)) ++
+      Seq((100L, Array.fill(16)(-0.25f)))
+    val pairs = Similarity.annBuckets(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", numPlanes = 6, dim = 16, minCos = 0.999,
+      maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 30 * 29 / 2)
+    assert(pairs.forall { case (a, b, c) => a < b && b < 100L && c == 1.0 })
+    // star fallback bounds a degenerate group, connectivity preserved
+    val star = Similarity.annBuckets(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", numPlanes = 6, dim = 16, minCos = 0.999,
+      maxBucket = 5, maxEqualGroup = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == (1 until 30).map(i => (0L, i.toLong)).toSet)
+  }
+
   test("simhashPairs survives duplicate crowding past maxBucket " +
     "(20x-scale regression: per-row 16-bit buckets dropped dup pairs)") {
     val docs = ((0 until 30).map(i => (i.toLong, "same exact duplicated content here")) ++
