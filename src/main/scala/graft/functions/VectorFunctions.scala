@@ -63,6 +63,16 @@ object VectorFunctions {
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     toCol(graft.functions.expressions.HyperplaneBucket(toExpr(v), planes))
 
+  /** Bounded per-group top-k aggregate: `array<struct<score, id>>` sorted
+    * by (score desc nulls-last, id asc), at most k entries. The
+    * partial-combine replacement for a
+    * `row_number() OVER (PARTITION BY g ORDER BY score DESC, id ASC) <= k`
+    * window: map tasks combine each group down to k entries before the
+    * exchange; no global Sort/Window ever materializes. */
+  def boundedTopK(score: Column, id: Column, k: Int): Column =
+    toCol(graft.functions.expressions.BoundedTopK(toExpr(score), toExpr(id), k)
+      .toAggregateExpression())
+
   /** Composed-Column LSH bucket — the spec baseline for the native kernel. */
   private[graft] def lshBucketComposed(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>

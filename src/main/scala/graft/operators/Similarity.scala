@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -16,6 +15,25 @@ import graft.functions.VectorFunctions
   * that survives a 100×-larger corpus.
   */
 object Similarity {
+
+  /** Bounded top-k ranking of a scored (query_id, cand_id, score) stream:
+    * the [[VectorFunctions.boundedTopK]] aggregate combines each query's
+    * candidates down to k entries map-side, so the exchange moves at most
+    * `partitions × |Q| × k` pre-combined entries and NO global Sort or
+    * Window over the scored cross product ever runs — the shape that
+    * survives a billion-row corpus, where the old
+    * `row_number() OVER (PARTITION BY query_id)` made every per-query
+    * partition a straggler task sorting the whole corpus. Output ordering
+    * (score desc nulls-last, cand_id asc) and the emitted
+    * (query_id, cand_id, score, rank) schema are identical to the window
+    * formulation. */
+  private def rankTopK(scored: DataFrame, scoreName: String, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(VectorFunctions.boundedTopK(col(scoreName), col("cand_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("cand_id"),
+        col("__e.score").as(scoreName), (col("__pos") + 1).as("rank"))
 
   /** Exact cosine top-k: for each query vector, the k most similar corpus
     * vectors (excluding itself). Output: query_id, cand_id, cos, rank. */
@@ -35,10 +53,7 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, "cos", k)
   }
 
   /** Per-vector int8 scalar quantization — the storage/bandwidth workhorse
@@ -109,15 +124,17 @@ object Similarity {
       .select(col(idCol).as("cand_id"),
         dequantize(col("codes"), col("qmin"), col("qmax")).as("dv"))
 
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("coarse").desc, col("cand_id").asc)
+    // bounded per-query coarse cut: each map task keeps at most
+    // rerankDepth candidates per query before the exchange — no window,
+    // no global sort of the |Q|·|C| scored stream
     val cands = q.crossJoin(coded)
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         VectorFunctions.cosine(col("qv"), col("dv")).as("coarse"))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= rerankDepth)
-      .select("query_id", "cand_id")
+      .groupBy("query_id")
+      .agg(VectorFunctions.boundedTopK(
+        col("coarse"), col("cand_id"), rerankDepth).as("__top"))
+      .select(col("query_id"), explode(col("__top.id")).as("cand_id"))
 
     val exact = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .join(broadcast(cands), "cand_id")
@@ -125,9 +142,7 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(exact, "cos", k)
   }
 
   /** An IVF (inverted-file) index: `numCentroids` centroid vectors seeded
@@ -233,10 +248,7 @@ object Similarity {
       .select(col("query_id"), col("id").as("cand_id"),
         round(VectorFunctions.cosine(col("qv"), col("v")), 6).as("cos"))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, "cos", k)
   }
 
   /** Embedding-cosine near-duplicate REMOVAL: hyperplane-LSH candidate
