@@ -36,18 +36,17 @@ class StatefulSessionizeSpec extends SparkSpec {
   import spark.implicits._
 
   test("stateful assignment matches window-based sessionize on static data") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = eventsTable()
       .select(col("user_id"),
-        (expr("ts div 1000000000")).as("ts_epoch"))
+        col("ts").cast("timestamp").cast("long").as("ts_epoch"))
       .as[StatefulSessionize.EventIn]
 
     val stateful = StatefulSessionize.assign(events, 1800)
       .groupBy("user_id").agg(max("session_id").as("n_sessions"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    val eventsTs = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), timestamp_seconds(expr("ts div 1000000000")).as("ts"))
+    val eventsTs = eventsTable()
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
     val windowed = Sessionize.byGap(eventsTs, "user_id", "ts", 1800)
       .groupBy("user_id").agg(max("session_id").as("n_sessions"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

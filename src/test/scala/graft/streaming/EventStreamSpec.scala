@@ -6,23 +6,23 @@ import graft.SparkSpec
 class EventStreamSpec extends SparkSpec {
 
   test("stream over bounded input agrees with the batch twin") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // events carries TIMESTAMP(NANOS): stage a micros copy for the stream
+    // stage a micros copy for the stream (ts normalized across testdata
+    // generations by eventsTable)
     val staged = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // watermarks require TIMESTAMP (ltz): stage the ntz-normalized ts as ltz
+    val events = eventsTable().withColumn("ts", col("ts").cast("timestamp"))
     events.write.mode("overwrite").parquet(staged)
 
     val static = spark.read.parquet(staged)
     val batch = EventStream.hourlyCountsBatch(static)
       .collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .map(r => (String.valueOf(r.get(0)), r.getString(1), r.getLong(2)))
       .toSet
 
     val streamed = EventStream.runToCompletion(spark, staged, static.schema,
       queryName = s"graft_events_${System.nanoTime()}")
       .collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .map(r => (String.valueOf(r.get(0)), r.getString(1), r.getLong(2)))
       .toSet
 
     assert(streamed == batch)
@@ -30,12 +30,10 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("stream lands in a parquet sink (repo-layout ingest path)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
     val sink = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventsTable().withColumn("ts", col("ts").cast("timestamp"))
     events.write.mode("overwrite").parquet(staged)
     val static = spark.read.parquet(staged)
 

@@ -28,10 +28,13 @@ object IntervalAB {
         date_add(lit("2024-01-01").cast("date"),
           (col("o_orderkey") % 28).cast("int") + lit(7)).as("end_day"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = spark.read.parquet(s"$sfDir/events.parquet")
-        .select(
-          to_date(timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")).as("day"),
-          col("value"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val tsNtz = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+        case _ => col("ts").cast("timestamp_ntz")
+      }
+      val events = raw.select(to_date(tsNtz).as("day"), col("value"))
       (campaigns, events)
     }
 
