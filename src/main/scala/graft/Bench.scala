@@ -8,6 +8,119 @@ import org.apache.spark.sql.SparkSession
   * much smaller plan than users run). One warmup execution JITs the
   * stack before measurement. Prints exactly one JSON line. */
 object Bench {
+
+  private val calibSink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Fixed CPU-bound calibration kernel: `threads` threads each run a
+    * constant number of xorshift64 steps; returns wall seconds. On a quiet
+    * machine the wall time is a per-machine constant; ambient load slows
+    * it proportionally to the CPU bandwidth it steals — including the
+    * CONSTANT background load that the med/min `spread` statistic is
+    * structurally blind to (both med and min absorb it equally). Timed at
+    * bench start and end; each reading over the committed reference is the
+    * run's load factor. */
+  def calibrate(threads: Int): Double = {
+    val work = 1 << 27
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { tid =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + tid
+        var acc = 0L
+        var i = 0
+        while (i < work) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          acc += x
+          i += 1
+        }
+        calibSink.addAndGet(acc) // observable: the loop cannot be DCE'd
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Per-machine calibration reference (wall seconds for [[calibrate]] at
+    * a given thread count), persisted in `CALIB.json` so every later run
+    * on the machine self-reports its load factor against the same floor.
+    * Missing file or a new thread count ⇒ this run's start reading
+    * becomes the reference (ratio 1.0) and is written back. */
+  def calibReference(path: String, threads: Int, measured: Double): Double = {
+    val p = java.nio.file.Paths.get(path)
+    val existing: Option[Double] =
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        JsonMethods.parse(txt) \ threads.toString match {
+          case JDouble(v) => Some(v)
+          case JInt(v)    => Some(v.toDouble)
+          case _          => None
+        }
+      } catch { case _: Throwable => None }
+    existing.getOrElse {
+      try {
+        val updated = s"""{"$threads":$measured}"""
+        java.nio.file.Files.write(p,
+          updated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Throwable => () }
+      measured
+    }
+  }
+
+  private def fmt(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private def fmt2(v: Double): String =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+  private def fmt1(v: Double): String =
+    BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+  /** Per-query value formatting for the summary line: centisecond under
+    * 10 s, decisecond above, trailing zeros stripped ("0.20"→"0.2",
+    * "12.00"→"12") — at most 4 chars for any value under 100 s, which is
+    * what lets 85 query names (>1000 chars on their own) plus values fit
+    * the ~2000-char stdout tail (millisecond values overflow it —
+    * measured, not guessed; full-precision minimums live in
+    * bench_detail.json). */
+  private def fmtq(v: Double): String = {
+    val scale = if (v >= 10) 1 else 2
+    val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+    if (s == "-0") "0" else s
+  }
+
+  /** The single summary line the round driver parses from a bounded
+    * (~2000-char) stdout tail. Per-query values are steady-state MINIMUMS
+    * (centisecond): under ambient load the median absorbs the load and the
+    * minimum approaches the true cost, and the `calib` field — start/end
+    * load factors vs the committed per-machine reference — says how much
+    * to trust even those. `calib_bad` appears when either factor exceeds
+    * 1.5 (the run cannot be compared round-over-round). Kept separate and
+    * pure so BenchLineSpec can prove the worst-case length fits the tail. */
+  def renderSummary(
+      totalMedianSec: Double,
+      setupSec: Double,
+      minsByQuery: Seq[(String, Double)],
+      vsDuckdb: Double,
+      calib: (Double, Double),
+      big: Option[(Double, Double, Double)],
+      big100Total: Option[Double],
+      sfName: String): String = {
+    val qs = minsByQuery.map { case (k, v) => "\"" + k + "\":" + fmtq(v) }
+      .mkString("{", ",", "}")
+    val vs = if (vsDuckdb >= 0) s""","vs_duckdb":${fmt2(vsDuckdb)}""" else ""
+    val cal = s""","calib":[${fmt2(calib._1)},${fmt2(calib._2)}]"""
+    val calBad =
+      if (math.max(calib._1, calib._2) > 1.5) ""","calib_bad":true""" else ""
+    val bigS = big.map { case (t, v, veq) =>
+      val vsB = if (v >= 0) s""","vs":${fmt2(v)}""" else ""
+      val veqS = if (veq >= 0) s""","veq":${fmt2(veq)}""" else ""
+      s""","big20x":{"t":${fmt1(t)}$vsB$veqS}"""
+    }.getOrElse("")
+    val b100S = big100Total.map(t => s""","b100":{"t":${fmt1(t)}}""").getOrElse("")
+    s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","queries":$qs,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S,"sf":"$sfName"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -63,6 +176,11 @@ object Bench {
         })
       } catch { case _: Throwable => Map.empty }
 
+    // load factor at bench start: fixed CPU kernel vs committed reference
+    val calibThreads = cpus.toInt
+    val calibStartSec = calibrate(calibThreads)
+    val calibRef = calibReference("CALIB.json", calibThreads, calibStartSec)
+
     // warmup: JIT + codegen + parquet footer caches
     try run("q1_agg") catch { case _: Throwable => () }
 
@@ -88,19 +206,6 @@ object Bench {
       }.sorted
       name -> (times(1), times.head) // (median of 3, min)
     }
-    // The harness reading this line keeps only a bounded tail of stdout, so
-    // the line must stay short: millisecond precision, medians only. The
-    // full-precision medians AND minimums go to bench_detail.json instead.
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // per-query at centisecond precision: 77+ entries must leave room for
-    // sbt's trailing success line inside the same bounded tail
-    def fmt2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    // decisecond medians: r8's spread/big20x additions would push the
-    // line past the driver's ~1800-char parse tail at centisecond
-    // precision; full precision always lives in bench_detail.json
-    def fmt1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + fmt1(med) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     // aggregate Spark-vs-DuckDB ratio over the queries both engines ran,
     // on MINIMUMS (steady-state; medians carry ambient-load noise)
@@ -141,17 +246,17 @@ object Bench {
           new ProcessBuilder(cmd: _*).inheritIO().start().waitFor() == 0
         } catch { case _: Throwable => false }
       }
-    val bigResults: Seq[(String, (Double, Double))] =
-      if (!bigReady) Nil
-      else headline.filter(SparkEntry.queries.contains).map { name =>
-        // min-of-3: this box shows transient load excursions, and a
-        // min-of-2 headline row can carry one (a 4.9 s dedup_minhash
-        // against 1.6-2.0 s in adjacent runs) — one more repetition is
-        // ~seconds of bench time for a round-over-round-comparable min
+    // min-of-5 for the 20x set: this box shows transient load excursions
+    // (r9's dedup_drop min 1.87 / max 6.87 s on unchanged code), and a
+    // min-of-3 headline row still carried one. Five repetitions give the
+    // min a real chance to land in a quiet window; the calib kernel
+    // ratios then say whether even that min is trustworthy.
+    def timeHeadline(dir: String, reps: Int, label: String): Seq[(String, (Double, Double))] =
+      headline.filter(SparkEntry.queries.contains).map { name =>
         var failed = false
-        val times = (1 to 3).map { _ =>
+        val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try SparkEntry.queries(name)(spark, bigDir)
+          try SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             // a failed query must NOT enter the published ratio as a
@@ -159,13 +264,24 @@ object Bench {
             // silently flatter vs_duckdb with no trace in the artifact
             failed = true
             System.err.println(
-              s"[bench] big20x $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              s"[bench] $label $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           }
           (System.nanoTime() - t0) / 1e9
         }.sorted
         if (failed) name -> (-1.0, -1.0)
-        else name -> (times.last, times.head) // (max of 3, min of 3)
+        else name -> (times.last, times.head) // (max, min)
       }
+    val bigResults: Seq[(String, (Double, Double))] =
+      if (!bigReady) Nil else timeHeadline(bigDir, 5, "big20x")
+    // 100x section, opt-in via SPARK_GRAFT_BIG100X_DIR (tools/scale_up.py
+    // at factor 100): the scale-validation artifact — each headline query
+    // at 5x the 20x corpus, expected within ~linear of its 20x time.
+    // min-of-3: the queries are 5x longer, and the 20x set already pins
+    // the repetition statistics.
+    val big100Dir = sys.env.get("SPARK_GRAFT_BIG100X_DIR")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+    val big100Results: Seq[(String, (Double, Double))] =
+      big100Dir.map(timeHeadline(_, 3, "big100x")).getOrElse(Nil)
     val duckdbBig: Map[String, Double] =
       try {
         import org.json4s._
@@ -209,6 +325,11 @@ object Bench {
       if (eqDuck > 0 && computeEq.nonEmpty) computeEq.map(_._2._2).sum / eqDuck
       else -1.0
 
+    // load factor at bench end: the pair (start, end) exposes load that
+    // arrived or left mid-run, which no single reading could
+    val calibEndSec = calibrate(calibThreads)
+    val calibPair = (calibStartSec / calibRef, calibEndSec / calibRef)
+
     val detail = {
       val med = results.map { case (k, (m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
       val mn = results.map { case (k, (_, m)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
@@ -227,7 +348,13 @@ object Bench {
           d.map(v => ",\"duckdb_sec\":" + v +
             ",\"ratio\":" + (if (v > 0) mn2 / v else -1.0)).getOrElse("") + "}"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"big20x":{"dir":"$bigDir","queries":$big,"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq},"sf":"$sfDir"}"""
+      val big100 = big100Results.map { case (k, (mx, mn2)) =>
+        "\"" + k + "\":{\"min_sec\":" + mn2 + ",\"max_sec\":" + mx + "}"
+      }.mkString("{", ",", "}")
+      val big100Section = big100Dir.map(d =>
+        s""","big100x":{"dir":"$d","queries":$big100,"spark_min_total":${
+          big100Results.filter(_._2._2 >= 0).map(_._2._2).sum}}""").getOrElse("")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"calib":{"threads":$calibThreads,"ref_sec":$calibRef,"start_sec":$calibStartSec,"end_sec":$calibEndSec,"start_ratio":${calibPair._1},"end_ratio":${calibPair._2}},"big20x":{"dir":"$bigDir","queries":$big,"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq}$big100Section,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -237,24 +364,19 @@ object Bench {
     // can land between this line and end-of-output
     // basename only: the full path spends tail budget on constant prefix
     val sfName = new java.io.File(sfDir).getName
-    // vs_duckdb is the ONLY per-round addition the summary line can afford
-    // (r6 measured 1799 chars against the ~2000-char tail): sum of Spark
-    // minimums / sum of DuckDB medians over the oracled queries — full
-    // per-query denominators live in bench_detail.json
-    val vs = if (vsDuckdb >= 0) s""","vs_duckdb":${fmt2(vsDuckdb)}""" else ""
-    // spread (load self-diagnosis) + the floor-free 20x headline ratio:
-    // ~45 chars total, the only r8 additions the tail can afford
-    val sp = s""","spread":${fmt2(spread)}"""
-    val big = if (bigResults.nonEmpty) {
-      val v = if (vsDuckdbBig >= 0) s""","vs":${fmt2(vsDuckdbBig)}""" else ""
-      val veq = if (vsDuckdbEq >= 0) s""","veq":${fmt2(vsDuckdbEq)}""" else ""
-      s""","big20x":{"t":${fmt1(bigTotalMin)}$v$veq}"""
-    } else ""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"setup":{"bucketed_layout":${fmt(setupSec)}}$vs$sp$big,"sf":"$sfName"}"""
+    val line = renderSummary(
+      total, setupSec,
+      results.map { case (k, (_, mn2)) => k -> mn2 },
+      vsDuckdb, calibPair,
+      if (bigResults.nonEmpty) Some((bigTotalMin, vsDuckdbBig, vsDuckdbEq)) else None,
+      if (big100Results.nonEmpty)
+        Some(big100Results.filter(_._2._2 >= 0).map(_._2._2).sum)
+      else None,
+      sfName)
     // the consumer keeps a bounded stdout tail (~2000 chars) and sbt
-    // appends its own success line after ours — flag the overflow BEFORE
-    // it silently turns the recorded bench into parsed:null
-    if (line.length > 1850)
+    // appends its own success line (~65 chars) after ours — flag the
+    // overflow BEFORE it silently turns the recorded bench into parsed:null
+    if (line.length > 1925)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars " +
         "— trim per-query precision or drop fields before the tail eats it")
     println(line)

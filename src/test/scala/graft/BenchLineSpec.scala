@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench summary line contract: the round driver parses it from a
+  * ~2000-char stdout tail that sbt's own success line (~65 chars) also
+  * shares, so the WORST-case line over all 85 registered queries must stay
+  * under 1925 chars (2000-char tail minus the ~72-char sbt success suffix) — the r4/r5 lines overflowed the tail and were never
+  * parsed, which is why this is pinned by a spec and not a code comment.
+  * Also pins the calibration plumbing: reference persistence and the
+  * calib_bad marker. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def render(perQuery: Double, calib: (Double, Double)) =
+    Bench.renderSummary(
+      totalMedianSec = 999.9,
+      setupSec = 999.9,
+      minsByQuery = SparkEntry.queries.keys.toSeq.map(_ -> perQuery),
+      vsDuckdb = 99.99,
+      calib = calib,
+      big = Some((9999.9, 99.99, 99.99)),
+      big100Total = Some(99999.9),
+      sfName = "sf0.1")
+
+  test("worst-case line fits the driver's stdout tail") {
+    // every registered query at just under 10 s (the longest rendering in
+    // the sub-100 s regime: 4 chars) with every optional field present,
+    // including calib_bad
+    val line = render(9.99, (9.99, 9.99))
+    assert(line.length <= 1925, s"line is ${line.length} chars:\n$line")
+    // 10-100 s values also render in 4 chars ("99.9")
+    val line2 = render(99.94, (1.0, 1.0))
+    assert(line2.length <= 1925, s"line2 is ${line2.length} chars")
+    assert(SparkEntry.queries.size >= 85, "worst case must cover the full registry")
+  }
+
+  test("line is valid JSON with the calib fields") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(render(0.25, (1.02, 1.07)))
+    assert((parsed \ "calib") != JNothing)
+    assert((parsed \ "calib_bad") == JNothing)
+    val bad = JsonMethods.parse(render(0.25, (1.0, 1.51)))
+    assert((bad \ "calib_bad") == JBool(true))
+    (parsed \ "queries") match {
+      case JObject(fields) => assert(fields.size == SparkEntry.queries.size)
+      case other           => fail(s"queries not an object: $other")
+    }
+  }
+
+  test("calibration reference persists and is reused") {
+    val tmp = java.nio.file.Files.createTempDirectory("calib").toString + "/CALIB.json"
+    // first call: no file — measured value becomes the reference
+    assert(Bench.calibReference(tmp, 32, 0.84) == 0.84)
+    // second call: file exists — the committed reference wins
+    assert(Bench.calibReference(tmp, 32, 1.91) == 0.84)
+    // a different thread count re-seeds (whole-file rewrite is fine: one
+    // machine benches with one thread count)
+    assert(Bench.calibReference(tmp, 16, 1.5) == 1.5)
+  }
+
+  test("calibration kernel returns a positive wall time") {
+    val s = Bench.calibrate(2)
+    assert(s > 0.0 && s < 60.0, s.toString)
+  }
+}

@@ -41,7 +41,8 @@ def canon(rows, cols, name=""):
     return [cols[i] for i in idx], out
 
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, json_out=None):
+    report = {}
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -54,6 +55,9 @@ def main(sfdir, outdir):
         spark_dir = Path(outdir) / name
         if not spark_dir.exists():
             print(f"{name:22s} MISSING spark output")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": 0,
+                            "oracle_rows": 0, "err": "missing spark output"}
             failures += 1
             continue
         sq = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
@@ -63,8 +67,16 @@ def main(sfdir, outdir):
             ocols, orows = canon(oq.fetchall(), oq.columns, name)
         except TypeError as e:
             print(f"{name:22s} UNHASHABLE {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": 0,
+                            "oracle_rows": 0, "err": f"unhashable: {e}"}
             failures += 1
             continue
+        report[name] = {"rows_match": len(srows) == len(orows),
+                        "schema_match": scols == ocols,
+                        "hash_match": srows == orows,
+                        "spark_rows": len(srows),
+                        "oracle_rows": len(orows), "err": None}
         if scols != ocols:
             print(f"{name:22s} SCHEMA MISMATCH spark={scols} oracle={ocols}")
             failures += 1
@@ -85,8 +97,11 @@ def main(sfdir, outdir):
             n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
             print(f"{d.name:22s} rows-only rows={n}" + (" (EMPTY!)" if n == 0 else ""))
     print("FAILURES:", failures)
+    if json_out:
+        Path(json_out).write_text(json.dumps(report, indent=2, sort_keys=True))
     return failures
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    sys.exit(1 if main(sys.argv[1], sys.argv[2],
+                       sys.argv[3] if len(sys.argv) > 3 else None) else 0)

@@ -76,14 +76,28 @@ con.sql(f"COPY ({doc_parts}) TO '{dst}/documents.parquet' (FORMAT PARQUET)")
 vec_stride = con.sql(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
 assert vec_stride * factor < 1_000_000
 dim = con.sql(f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1").fetchone()[0]
-# replica k rotates by k % dim: at k == dim the rotation is the identity and
-# replica vectors would EQUAL the originals, silently corrupting the
-# identical-vector-planting oracles this script promises to preserve
-assert factor <= dim, f"factor {factor} > dim {dim}: rotation would repeat"
+# replica k rotates by k % dim; at k >= dim the rotation repeats, so that
+# band additionally NEGATES every element (cosine vs any pure rotation is
+# exactly -cos — far from 1 — and replicas stay distinct from every
+# original and from each other; -0.0 is normalized to 0.0 so exact
+# content-equality oracles see identical semantics in both engines).
+# Past 2*dim the scheme would repeat again — cap there.
+assert factor <= 2 * dim, f"factor {factor} > 2*dim {2*dim}: replicas would repeat"
+
+
+def _vec_expr(k: int) -> str:
+    rot = (f"embedding[{(k % dim) + 1}:] || embedding[:{k % dim}]"
+           if k % dim else "embedding")
+    if k < dim:
+        return f"CAST({rot} AS FLOAT[])"
+    return (f"CAST(list_transform({rot}, "
+            "x -> CASE WHEN x = 0 THEN CAST(0 AS FLOAT) ELSE -x END) "
+            "AS FLOAT[])")
+
+
 vec_parts = " UNION ALL ".join(
     f"""SELECT vec_id + {k * vec_stride} AS vec_id,
-          CAST({f"embedding[{(k % dim) + 1}:] || embedding[:{k % dim}]" if k % dim else "embedding"}
-               AS FLOAT[]) AS embedding,
+          {_vec_expr(k)} AS embedding,
           label
         FROM '{src}/embeddings.parquet'"""
     for k in range(factor))
