@@ -861,10 +861,16 @@ object SparkEntry {
         expr("date_add(date'2024-01-01', cast(o_orderkey % 28 as int) + cast(o_orderkey % 7 as int))").as("end_day"))
     val events = t(s, dir, "events")
       .select(to_date(col("ts")).as("day"), col("value"))
-    operators.IntervalJoin
-      .overlapJoin(events, campaigns, "day", "start_day", "end_day")
-      .groupBy("campaign_id")
-      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_cents"))
+    // eager aggregation: count/sum are decomposable, so the corpus
+    // aggregates to one partial row per day BEFORE the many-to-many
+    // containment join — the join moves |days| rows instead of
+    // |events| × avg-covering-campaigns (the 20×-scale bottleneck)
+    operators.IntervalJoin.overlapAggregate(
+      events, campaigns, "day", "start_day", "end_day",
+      groupCols = Seq("campaign_id"),
+      partialAggs = Seq(count(lit(1)).as("__n"),
+        sum(cents(col("value"))).as("__s")),
+      finalAggs = Seq(sum("__n").as("n_events"), sum("__s").as("sum_cents")))
   }
 
   /** SURVEY 47 `dedup_substring`: cross-document repeated 8-token spans

@@ -121,6 +121,24 @@ class IntervalJoinSpec extends SparkSpec {
   private def expected: Set[(Long, Long)] = Set(
     (1L, 10L), (2L, 11L), (3L, 11L), (3L, 12L), (4L, 11L), (4L, 12L))
 
+  test("overlapAggregate equals overlapJoin + groupBy for decomposable aggs") {
+    // duplicate timestamps so the per-ts partial actually combines rows
+    val pts = points.unionByName(points).withColumn("v", col("pid") * 10)
+    val viaJoin = IntervalJoin.overlapJoin(pts, intervals, "d", "s", "e")
+      .groupBy("iid")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (bcast <- Seq(true, false)) {
+      val viaAgg = IntervalJoin.overlapAggregate(pts, intervals, "d", "s", "e",
+        groupCols = Seq("iid"),
+        partialAggs = Seq(count(lit(1)).as("__n"), sum("v").as("__sv")),
+        finalAggs = Seq(sum("__n").as("n"), sum("__sv").as("sv")),
+        broadcastIntervals = bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaAgg == viaJoin, s"broadcastIntervals=$bcast")
+    }
+  }
+
   test("overlap join matches the naive containment join across bucket widths") {
     for (b <- Seq(1, 3, 30)) {
       val got = IntervalJoin.overlapJoin(points, intervals, "d", "s", "e", b)
