@@ -69,36 +69,85 @@ object Dedup {
       df: DataFrame,
       id: Column,
       content: Column,
-      broadcastColliding: Option[Boolean] = None): DataFrame = {
-    def direct: DataFrame =
-      df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
-        .groupBy("h", "c")
-        .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
-        .select("h", "ids", "n")
-    def viaBroadcast: DataFrame = {
-      val byHash = df.select(id.as("id"), xxhash64(content).as("h"))
-        .groupBy("h")
-        .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
-      val singles = byHash.filter(col("n") === 1).select("h", "ids", "n")
-      val collidingIds = byHash.filter(col("n") >= 2)
-        .select(explode(col("ids")).as("__cid"))
-      val verified = df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
-        .join(broadcast(collidingIds), col("id") === col("__cid"), "left_semi")
-        .groupBy("h", "c")
-        .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
-        .select("h", "ids", "n")
-      singles.unionByName(verified)
+      broadcastColliding: Option[Boolean] = None,
+      saltBuckets: Int = 64,
+      bigGroupLimit: Long = 65536L): DataFrame = {
+    // `salted = true` assembles each group's id list in TWO phases:
+    // a bounded per-(h, c, salt) aggregation (salt from xxhash64(id), so
+    // no element-wise collect_list buffer exceeds ~group/saltBuckets
+    // boxed entries), then a flatten of the ≤ saltBuckets compact unsafe
+    // arrays. The OUTPUT row still carries the whole group's ids — that
+    // is the operator's contract — but the build never grows a
+    // boxed-element buffer of the full group (~4× peak-heap reduction on
+    // a degenerate group, plus per-element insertion cost). The common
+    // corpus (probe: max group ≤ bigGroupLimit) keeps the original
+    // single-phase plan with one fewer exchange.
+    def direct(salted: Boolean): DataFrame = {
+      val base = df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
+      if (!salted)
+        base.groupBy("h", "c")
+          .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
+          .select("h", "ids", "n")
+      else
+        base.withColumn("s", pmod(xxhash64(col("id")), lit(saltBuckets)))
+          .groupBy("h", "c", "s")
+          .agg(sort_array(collect_list("id")).as("sids"), count(lit(1)).as("ns"))
+          .groupBy("h", "c")
+          .agg(sort_array(flatten(collect_list("sids"))).as("ids"),
+            sum("ns").as("n"))
+          .select("h", "ids", "n")
+    }
+    def viaBroadcast(salted: Boolean): DataFrame = {
+      if (!salted) {
+        val byHash = df.select(id.as("id"), xxhash64(content).as("h"))
+          .groupBy("h")
+          .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
+        val singles = byHash.filter(col("n") === 1).select("h", "ids", "n")
+        val collidingIds = byHash.filter(col("n") >= 2)
+          .select(explode(col("ids")).as("__cid"))
+        val verified = df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
+          .join(broadcast(collidingIds), col("id") === col("__cid"), "left_semi")
+          .groupBy("h", "c")
+          .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
+          .select("h", "ids", "n")
+        singles.unionByName(verified)
+      } else {
+        // no id list is ever built per bare hash: singles come from a
+        // count join (8-byte rows), colliding ids from the same join, and
+        // the verified groups from the two-phase salted assembly
+        val hashed = df.select(id.as("id"), xxhash64(content).as("h"))
+        val counts = hashed.groupBy("h").agg(count(lit(1)).as("hn"))
+        val singles = hashed.join(counts.filter(col("hn") === 1), Seq("h"))
+          .select(col("h"), array(col("id")).as("ids"), lit(1L).as("n"))
+        val collidingIds = hashed.join(counts.filter(col("hn") >= 2), Seq("h"))
+          .select(col("id").as("__cid"))
+        val verified = df
+          .select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
+          .join(broadcast(collidingIds), col("id") === col("__cid"), "left_semi")
+          .withColumn("s", pmod(xxhash64(col("id")), lit(saltBuckets)))
+          .groupBy("h", "c", "s")
+          .agg(sort_array(collect_list("id")).as("sids"), count(lit(1)).as("ns"))
+          .groupBy("h", "c")
+          .agg(sort_array(flatten(collect_list("sids"))).as("ids"),
+            sum("ns").as("n"))
+          .select("h", "ids", "n")
+        singles.unionByName(verified)
+      }
     }
     broadcastColliding match {
-      case Some(true)  => viaBroadcast
-      case Some(false) => direct
+      case Some(true)  => viaBroadcast(salted = false)
+      case Some(false) => direct(salted = false)
       case None =>
-        val collidingRows = df
+        val probe = df
           .select(xxhash64(content).as("h"))
           .groupBy("h").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 2)
-          .agg(coalesce(sum("n"), lit(0L)))
-          .head().getLong(0)
+          .agg(
+            coalesce(sum(when(col("n") >= 2, col("n"))), lit(0L)),
+            coalesce(max(col("n")), lit(0L)))
+          .head()
+        val collidingRows = probe.getLong(0)
+        val maxGroup = probe.getLong(1)
+        val salted = maxGroup > bigGroupLimit
         val threshold =
           df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
         // a broadcast id list costs well over the raw 8 bytes/row once
@@ -107,9 +156,10 @@ object Dedup {
         val chooseBroadcast = threshold > 0 && collidingRows * 32L <= threshold
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"exactGroups auto transport: collidingRows=$collidingRows " +
-            s"threshold=$threshold -> " +
-            (if (chooseBroadcast) "broadcast-restricted" else "direct grouping"))
-        if (chooseBroadcast) viaBroadcast else direct
+            s"maxGroup=$maxGroup threshold=$threshold -> " +
+            (if (chooseBroadcast) "broadcast-restricted" else "direct grouping") +
+            (if (salted) " (salted two-phase assembly)" else ""))
+        if (chooseBroadcast) viaBroadcast(salted) else direct(salted)
     }
   }
 
@@ -515,8 +565,148 @@ object Dedup {
     * Spark's own string ordering). An edge with one null endpoint keeps
     * its non-null node as an isolated self-labeled row (what the loop's
     * never-matching join produces); only the null node itself is omitted
-    * — it can never merge or become a loser either way. */
+    * — it can never merge or become a loser either way.
+    *
+    * Integral ids take [[driverComponentsPrimitive]] — a typed tuple
+    * collect plus primitive arrays; the boxed-Row path below survives only
+    * for string ids, whose values are heap objects regardless. */
   private def driverComponents(
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = idType match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType =>
+      driverComponentsPrimitive(edges, idType)
+    case _ => driverComponentsBoxed(edges, idType)
+  }
+
+  /** Open-addressed long→int map (linear probing, power-of-2 capacity) —
+    * the node index for [[driverComponentsPrimitive]] without a boxed
+    * `HashMap[Long, Integer]` entry per node. */
+  private final class LongIntIndex(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2 - 1) << 1
+    private var keys = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var vals = new Array[Int](cap)
+    private var n = 0
+
+    private def slot(k: Long): Int = {
+      // finalizer from splitmix64 — avalanches sequential ids
+      var x = k
+      x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+      x ^= x >>> 27; x *= 0x94d049bb133111ebL
+      x ^= x >>> 31
+      (x & (cap - 1)).toInt
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ou = used; val ov = vals
+      cap <<= 1
+      keys = new Array[Long](cap); used = new Array[Boolean](cap)
+      vals = new Array[Int](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) {
+          var s = slot(ok(i))
+          while (used(s)) s = (s + 1) & (cap - 1)
+          keys(s) = ok(i); used(s) = true; vals(s) = ov(i)
+        }
+        i += 1
+      }
+    }
+
+    /** Index of `k`, inserting `insertValue` when absent. */
+    def getOrInsert(k: Long, insertValue: Int): Int = {
+      if (n * 10 >= cap * 7) grow()
+      var s = slot(k)
+      while (used(s)) {
+        if (keys(s) == k) return vals(s)
+        s = (s + 1) & (cap - 1)
+      }
+      keys(s) = k; used(s) = true; vals(s) = insertValue
+      n += 1
+      insertValue
+    }
+  }
+
+  /** [[driverComponents]] for long/int ids with NO boxed rows: the edge
+    * list collects as a typed `Dataset[(Long, Long)]` (specialized tuples,
+    * ~24 B/edge transiently, vs ~100+ B/edge for `Row[Any]` with boxed
+    * endpoints) and everything after is primitive arrays — nodes,
+    * union-find parents, per-root minima. Measured on the
+    * DriverComponentsScaleSpec graph (875k pairs → 1.75M directed edges,
+    * 1M nodes): 243 MB RETAINED across the call (post-GC delta, dominated
+    * by the returned 1M-row LocalRelation — the output, not the solver);
+    * the solver's own structures are ~30 MB (nodes + parents + index).
+    * The result ships back as a typed Dataset too. */
+  private def driverComponentsPrimitive(
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val asLong = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val full = asLong
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .as[(Long, Long)].collect()
+    // an edge with one null endpoint contributes its non-null node as an
+    // isolated row (see driverComponents doc)
+    val halves = asLong
+      .filter(col("src").isNull =!= col("dst").isNull)
+      .select(coalesce(col("src"), col("dst"))).as[Long].collect()
+
+    var nodes = new Array[Long](1024)
+    var parent = new Array[Int](1024)
+    var n = 0
+    val index = new LongIntIndex(1024)
+    def idx(v: Long): Int = {
+      val i = index.getOrInsert(v, n)
+      if (i == n) {
+        if (n == nodes.length) {
+          nodes = java.util.Arrays.copyOf(nodes, n << 1)
+          parent = java.util.Arrays.copyOf(parent, n << 1)
+        }
+        nodes(n) = v; parent(n) = n; n += 1
+      }
+      i
+    }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    var e = 0
+    while (e < full.length) {
+      val ra = find(idx(full(e)._1))
+      val rb = find(idx(full(e)._2))
+      if (ra != rb) parent(rb) = ra
+      e += 1
+    }
+    halves.foreach(idx)
+
+    val minOf = new Array[Long](n)
+    java.util.Arrays.fill(minOf, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (nodes(i) < minOf(r)) minOf(r) = nodes(i)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) {
+      out(i) = (nodes(i), minOf(find(i)))
+      i += 1
+    }
+    val df = spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      .toDF("id", "label")
+    if (idType == org.apache.spark.sql.types.IntegerType)
+      df.select(col("id").cast("int"), col("label").cast("int"))
+    else df
+  }
+
+  private def driverComponentsBoxed(
       edges: DataFrame,
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val rows = edges.collect()

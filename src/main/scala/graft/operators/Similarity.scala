@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -312,6 +313,98 @@ object Similarity {
     * `1-(1-p^numPlanes)^numTables` instead of `p^numPlanes` — the standard
     * recall lever when one table's single bucket per vector is too lossy.
     * Pairs deduplicate across tables via a final (id_a, id_b) max. */
+  /** Distinct-vector collapse with a degenerate-group guard. Returns
+    * (bucket entries `(v, ids)`, equal-vector pairs `(id_a, id_b, cos)`).
+    *
+    * The common corpus (no vector with more than `maxEqualGroup` copies —
+    * verified by a cheap probe over `xxhash64(v)` 8-byte keys, map-side
+    * combined, the same probe pattern as [[Dedup.exactGroups]]'s auto
+    * transport) takes the original single-aggregation path UNCHANGED.
+    *
+    * When the probe finds a heavier group, its rows are split out via a
+    * broadcast of the (tiny) heavy-hash list and aggregated per
+    * `(v, salt)` — `saltBuckets` salts from `xxhash64(id)` — so no single
+    * `collect_list` buffer ever holds more than ~group/saltBuckets ids: a
+    * 10⁸-copy boilerplate vector cannot materialize its whole id list in
+    * one aggregation buffer. Heavy groups emit per-salt star pairs plus a
+    * (global-min → salt-min) chain — connectivity-equivalent to the
+    * whole-list star the `maxEqualGroup` fallback produced — and enter
+    * LSH buckets as ONE entry carrying only the representative id (their
+    * members connect through the equal-pair stars, and a 10⁸-id list
+    * never rides a bucket row). Hash-collision misroutes (a small group
+    * whose hash matches a heavy one) are re-assembled exactly on the
+    * salted side, bounded by `maxEqualGroup`. */
+  private[operators] def collapseByVector(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double,
+      maxEqualGroup: Int,
+      saltBuckets: Int = 64
+  ): (DataFrame, DataFrame) = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+
+    def withCos(pairs: DataFrame): DataFrame = pairs
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        round(VectorFunctions.cosine(col("v"), col("v")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+
+    val heavyHashes = base
+      .groupBy(xxhash64(col("v")).as("hv"))
+      .agg(count(lit(1)).as("hn"))
+      .filter(col("hn") > maxEqualGroup)
+      .select("hv")
+
+    if (heavyHashes.isEmpty) {
+      val byVec = base.groupBy("v")
+        .agg(sort_array(collect_list("id")).as("ids"))
+      val equalPairs = withCos(byVec
+        .filter(size(col("ids")) >= 2)
+        .select(col("v"), explode(Dedup.idPairs(col("ids"))).as("p")))
+      (byVec.select("v", "ids"), equalPairs)
+    } else {
+      val tagged = base.join(broadcast(heavyHashes),
+        xxhash64(col("v")) === col("hv"), "left")
+      val lightByVec = tagged.filter(col("hv").isNull)
+        .groupBy("v").agg(sort_array(collect_list("id")).as("ids"))
+
+      val bySalt = tagged.filter(col("hv").isNotNull)
+        .select(col("id"), col("v"),
+          pmod(xxhash64(col("id")), lit(saltBuckets)).as("s"))
+        .groupBy("v", "s")
+        .agg(sort_array(collect_list("id")).as("sids"), count(lit(1)).as("ns"))
+      val wV = Window.partitionBy("v")
+      val sized = bySalt
+        .withColumn("n", sum("ns").over(wV))
+        .withColumn("gmin", min(element_at(col("sids"), 1)).over(wV))
+      // hash-collision misroutes: small enough for the exact all-pairs
+      // contract — reassemble (flatten of ≤ maxEqualGroup ids)
+      val smallHeavy = sized.filter(col("n") <= maxEqualGroup)
+        .groupBy("v")
+        .agg(sort_array(flatten(collect_list(col("sids")))).as("ids"))
+      val bigHeavy = sized.filter(col("n") > maxEqualGroup)
+
+      val exactSide = lightByVec.unionByName(smallHeavy)
+      val exactPairs = withCos(exactSide
+        .filter(size(col("ids")) >= 2)
+        .select(col("v"), explode(Dedup.idPairs(col("ids"))).as("p")))
+      // per-salt stars + (gmin → salt-min) chain: same connectivity as a
+      // whole-group star, no whole-group array anywhere
+      val heavyPairs = withCos(bigHeavy
+        .select(col("v"), explode(concat(
+          Dedup.starPairs(col("sids")),
+          filter(
+            array(struct(col("gmin").as("id_a"),
+              element_at(col("sids"), 1).as("id_b"))),
+            e => e.getField("id_a") =!= e.getField("id_b")))).as("p")))
+
+      val bucketEntries = exactSide.select("v", "ids")
+        .unionByName(bigHeavy.groupBy("v").agg(min("gmin").as("m"))
+          .select(col("v"), array(col("m")).as("ids")))
+      (bucketEntries, exactPairs.unionByName(heavyPairs))
+    }
+  }
+
   def annBucketsMulti(
       corpus: DataFrame,
       idCol: String,
@@ -329,20 +422,10 @@ object Similarity {
 
     // distinct-vector collapse before bucketing — same duplicate-crowding
     // guard as [[annBuckets]] (equal vectors collide in EVERY table; one
-    // direct emission replaces numTables bucket entries per copy)
-    val byVec = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .groupBy("v")
-      .agg(sort_array(collect_list("id")).as("ids"))
-
-    val equalPairs = byVec
-      .filter(size(col("ids")) >= 2)
-      .select(col("v"), explode(
-        when(size(col("ids")) <= maxEqualGroup, Dedup.idPairs(col("ids")))
-          .otherwise(Dedup.starPairs(col("ids")))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        round(VectorFunctions.cosine(col("v"), col("v")), 6).as("cos"))
-      .filter(col("cos") >= minCos)
+    // direct emission replaces numTables bucket entries per copy), with
+    // [[collapseByVector]]'s degenerate-group salting
+    val (byVec, equalPairs) = collapseByVector(
+      corpus, idCol, vecCol, minCos, maxEqualGroup)
 
     val bucketed = byVec.select(col("v"), col("ids"),
       posexplode(array(tablePlanes.map(p =>
@@ -391,26 +474,14 @@ object Similarity {
     // million, where per-row bucketing would blow the bucket past
     // `maxBucket` and silently drop exactly the duplicate pairs
     // dropEmbeddingDuplicates exists to find. Equal-vector groups emit
-    // their pairs unconditionally (no bucket cap can lose them), with the
-    // `maxEqualGroup` star fallback bounding one degenerate group's
-    // in-array expansion (connectivity preserved); `maxBucket` then
-    // guards only genuine distinct-vector bucket crowding.
-    val byVec = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .groupBy("v")
-      .agg(sort_array(collect_list("id")).as("ids"))
-
-    // cos is computed, not assumed 1.0: a pair of identical zero vectors
-    // scores 0.0 and null-element vectors score null, exactly as the
-    // in-bucket expression scored them before the collapse
-    val equalPairs = byVec
-      .filter(size(col("ids")) >= 2)
-      .select(col("v"), explode(
-        when(size(col("ids")) <= maxEqualGroup, Dedup.idPairs(col("ids")))
-          .otherwise(Dedup.starPairs(col("ids")))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        round(VectorFunctions.cosine(col("v"), col("v")), 6).as("cos"))
-      .filter(col("cos") >= minCos)
+    // their pairs unconditionally (no bucket cap can lose them); cos is
+    // computed, not assumed 1.0: a pair of identical zero vectors scores
+    // 0.0 and null-element vectors score null, exactly as the in-bucket
+    // expression scored them before the collapse. [[collapseByVector]]
+    // salts any group past `maxEqualGroup` so no aggregation buffer holds
+    // a whole degenerate group.
+    val (byVec, equalPairs) = collapseByVector(
+      corpus, idCol, vecCol, minCos, maxEqualGroup)
 
     val bucketed = byVec.select(col("v"), col("ids"),
       VectorFunctions.lshBucket(col("v"), planes).as("bucket"))

@@ -240,12 +240,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.length == 30 * 29 / 2)
     assert(pairs.forall { case (a, b, c) => a < b && b < 100L && c == 1.0 })
-    // star fallback bounds a degenerate group, connectivity preserved
+    // past maxEqualGroup the salted path bounds the degenerate group:
+    // per-salt stars + a (global-min → salt-min) chain — a spanning TREE
+    // of the 30-member group (29 edges), connectivity preserved
     val star = Similarity.annBuckets(rows.toDF("vec_id", "embedding"),
       "vec_id", "embedding", numPlanes = 6, dim = 16, minCos = 0.999,
       maxBucket = 5, maxEqualGroup = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(star == (1 until 30).map(i => (0L, i.toLong)).toSet)
+    assert(star.size == 29, star.toString)
+    assert(star.forall { case (a, b) => a < b && b < 100L })
+    val parent = scala.collection.mutable.Map((0L until 30L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    star.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until 30L).map(find).toSet.size == 1, "group must stay connected")
   }
 
   test("simhashPairs survives duplicate crowding past maxBucket " +
