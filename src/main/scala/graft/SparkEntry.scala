@@ -644,8 +644,12 @@ object SparkEntry {
   private def embedLshAnn(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     val dup = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    // numPlanes = 0: auto-scaled from corpus size (8 at the oracle scale,
+    // growing with the corpus so bucket occupancy — and the quadratic
+    // in-bucket pairing — stays bounded; output is plane-independent at
+    // minCos = 1.0 because equal-vector pairs bypass the buckets)
     Similarity.annBuckets(e.unionByName(dup), "vec_id", "embedding",
-      numPlanes = 8, dim = 64, minCos = 1.0)
+      numPlanes = 0, dim = 64, minCos = 1.0)
   }
 
   private def embedIvfAnn(s: SparkSession, dir: String): DataFrame = {

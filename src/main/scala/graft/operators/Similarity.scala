@@ -261,7 +261,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       minCos: Double,
-      numPlanes: Int = 8,
+      numPlanes: Int = 0,
       dim: Int = 64,
       seed: Long = 42L
   ): DataFrame =
@@ -277,7 +277,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       minCos: Double,
-      numPlanes: Int = 8,
+      numPlanes: Int = 0,
       dim: Int = 64,
       seed: Long = 42L,
       maxIters: Int = 10,
@@ -313,6 +313,20 @@ object Similarity {
     * `1-(1-p^numPlanes)^numTables` instead of `p^numPlanes` — the standard
     * recall lever when one table's single bucket per vector is too lossy.
     * Pairs deduplicate across tables via a final (id_a, id_b) max. */
+  /** Hyperplane count for an LSH pass over `n` vectors when the caller
+    * passes `numPlanes = 0` (auto): `ceil(log2(n / 64))` clamped to
+    * [8, 24], i.e. expected bucket occupancy held near 64 regardless of
+    * corpus size. In-bucket candidate generation is O(occupancy²) per
+    * bucket, so a FIXED plane count turns a 5× corpus into ~25× the
+    * pairing work — the 100×-scale run measured exactly that (14× wall
+    * on 5× data) before this lever. The floor of 8 keeps small-corpus
+    * bucketing at least as fine as the old fixed default, so co-bucketing
+    * never widens and a threshold-crossing rounded cosine can only be
+    * pruned, never added — the oracle-safety argument for auto mode. */
+  private[operators] def autoPlanes(n: Long): Int =
+    math.min(24, math.max(8,
+      math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+
   /** Distinct-vector collapse with a degenerate-group guard. Returns
     * (bucket entries `(v, ids)`, equal-vector pairs `(id_a, id_b, cos)`).
     *
@@ -454,18 +468,24 @@ object Similarity {
     equalPairs.unionByName(crossPairs)
   }
 
+  /** `numPlanes = 0` picks the plane count from the corpus size
+    * ([[autoPlanes]]) — the scale lever: bucket occupancy, and with it
+    * the quadratic in-bucket pairing cost, stays bounded as the corpus
+    * grows instead of the resolution silently falling behind. */
   def annBuckets(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      numPlanes: Int = 12,
+      numPlanes: Int = 0,
       dim: Int = 64,
       seed: Long = 42L,
       minCos: Double = 0.0,
       maxBucket: Int = 2000,
       maxEqualGroup: Int = 2000
   ): DataFrame = {
-    val planes = VectorFunctions.hyperplanes(numPlanes, dim, seed)
+    val p = if (numPlanes > 0) numPlanes
+            else autoPlanes(corpus.select(col(idCol)).count())
+    val planes = VectorFunctions.hyperplanes(p, dim, seed)
 
     // Collapse to DISTINCT vectors before bucketing — the same
     // duplicate-crowding guard minhashPairs and simhashPairs carry (their
