@@ -241,20 +241,15 @@ object Dedup {
 
     // collapse to distinct signatures BEFORE banding: the only corpus-wide
     // shuffle keyed on the fixed-width signature; duplicate mass becomes
-    // list payload instead of bucket crowding
-    val bySig = sigs.groupBy("sig")
-      .agg(sort_array(collect_list("id")).as("ids"))
-
-    // identical signature ⇒ every slot agrees ⇒ est 1.0 (≥ any threshold):
-    // intra-group pairs found unconditionally, star fallback past
-    // maxEqualGroup (all-pairs of a million-copy group would OOM the task)
-    val equalPairs = bySig
-      .filter(size(col("ids")) >= 2)
-      .select(explode(
-        when(size(col("ids")) <= maxEqualGroup, idPairs(col("ids")))
-          .otherwise(starPairs(col("ids")))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        lit(1.0).as("est_jaccard"))
+    // list payload instead of bucket crowding, and [[collapseByKey]] salts
+    // any group past maxEqualGroup so no aggregation buffer holds a whole
+    // degenerate group. Identical signature ⇒ every slot agrees ⇒ est 1.0
+    // (≥ any threshold): intra-group pairs found unconditionally.
+    val (bySigK, equalIdPairs) = collapseByKey(
+      sigs.select(col("sig").as("k"), col("id")), maxEqualGroup)
+    val bySig = bySigK.select(col("k").as("sig"), col("ids"))
+    val equalPairs = equalIdPairs
+      .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard"))
 
     // band buckets over DISTINCT signatures; cross-signature candidate
     // scoring stays an in-array expression (est < 1.0 by construction —
@@ -294,6 +289,76 @@ object Dedup {
     else equalPairs.unionByName(crossPairs)
       .groupBy("id_a", "id_b")
       .agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Distinct-key collapse of a `(k, id)` frame with the degenerate-group
+    * guard (the key-generic sibling of `Similarity.collapseByVector`).
+    * Returns (entries `(k, ids)` for downstream banding, equal-key pairs
+    * `(id_a, id_b)` — the group-internal candidate edges).
+    *
+    * Common corpora (probe over `xxhash64(k)` finds no group past
+    * `maxEqualGroup`) keep the original single-aggregation plan with
+    * exact all-pairs semantics. A heavier group aggregates per
+    * `(k, salt)` — no `collect_list` buffer holds a whole degenerate
+    * group — emits per-salt stars chained through the group minimum (a
+    * spanning tree: n-1 edges, same connectivity the whole-list star
+    * fallback provided), and enters downstream band buckets as ONE
+    * representative-id entry. Hash-collision misroutes re-assemble
+    * exactly, bounded by `maxEqualGroup`. */
+  private[operators] def collapseByKey(
+      keyed: DataFrame,
+      maxEqualGroup: Int,
+      saltBuckets: Int = 64
+  ): (DataFrame, DataFrame) = {
+    val heavyKeys = keyed
+      .groupBy(xxhash64(col("k")).as("hk"))
+      .agg(count(lit(1)).as("hn"))
+      .filter(col("hn") > maxEqualGroup)
+      .select("hk")
+
+    def allPairs(byKey: DataFrame): DataFrame = byKey
+      .filter(size(col("ids")) >= 2)
+      .select(explode(idPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+
+    if (heavyKeys.isEmpty) {
+      val byKey = keyed.groupBy("k")
+        .agg(sort_array(collect_list("id")).as("ids"))
+      (byKey, allPairs(byKey))
+    } else {
+      val tagged = keyed.join(broadcast(heavyKeys),
+        xxhash64(col("k")) === col("hk"), "left")
+      val lightByKey = tagged.filter(col("hk").isNull)
+        .groupBy("k").agg(sort_array(collect_list("id")).as("ids"))
+      val bySalt = tagged.filter(col("hk").isNotNull)
+        .select(col("id"), col("k"),
+          pmod(xxhash64(col("id")), lit(saltBuckets)).as("s"))
+        .groupBy("k", "s")
+        .agg(sort_array(collect_list("id")).as("sids"), count(lit(1)).as("ns"))
+      val wK = Window.partitionBy("k")
+      val sized = bySalt
+        .withColumn("n", sum("ns").over(wK))
+        .withColumn("gmin", min(element_at(col("sids"), 1)).over(wK))
+      val smallHeavy = sized.filter(col("n") <= maxEqualGroup)
+        .groupBy("k")
+        .agg(sort_array(flatten(collect_list(col("sids")))).as("ids"))
+      val bigHeavy = sized.filter(col("n") > maxEqualGroup)
+
+      val exactSide = lightByKey.unionByName(smallHeavy)
+      val heavyPairs = bigHeavy
+        .select(explode(concat(
+          starPairs(col("sids")),
+          filter(
+            array(struct(col("gmin").as("id_a"),
+              element_at(col("sids"), 1).as("id_b"))),
+            e => e.getField("id_a") =!= e.getField("id_b")))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+
+      val entries = exactSide
+        .unionByName(bigHeavy.groupBy("k").agg(min("gmin").as("m"))
+          .select(col("k"), array(col("m")).as("ids")))
+      (entries, allPairs(exactSide).unionByName(heavyPairs))
+    }
   }
 
   /** All unordered (i<j) pairs of a sorted id array as (id_a, id_b). */
@@ -340,25 +405,17 @@ object Dedup {
           graft.functions.expressions.SimHash64(
             org.apache.spark.sql.graft.ColumnBridge.expression(col("t")))).as("sh"))
 
-    val bySketch = sketched.groupBy("sh")
-      .agg(sort_array(collect_list("id")).as("ids"))
-
     // hamming 0 ≡ identical sketch: every intra-group (i<j) pair, found
     // unconditionally — no bucket cap can lose an exact-duplicate pair.
-    // Groups beyond maxEqualGroup fall back to star topology (min-id hub):
-    // all-pairs of an m-member group is m(m-1)/2 structs materialized in
-    // one array — a million-copy boilerplate group would OOM the task —
-    // while the star keeps every member connected (components/removal
-    // results identical; only the exhaustive pair LIST is thinned, and
-    // only beyond a group size no exhaustive list could be consumed at
-    // anyway).
-    val zeroPairs = bySketch
-      .filter(size(col("ids")) >= 2)
-      .select(explode(
-        when(size(col("ids")) <= maxEqualGroup, idPairs(col("ids")))
-          .otherwise(starPairs(col("ids")))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        lit(0).cast("int").as("hamming"))
+    // [[collapseByKey]] bounds a degenerate group's aggregation buffers
+    // (salted assembly) and thins its exhaustive pair list to a spanning
+    // tree — components/removal results identical, and only beyond a
+    // group size no exhaustive list could be consumed at anyway.
+    val (bySketchK, zeroIdPairs) = collapseByKey(
+      sketched.select(col("sh").as("k"), col("id")), maxEqualGroup)
+    val bySketch = bySketchK.select(col("k").as("sh"), col("ids"))
+    val zeroPairs = zeroIdPairs
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
 
     if (maxHamming <= 0) zeroPairs
     else {

@@ -48,6 +48,21 @@ class DegenerateGroupSpec extends SparkSpec {
     assert(pairs == expect)
   }
 
+  test("100k-copy text group: dropNearDuplicates keeps the min id through " +
+    "the salted signature collapse") {
+    val copies = spark.range(100000)
+      .select(col("id").as("doc_id"),
+        lit("the very same boilerplate paragraph, repeated").as("text"))
+    val distinct = spark.range(100000, 100005)
+      .select(col("id").as("doc_id"),
+        concat(lit("unique document body number "), col("id"),
+          lit(" with plenty of its own words")).as("text"))
+    val out = Dedup.dropNearDuplicates(copies.unionByName(distinct),
+      "doc_id", "text", numHashes = 48, bands = 12, threshold = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == (Set(0L) ++ (100000L until 100005L)))
+  }
+
   test("100k-copy text group: exactGroups emits the complete sorted id " +
     "list via the salted two-phase assembly") {
     val texts = spark.range(100000)

@@ -75,11 +75,13 @@ class DedupSpec extends SparkSpec {
   test("simhashPairs star fallback past maxEqualGroup keeps connectivity") {
     val docs = (0 until 12).map(i => (i.toLong, "identical content here"))
       .toDF("doc_id", "text")
-    // all-pairs would be 66; star fallback emits the 11 hub pairs
+    // all-pairs would be 66; the salted fallback emits a spanning TREE of
+    // the group (per-salt stars + a chain through the min: 11 edges)
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
       maxHamming = 0, maxEqualGroup = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == (1 until 12).map(i => (0L, i.toLong)).toSet)
+    assert(pairs.size == 11, pairs.toString)
+    assert(pairs.forall { case (a, b) => a < b && b < 12L })
     // every member still lands in one component with the same minimum
     val labels = Dedup.components(
       docs.sparkSession.createDataFrame(
@@ -183,7 +185,15 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       numHashes = 48, bands = 12, threshold = 1.0, maxEqualGroup = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == (1 until 12).map(i => (0L, i.toLong)).toSet)
+    // spanning tree of the 12-member equal-signature group: 11 edges,
+    // one component rooted at the min id
+    assert(pairs.size == 11, pairs.toString)
+    assert(pairs.forall { case (a, b) => a < b && b < 12L })
+    val parent = scala.collection.mutable.Map((0L until 12L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until 12L).map(find).toSet.size == 1)
   }
 
   test("minhashPairs above the cross-signature est ceiling skips banding " +
