@@ -106,16 +106,16 @@ class PipelinePlanAuditSpec extends SparkSpec {
       s"fast path must not read checkpointed propagation state:\n$p")
   }
 
-  test("dedup_minhash computes the signature expression exactly once " +
-    "and pays no band stage at threshold 1.0") {
-    // The registered query runs at threshold 1.0, where cross-signature
-    // candidates are provably empty (distinct signatures disagree in >= 1
-    // slot), so minhashPairs short-circuits the banding branch away
-    // entirely: the executed plan must carry exactly one live signature
-    // computation and NO band posexplode — the signature collapse is the
-    // only consumer of the sketch. (Below the est ceiling the branch
-    // reappears as a ReusedExchange diamond — audited in DedupSpec's
-    // short-circuit test.)
+  test("dedup_minhash evaluates the signature kernel outside the query " +
+    "plan (checkpointed once) and pays no band stage at threshold 1.0") {
+    // The signature frame is eagerly localCheckpoint'ed inside
+    // minhashPairs — the kernel runs exactly once, in the checkpoint job,
+    // and every consumer (the heavy-group probe action, the signature
+    // collapse, the pair branches) reads the materialized fixed-width
+    // blocks. So the EXECUTED plan must carry ZERO live signature
+    // computations (it scans the checkpoint RDD instead), and at
+    // threshold 1.0 — where cross-signature candidates are provably
+    // empty — NO band posexplode either.
     val df = SparkEntry.queries("dedup_minhash")(spark, sfDir)
     df.queryExecution.executedPlan.executeCollect()
     val finalPlan = df.queryExecution.executedPlan match {
@@ -124,8 +124,10 @@ class PipelinePlanAuditSpec extends SparkSpec {
       case p => p.toString
     }
     val occurrences = "graft_minhash_signature".r.findAllIn(finalPlan).length
-    assert(occurrences == 1,
-      s"signature should be computed once in the executed plan, found $occurrences:\n$finalPlan")
+    assert(occurrences == 0,
+      s"signature must be checkpoint-materialized, not recomputed in the plan; found $occurrences:\n$finalPlan")
+    assert(finalPlan.contains("ExistingRDD"),
+      s"plan should scan the checkpointed signature blocks:\n$finalPlan")
     assert(!finalPlan.contains("posexplode"),
       s"threshold-1.0 plan must not carry the band stage:\n$finalPlan")
   }
