@@ -60,8 +60,27 @@ object Bench {
         }
       } catch { case _: Throwable => None }
     existing.getOrElse {
+      // merge the new thread-count key into the existing file — a run at
+      // an unseen thread count must never destroy the committed reference
+      // for other counts (that would silently re-baseline the next
+      // official run against whatever load existed at that moment)
       try {
-        val updated = s"""{"$threads":$measured}"""
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val prior: Map[String, Double] =
+          (try {
+            JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8)) match {
+              case JObject(fields) => fields.collect {
+                case (k, JDouble(v)) => k -> v
+                case (k, JInt(v))    => k -> v.toDouble
+              }.toMap
+              case _ => Map.empty[String, Double]
+            }
+          } catch { case _: Throwable => Map.empty[String, Double] })
+        val merged = prior + (threads.toString -> measured)
+        val updated = merged.toSeq.sortBy(_._1.toInt)
+          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         java.nio.file.Files.write(p,
           updated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } catch { case _: Throwable => () }

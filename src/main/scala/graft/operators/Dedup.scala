@@ -89,9 +89,12 @@ object Dedup {
           .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
           .select("h", "ids", "n")
       else
+        // per-salt lists stay UNSORTED: nothing reads per-salt order here
+        // (unlike collapseByKey, whose salt-min/starPairs need it) and the
+        // assembly re-sorts the flattened whole anyway
         base.withColumn("s", pmod(xxhash64(col("id")), lit(saltBuckets)))
           .groupBy("h", "c", "s")
-          .agg(sort_array(collect_list("id")).as("sids"), count(lit(1)).as("ns"))
+          .agg(collect_list("id").as("sids"), count(lit(1)).as("ns"))
           .groupBy("h", "c")
           .agg(sort_array(flatten(collect_list("sids"))).as("ids"),
             sum("ns").as("n"))
@@ -117,8 +120,12 @@ object Dedup {
         // the verified groups from the two-phase salted assembly
         val hashed = df.select(id.as("id"), xxhash64(content).as("h"))
         val counts = hashed.groupBy("h").agg(count(lit(1)).as("hn"))
+        // null ids are dropped from the array, matching collect_list on
+        // every other path — the transport choice must not change output
         val singles = hashed.join(counts.filter(col("hn") === 1), Seq("h"))
-          .select(col("h"), array(col("id")).as("ids"), lit(1L).as("n"))
+          .select(col("h"),
+            filter(array(col("id")), x => x.isNotNull).as("ids"),
+            lit(1L).as("n"))
         val collidingIds = hashed.join(counts.filter(col("hn") >= 2), Seq("h"))
           .select(col("id").as("__cid"))
         val verified = df
@@ -126,7 +133,7 @@ object Dedup {
           .join(broadcast(collidingIds), col("id") === col("__cid"), "left_semi")
           .withColumn("s", pmod(xxhash64(col("id")), lit(saltBuckets)))
           .groupBy("h", "c", "s")
-          .agg(sort_array(collect_list("id")).as("sids"), count(lit(1)).as("ns"))
+          .agg(collect_list("id").as("sids"), count(lit(1)).as("ns"))
           .groupBy("h", "c")
           .agg(sort_array(flatten(collect_list("sids"))).as("ids"),
             sum("ns").as("n"))
@@ -253,7 +260,7 @@ object Dedup {
     // any group past maxEqualGroup so no aggregation buffer holds a whole
     // degenerate group. Identical signature ⇒ every slot agrees ⇒ est 1.0
     // (≥ any threshold): intra-group pairs found unconditionally.
-    val (bySigK, equalIdPairs) = collapseByKey(
+    val (bySigK, equalIdPairs, _) = collapseByKey(
       sigs.select(col("sig").as("k"), col("id")), maxEqualGroup)
     val bySig = bySigK.select(col("k").as("sig"), col("ids"))
     val equalPairs = equalIdPairs
@@ -300,9 +307,14 @@ object Dedup {
   }
 
   /** Distinct-key collapse of a `(k, id)` frame with the degenerate-group
-    * guard (the key-generic sibling of `Similarity.collapseByVector`).
-    * Returns (entries `(k, ids)` for downstream banding, equal-key pairs
-    * `(id_a, id_b)` — the group-internal candidate edges).
+    * guard (shared by the sketch deduppers and, via
+    * `Similarity.collapseByVector`, the embedding family — `xxhash64`
+    * normalizes -0.0/NaN exactly as `groupBy` keys do, so the probe and
+    * the grouping always agree on group membership). Returns (entries
+    * `(k, ids)` for downstream banding, equal-key pairs
+    * `(k, id_a, id_b)` — the group-internal candidate edges, carrying the
+    * key so callers can score the pair — and the total row count, read
+    * from the probe so callers needing corpus size pay no extra job).
     *
     * Common corpora (probe over `xxhash64(k)` finds no group past
     * `maxEqualGroup`) keep the original single-aggregation plan with
@@ -317,23 +329,35 @@ object Dedup {
       keyed: DataFrame,
       maxEqualGroup: Int,
       saltBuckets: Int = 64
-  ): (DataFrame, DataFrame) = {
-    val heavyKeys = keyed
+  ): (DataFrame, DataFrame, Long) = {
+    // one probe action yields BOTH the total row count and whether any
+    // group is heavy; the (tiny) heavy-hash frame is only planned when
+    // one exists, so the common corpus pays a single 8-byte-key job
+    val probe = keyed
       .groupBy(xxhash64(col("k")).as("hk"))
       .agg(count(lit(1)).as("hn"))
-      .filter(col("hn") > maxEqualGroup)
-      .select("hk")
+      .agg(
+        coalesce(sum(col("hn")), lit(0L)),
+        coalesce(sum(when(col("hn") > maxEqualGroup, 1L)), lit(0L)))
+      .head()
+    val total = probe.getLong(0)
+    val anyHeavy = probe.getLong(1) > 0L
 
     def allPairs(byKey: DataFrame): DataFrame = byKey
       .filter(size(col("ids")) >= 2)
-      .select(explode(idPairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(col("k"), explode(idPairs(col("ids"))).as("p"))
+      .select(col("k"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
 
-    if (heavyKeys.isEmpty) {
+    if (!anyHeavy) {
       val byKey = keyed.groupBy("k")
         .agg(sort_array(collect_list("id")).as("ids"))
-      (byKey, allPairs(byKey))
+      (byKey, allPairs(byKey), total)
     } else {
+      val heavyKeys = keyed
+        .groupBy(xxhash64(col("k")).as("hk"))
+        .agg(count(lit(1)).as("hn"))
+        .filter(col("hn") > maxEqualGroup)
+        .select("hk")
       val tagged = keyed.join(broadcast(heavyKeys),
         xxhash64(col("k")) === col("hk"), "left")
       val lightByKey = tagged.filter(col("hk").isNull)
@@ -354,18 +378,18 @@ object Dedup {
 
       val exactSide = lightByKey.unionByName(smallHeavy)
       val heavyPairs = bigHeavy
-        .select(explode(concat(
+        .select(col("k"), explode(concat(
           starPairs(col("sids")),
           filter(
             array(struct(col("gmin").as("id_a"),
               element_at(col("sids"), 1).as("id_b"))),
             e => e.getField("id_a") =!= e.getField("id_b")))).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .select(col("k"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
 
       val entries = exactSide
         .unionByName(bigHeavy.groupBy("k").agg(min("gmin").as("m"))
           .select(col("k"), array(col("m")).as("ids")))
-      (entries, allPairs(exactSide).unionByName(heavyPairs))
+      (entries, allPairs(exactSide).unionByName(heavyPairs), total)
     }
   }
 
@@ -422,7 +446,7 @@ object Dedup {
     // (salted assembly) and thins its exhaustive pair list to a spanning
     // tree — components/removal results identical, and only beyond a
     // group size no exhaustive list could be consumed at anyway.
-    val (bySketchK, zeroIdPairs) = collapseByKey(
+    val (bySketchK, zeroIdPairs, _) = collapseByKey(
       sketched.select(col("sh").as("k"), col("id")), maxEqualGroup)
     val bySketch = bySketchK.select(col("k").as("sh"), col("ids"))
     val zeroPairs = zeroIdPairs

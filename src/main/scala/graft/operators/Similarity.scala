@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -327,27 +326,19 @@ object Similarity {
     math.min(24, math.max(8,
       math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
 
-  /** Distinct-vector collapse with a degenerate-group guard. Returns
-    * (bucket entries `(v, ids)`, equal-vector pairs `(id_a, id_b, cos)`).
+  /** Distinct-vector collapse with the degenerate-group guard. Returns
+    * (bucket entries `(v, ids)`, equal-vector pairs `(id_a, id_b, cos)`,
+    * corpus row count — read from the guard's probe, so auto-plane
+    * callers pay no extra count job).
     *
-    * The common corpus (no vector with more than `maxEqualGroup` copies —
-    * verified by a cheap probe over `xxhash64(v)` 8-byte keys, map-side
-    * combined, the same probe pattern as [[Dedup.exactGroups]]'s auto
-    * transport) takes the original single-aggregation path UNCHANGED.
-    *
-    * When the probe finds a heavier group, its rows are split out via a
-    * broadcast of the (tiny) heavy-hash list and aggregated per
-    * `(v, salt)` — `saltBuckets` salts from `xxhash64(id)` — so no single
-    * `collect_list` buffer ever holds more than ~group/saltBuckets ids: a
-    * 10⁸-copy boilerplate vector cannot materialize its whole id list in
-    * one aggregation buffer. Heavy groups emit per-salt star pairs plus a
-    * (global-min → salt-min) chain — connectivity-equivalent to the
-    * whole-list star the `maxEqualGroup` fallback produced — and enter
-    * LSH buckets as ONE entry carrying only the representative id (their
-    * members connect through the equal-pair stars, and a 10⁸-id list
-    * never rides a bucket row). Hash-collision misroutes (a small group
-    * whose hash matches a heavy one) are re-assembled exactly on the
-    * salted side, bounded by `maxEqualGroup`. */
+    * The machinery — probe over `xxhash64` 8-byte keys, salted two-phase
+    * assembly for any group past `maxEqualGroup`, per-salt stars chained
+    * through the group minimum, exact reassembly of hash-collision
+    * misroutes — is [[Dedup.collapseByKey]], shared with the MinHash and
+    * SimHash collapses; this wrapper only renames the key to `v` and
+    * scores each equal-vector pair with its (self-)cosine: a pair of
+    * identical zero vectors scores 0.0 and null-element vectors score
+    * null, exactly as the in-bucket expression would have scored them. */
   private[operators] def collapseByVector(
       corpus: DataFrame,
       idCol: String,
@@ -355,68 +346,15 @@ object Similarity {
       minCos: Double,
       maxEqualGroup: Int,
       saltBuckets: Int = 64
-  ): (DataFrame, DataFrame) = {
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-
-    def withCos(pairs: DataFrame): DataFrame = pairs
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        round(VectorFunctions.cosine(col("v"), col("v")), 6).as("cos"))
+  ): (DataFrame, DataFrame, Long) = {
+    val (entries, pairsK, total) = Dedup.collapseByKey(
+      corpus.select(col(vecCol).as("k"), col(idCol).as("id")),
+      maxEqualGroup, saltBuckets)
+    val equalPairs = pairsK
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosine(col("k"), col("k")), 6).as("cos"))
       .filter(col("cos") >= minCos)
-
-    val heavyHashes = base
-      .groupBy(xxhash64(col("v")).as("hv"))
-      .agg(count(lit(1)).as("hn"))
-      .filter(col("hn") > maxEqualGroup)
-      .select("hv")
-
-    if (heavyHashes.isEmpty) {
-      val byVec = base.groupBy("v")
-        .agg(sort_array(collect_list("id")).as("ids"))
-      val equalPairs = withCos(byVec
-        .filter(size(col("ids")) >= 2)
-        .select(col("v"), explode(Dedup.idPairs(col("ids"))).as("p")))
-      (byVec.select("v", "ids"), equalPairs)
-    } else {
-      val tagged = base.join(broadcast(heavyHashes),
-        xxhash64(col("v")) === col("hv"), "left")
-      val lightByVec = tagged.filter(col("hv").isNull)
-        .groupBy("v").agg(sort_array(collect_list("id")).as("ids"))
-
-      val bySalt = tagged.filter(col("hv").isNotNull)
-        .select(col("id"), col("v"),
-          pmod(xxhash64(col("id")), lit(saltBuckets)).as("s"))
-        .groupBy("v", "s")
-        .agg(sort_array(collect_list("id")).as("sids"), count(lit(1)).as("ns"))
-      val wV = Window.partitionBy("v")
-      val sized = bySalt
-        .withColumn("n", sum("ns").over(wV))
-        .withColumn("gmin", min(element_at(col("sids"), 1)).over(wV))
-      // hash-collision misroutes: small enough for the exact all-pairs
-      // contract — reassemble (flatten of ≤ maxEqualGroup ids)
-      val smallHeavy = sized.filter(col("n") <= maxEqualGroup)
-        .groupBy("v")
-        .agg(sort_array(flatten(collect_list(col("sids")))).as("ids"))
-      val bigHeavy = sized.filter(col("n") > maxEqualGroup)
-
-      val exactSide = lightByVec.unionByName(smallHeavy)
-      val exactPairs = withCos(exactSide
-        .filter(size(col("ids")) >= 2)
-        .select(col("v"), explode(Dedup.idPairs(col("ids"))).as("p")))
-      // per-salt stars + (gmin → salt-min) chain: same connectivity as a
-      // whole-group star, no whole-group array anywhere
-      val heavyPairs = withCos(bigHeavy
-        .select(col("v"), explode(concat(
-          Dedup.starPairs(col("sids")),
-          filter(
-            array(struct(col("gmin").as("id_a"),
-              element_at(col("sids"), 1).as("id_b"))),
-            e => e.getField("id_a") =!= e.getField("id_b")))).as("p")))
-
-      val bucketEntries = exactSide.select("v", "ids")
-        .unionByName(bigHeavy.groupBy("v").agg(min("gmin").as("m"))
-          .select(col("v"), array(col("m")).as("ids")))
-      (bucketEntries, exactPairs.unionByName(heavyPairs))
-    }
+    (entries.select(col("k").as("v"), col("ids")), equalPairs, total)
   }
 
   def annBucketsMulti(
@@ -431,19 +369,23 @@ object Similarity {
       maxBucket: Int = 2000,
       maxEqualGroup: Int = 2000
   ): DataFrame = {
-    val tablePlanes = (0 until numTables).map(t =>
-      VectorFunctions.hyperplanes(numPlanes, dim, seed + t))
-
     // distinct-vector collapse before bucketing — same duplicate-crowding
     // guard as [[annBuckets]] (equal vectors collide in EVERY table; one
     // direct emission replaces numTables bucket entries per copy), with
     // [[collapseByVector]]'s degenerate-group salting
-    val (byVec, equalPairs) = collapseByVector(
+    val (byVec, equalPairs, total) = collapseByVector(
       corpus, idCol, vecCol, minCos, maxEqualGroup)
 
+    // numPlanes = 0 auto-scales per table exactly as [[annBuckets]] does —
+    // zero literal planes would co-bucket the whole corpus into one
+    // mega-bucket that maxBucket then silently drops
+    val p = if (numPlanes > 0) numPlanes else autoPlanes(total)
+    val tablePlanes = (0 until numTables).map(t =>
+      VectorFunctions.hyperplanes(p, dim, seed + t))
+
     val bucketed = byVec.select(col("v"), col("ids"),
-      posexplode(array(tablePlanes.map(p =>
-        VectorFunctions.lshBucket(col("v"), p)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(array(tablePlanes.map(pl =>
+        VectorFunctions.lshBucket(col("v"), pl)): _*)).as(Seq("tbl", "bucket")))
 
     // distinct-vector pairs may surface in several tables — the final
     // (id_a, id_b) max dedupes across tables, as before; equal-vector
@@ -483,10 +425,6 @@ object Similarity {
       maxBucket: Int = 2000,
       maxEqualGroup: Int = 2000
   ): DataFrame = {
-    val p = if (numPlanes > 0) numPlanes
-            else autoPlanes(corpus.select(col(idCol)).count())
-    val planes = VectorFunctions.hyperplanes(p, dim, seed)
-
     // Collapse to DISTINCT vectors before bucketing — the same
     // duplicate-crowding guard minhashPairs and simhashPairs carry (their
     // 20x-scale lesson applies verbatim here): a million copies of one
@@ -500,8 +438,13 @@ object Similarity {
     // expression scored them before the collapse. [[collapseByVector]]
     // salts any group past `maxEqualGroup` so no aggregation buffer holds
     // a whole degenerate group.
-    val (byVec, equalPairs) = collapseByVector(
+    val (byVec, equalPairs, total) = collapseByVector(
       corpus, idCol, vecCol, minCos, maxEqualGroup)
+
+    // auto plane count reads the corpus size off the collapse's probe —
+    // no dedicated count job over the corpus lineage
+    val p = if (numPlanes > 0) numPlanes else autoPlanes(total)
+    val planes = VectorFunctions.hyperplanes(p, dim, seed)
 
     val bucketed = byVec.select(col("v"), col("ids"),
       VectorFunctions.lshBucket(col("v"), planes).as("bucket"))

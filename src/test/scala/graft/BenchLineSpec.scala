@@ -54,9 +54,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.calibReference(tmp, 32, 0.84) == 0.84)
     // second call: file exists — the committed reference wins
     assert(Bench.calibReference(tmp, 32, 1.91) == 0.84)
-    // a different thread count re-seeds (whole-file rewrite is fine: one
-    // machine benches with one thread count)
+    // a new thread count seeds its own key WITHOUT destroying the
+    // committed reference for other counts — a dev-box run at the default
+    // thread count must never silently re-baseline the official 32-thread
+    // gate
     assert(Bench.calibReference(tmp, 16, 1.5) == 1.5)
+    assert(Bench.calibReference(tmp, 32, 2.7) == 0.84)
+    assert(Bench.calibReference(tmp, 16, 2.7) == 1.5)
   }
 
   test("calibration kernel returns a positive wall time") {

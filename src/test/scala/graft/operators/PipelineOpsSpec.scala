@@ -283,6 +283,21 @@ class MultiTableLshSpec extends SparkSpec {
       numTables = 6, numPlanes = 10, dim = 32, minCos = 0.8)
     assert(m.groupBy("id_a", "id_b").count().filter(col("count") > 1).count() == 0)
   }
+
+  test("numPlanes = 0 auto-scales in the multi-table path too") {
+    // regression: 0 used to build ZERO hyperplanes here, co-bucketing the
+    // whole corpus into one mega-bucket that maxBucket then silently
+    // dropped — auto mode must bucket (and find planted pairs) instead
+    val df = perturbed(13)
+    val auto = Similarity.annBucketsMulti(df, "vec_id", "embedding",
+      numTables = 4, numPlanes = 0, dim = 32, minCos = 0.8)
+    assert(auto.filter(col("id_b") === col("id_a") + 1000L).count() > 0)
+    // small corpus floor matches annBuckets' auto (8 planes): cross pairs
+    // must come from real buckets, so no pair can exceed the plane budget
+    val manual = Similarity.annBucketsMulti(df, "vec_id", "embedding",
+      numTables = 4, numPlanes = 8, dim = 32, minCos = 0.8)
+    assert(auto.collect().toSet == manual.collect().toSet)
+  }
 }
 
 class BandTuningSpec extends org.scalatest.funsuite.AnyFunSuite {

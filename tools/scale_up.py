@@ -78,10 +78,15 @@ assert vec_stride * factor < 1_000_000
 dim = con.sql(f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1").fetchone()[0]
 # replica k rotates by k % dim; at k >= dim the rotation repeats, so that
 # band additionally NEGATES every element (cosine vs any pure rotation is
-# exactly -cos — far from 1 — and replicas stay distinct from every
-# original and from each other; -0.0 is normalized to 0.0 so exact
-# content-equality oracles see identical semantics in both engines).
-# Past 2*dim the scheme would repeat again — cap there.
+# exactly -cos; -0.0 is normalized to 0.0 so exact content-equality
+# oracles see identical semantics in both engines). Caveat, disclosed
+# rather than papered over: negation is the identity on an all-zero
+# vector (its k and k-dim replicas coincide, growing that planted equal
+# group), and a corpus pair with cos ≈ -1 makes a negated replica a
+# near-duplicate of a rotated one — both harmless for the Spark↔DuckDB
+# compare (both engines see the same data) but they mean planted-group
+# sizes are only exact below dim bands. Past 2*dim the scheme would
+# repeat wholesale — cap there.
 assert factor <= 2 * dim, f"factor {factor} > 2*dim {2*dim}: replicas would repeat"
 
 
