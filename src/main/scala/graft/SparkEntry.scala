@@ -154,11 +154,16 @@ object SparkEntry {
       .withColumn("avg_qty_c", expr("sum_qty_c div n"))
 
   private def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    // the customer side is O(table) even after the segment filter, so its
+    // transport is left to Catalyst: scan statistics broadcast it at any
+    // test scale (the plan audit checks that), while a full-scale customer
+    // table exceeds the threshold and joins shuffled — a pinned
+    // broadcast() here would ignore the threshold and OOM the driver
     val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("revenue_c"))
@@ -172,10 +177,24 @@ object SparkEntry {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    // Selectivity flows from the tiny end of the star OUTWARD: region
+    // restricts nation (5 rows — the only broadcasts pinned by hint are
+    // these provably-bounded dimension frames), the asia-nation keys
+    // restrict customer, customers restrict orders, orders restrict
+    // lineitem. The customer and orders sides are data-dependent sizes,
+    // so their join strategy is left to Catalyst/AQE: at bench scale the
+    // runtime stats broadcast them (lineitem never shuffles); at 100 TB
+    // they exceed the threshold and AQE keeps shuffled hash joins — the
+    // previous shape pinned broadcast(customer) UNFILTERED, which ignores
+    // the size threshold and cannot survive a full-scale customer table.
+    val asiaNations = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val asiaCust = c.join(broadcast(asiaNations),
+        c("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val asiaOrders = o.join(asiaCust, o("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"))
+    l.join(asiaOrders, l("l_orderkey") === col("o_orderkey"))
       .groupBy("n_name")
       .agg(
         sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
