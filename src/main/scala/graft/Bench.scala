@@ -123,7 +123,7 @@ object Bench {
       vsDuckdb: Double,
       calib: (Double, Double),
       big: Option[(Double, Double, Double)],
-      big100Total: Option[Double],
+      big100Total: Option[(Double, Double, Double)],
       sfName: String): String = {
     val qs = minsByQuery.map { case (k, v) => "\"" + k + "\":" + fmtq(v) }
       .mkString("{", ",", "}")
@@ -131,12 +131,17 @@ object Bench {
     val cal = s""","calib":[${fmt2(calib._1)},${fmt2(calib._2)}]"""
     val calBad =
       if (math.max(calib._1, calib._2) > 1.5) ""","calib_bad":true""" else ""
-    val bigS = big.map { case (t, v, veq) =>
-      val vsB = if (v >= 0) s""","vs":${fmt2(v)}""" else ""
-      val veqS = if (veq >= 0) s""","veq":${fmt2(veq)}""" else ""
-      s""","big20x":{"t":${fmt1(t)}$vsB$veqS}"""
-    }.getOrElse("")
-    val b100S = big100Total.map(t => s""","b100":{"t":${fmt1(t)}}""").getOrElse("")
+    // scale sections render as [total_sec, vs_duckdb] arrays (the calib
+    // field's shape): labeled-object form plus the compute-equivalent
+    // ratio overflowed the driver's tail budget at 86 queries, so the
+    // full per-query breakdown and veq live in bench_detail.json
+    def bigSection(label: String, s: Option[(Double, Double, Double)]): String =
+      s.map { case (t, v, _) =>
+        val vsB = if (v >= 0) "," + fmt2(v) else ""
+        s""","$label":[${fmt1(t)}$vsB]"""
+      }.getOrElse("")
+    val bigS = bigSection("big20x", big)
+    val b100S = bigSection("b100", big100Total)
     s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","queries":$qs,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S,"sf":"$sfName"}"""
   }
 
@@ -172,16 +177,15 @@ object Bench {
         } catch { case _: Throwable => None }
       }
 
-    // DuckDB single-node baseline (tools/duckdb_bench.py artifact): the
+    // DuckDB single-node baselines (tools/duckdb_bench.py artifacts): the
     // denominator for the "within 2x of single-node" gate. Optional — the
-    // bench degrades to Spark-only numbers when the artifact is absent.
-    val duckdb: Map[String, Double] =
+    // bench degrades to Spark-only numbers when an artifact is absent.
+    def readBaseline(envVar: String, default: String): Map[String, Double] =
       try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(
-            sys.env.getOrElse("SPARK_GRAFT_DUCKDB_BASELINE", "DUCKDB_BASELINE.json"))),
+          java.nio.file.Paths.get(sys.env.getOrElse(envVar, default))),
           java.nio.charset.StandardCharsets.UTF_8)
         (JsonMethods.parse(txt) \ "queries" match {
           case JObject(fields) => fields.flatMap {
@@ -194,6 +198,8 @@ object Bench {
           case _ => Map.empty[String, Double]
         })
       } catch { case _: Throwable => Map.empty }
+    val duckdb: Map[String, Double] =
+      readBaseline("SPARK_GRAFT_DUCKDB_BASELINE", "DUCKDB_BASELINE.json")
 
     // load factor at bench start: fixed CPU kernel vs committed reference
     val calibThreads = cpus.toInt
@@ -302,47 +308,40 @@ object Bench {
     val big100Results: Seq[(String, (Double, Double))] =
       big100Dir.map(timeHeadline(_, 3, "big100x")).getOrElse(Nil)
     val duckdbBig: Map[String, Double] =
-      try {
-        import org.json4s._
-        import org.json4s.jackson.JsonMethods
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(sys.env.getOrElse(
-            "SPARK_GRAFT_DUCKDB_BASELINE_BIG", "DUCKDB_BASELINE_20X.json"))),
-          java.nio.charset.StandardCharsets.UTF_8)
-        (JsonMethods.parse(txt) \ "queries" match {
-          case JObject(fields) => fields.flatMap {
-            case (name, q) => q \ "median_sec" match {
-              case JDouble(v) => Some(name -> v)
-              case JInt(v)    => Some(name -> v.toDouble)
-              case _          => None
-            }
-          }.toMap
-          case _ => Map.empty[String, Double]
-        })
-      } catch { case _: Throwable => Map.empty }
+      readBaseline("SPARK_GRAFT_DUCKDB_BASELINE_BIG", "DUCKDB_BASELINE_20X.json")
+    val duckdbBig100: Map[String, Double] =
+      readBaseline("SPARK_GRAFT_DUCKDB_BASELINE_BIG100", "DUCKDB_BASELINE_100X.json")
     // failed rows (min_sec = -1) stay visible in the detail artifact but
-    // are excluded from every aggregate
+    // are excluded from every aggregate. The DuckDB side of
+    // dedup_*/multimodal_*/embed_lsh oracles is an algebraic SHORTCUT
+    // (planted-structure SQL that never builds a signature / decodes an
+    // image — see DUCKDB_BASELINE note), so the full-headline ratio mixes
+    // engine speed with oracle asymmetry. The compute-equivalent subset is
+    // where both engines do the same work — the honest floor-free engine
+    // comparison. Same arithmetic for the 20x and 100x sections.
+    def duckAgg(ok: Seq[(String, (Double, Double))], base: Map[String, Double])
+        : (Double, Double, Double) = {
+      val common = ok.filter { case (k, _) => base.contains(k) }
+      val duckTotal = common.map { case (k, _) => base(k) }.sum
+      val vs =
+        if (duckTotal > 0 && common.nonEmpty) common.map(_._2._2).sum / duckTotal
+        else -1.0
+      val computeEq = common.filterNot { case (k, _) =>
+        k.startsWith("dedup_") || k.startsWith("multimodal_") ||
+          k.startsWith("embed_lsh") }
+      val eqDuck = computeEq.map { case (k, _) => base(k) }.sum
+      val veq =
+        if (eqDuck > 0 && computeEq.nonEmpty) computeEq.map(_._2._2).sum / eqDuck
+        else -1.0
+      (duckTotal, vs, veq)
+    }
     val bigOk = bigResults.filter(_._2._2 >= 0.0)
-    val bigCommon = bigOk.filter { case (k, _) => duckdbBig.contains(k) }
-    val bigDuckTotal = bigCommon.map { case (k, _) => duckdbBig(k) }.sum
-    val bigSparkMin = bigCommon.map(_._2._2).sum
-    val vsDuckdbBig =
-      if (bigDuckTotal > 0 && bigCommon.nonEmpty) bigSparkMin / bigDuckTotal
-      else -1.0
+    val (bigDuckTotal, vsDuckdbBig, vsDuckdbEq) = duckAgg(bigOk, duckdbBig)
     val bigTotalMin = bigOk.map(_._2._2).sum
-    // the DuckDB side of dedup_*/multimodal_*/embed_lsh oracles is an
-    // algebraic SHORTCUT (planted-structure SQL that never builds a
-    // signature / decodes an image — see DUCKDB_BASELINE note), so the
-    // full-headline ratio mixes engine speed with oracle asymmetry. The
-    // compute-equivalent subset is where both engines do the same work —
-    // the honest floor-free engine comparison.
-    val computeEq = bigCommon.filterNot { case (k, _) =>
-      k.startsWith("dedup_") || k.startsWith("multimodal_") ||
-        k.startsWith("embed_lsh") }
-    val eqDuck = computeEq.map { case (k, _) => duckdbBig(k) }.sum
-    val vsDuckdbEq =
-      if (eqDuck > 0 && computeEq.nonEmpty) computeEq.map(_._2._2).sum / eqDuck
-      else -1.0
+    val big100Ok = big100Results.filter(_._2._2 >= 0.0)
+    val (big100DuckTotal, vsDuckdbBig100, vsDuckdbEq100) =
+      duckAgg(big100Ok, duckdbBig100)
+    val big100TotalMin = big100Ok.map(_._2._2).sum
 
     // load factor at bench end: the pair (start, end) exposes load that
     // arrived or left mid-run, which no single reading could
@@ -368,11 +367,13 @@ object Bench {
             ",\"ratio\":" + (if (v > 0) mn2 / v else -1.0)).getOrElse("") + "}"
       }.mkString("{", ",", "}")
       val big100 = big100Results.map { case (k, (mx, mn2)) =>
-        "\"" + k + "\":{\"min_sec\":" + mn2 + ",\"max_sec\":" + mx + "}"
+        val d = duckdbBig100.get(k)
+        "\"" + k + "\":{\"min_sec\":" + mn2 + ",\"max_sec\":" + mx +
+          d.map(v => ",\"duckdb_sec\":" + v +
+            ",\"ratio\":" + (if (v > 0) mn2 / v else -1.0)).getOrElse("") + "}"
       }.mkString("{", ",", "}")
       val big100Section = big100Dir.map(d =>
-        s""","big100x":{"dir":"$d","queries":$big100,"spark_min_total":${
-          big100Results.filter(_._2._2 >= 0).map(_._2._2).sum}}""").getOrElse("")
+        s""","big100x":{"dir":"$d","queries":$big100,"spark_min_total":$big100TotalMin,"duckdb_median_total":$big100DuckTotal,"vs_duckdb":$vsDuckdbBig100,"vs_duckdb_compute_eq":$vsDuckdbEq100}""").getOrElse("")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"calib":{"threads":$calibThreads,"ref_sec":$calibRef,"start_sec":$calibStartSec,"end_sec":$calibEndSec,"start_ratio":${calibPair._1},"end_ratio":${calibPair._2}},"big20x":{"dir":"$bigDir","queries":$big,"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq}$big100Section,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
@@ -389,7 +390,7 @@ object Bench {
       vsDuckdb, calibPair,
       if (bigResults.nonEmpty) Some((bigTotalMin, vsDuckdbBig, vsDuckdbEq)) else None,
       if (big100Results.nonEmpty)
-        Some(big100Results.filter(_._2._2 >= 0).map(_._2._2).sum)
+        Some((big100TotalMin, vsDuckdbBig100, vsDuckdbEq100))
       else None,
       sfName)
     // the consumer keeps a bounded stdout tail (~2000 chars) and sbt

@@ -19,7 +19,7 @@ class BenchLineSpec extends AnyFunSuite {
       vsDuckdb = 99.99,
       calib = calib,
       big = Some((9999.9, 99.99, 99.99)),
-      big100Total = Some(99999.9),
+      big100Total = Some((99999.9, 99.99, 99.99)),
       sfName = "sf0.1")
 
   test("worst-case line fits the driver's stdout tail") {
