@@ -181,12 +181,12 @@ object SparkEntry {
     // restricts nation (5 rows — the only broadcasts pinned by hint are
     // these provably-bounded dimension frames), the asia-nation keys
     // restrict customer, customers restrict orders, orders restrict
-    // lineitem. The customer and orders sides are data-dependent sizes,
-    // so their join strategy is left to Catalyst/AQE: at bench scale the
-    // runtime stats broadcast them (lineitem never shuffles); at 100 TB
-    // they exceed the threshold and AQE keeps shuffled hash joins — the
-    // previous shape pinned broadcast(customer) UNFILTERED, which ignores
-    // the size threshold and cannot survive a full-scale customer table.
+    // lineitem. The customer and orders sides grow with scale factor, so
+    // a pinned broadcast() on either would bypass the size threshold and
+    // OOM the driver on a full-scale table; their join strategy is left
+    // to Catalyst/AQE, which broadcasts them at test scale (runtime
+    // stats) and keeps shuffled hash joins when they exceed the
+    // threshold.
     val asiaNations = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"))
     val asiaCust = c.join(broadcast(asiaNations),
@@ -537,6 +537,44 @@ object SparkEntry {
     graft.streaming.StatefulSessionize.assign(events, gapSeconds = 1800)
       .groupBy("user_id")
       .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** Watermark-closed streaming sessions (SURVEY 28f), driven end-to-end
+    * through the REAL streaming operator: all events go in as one
+    * MemoryStream micro-batch, then a single sentinel event at the corpus
+    * max timestamp advances the (batch-lagged) watermark so
+    * `EventTimeTimeout` fires for every idle session. With a finite input
+    * and final watermark W = max(ts), the append-mode emission is exactly
+    * the batch gap-sessionization restricted to sessions provably closed
+    * (`end + gap < W`) — which is what the DuckDB oracle computes. The
+    * MemoryStream (a driver-side bridge) is the test harness, not the
+    * production path: deployments run `readStream` from a real source
+    * against the same `closedSessions` operator. */
+  private def closedSessionsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulSessionize.{ClosedSession, TsEvent, closedSessions}
+    implicit val sq = s.sqlContext
+    val evs = t(s, dir, "events")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[TsEvent]
+      .collect()
+    val maxTs = evs.iterator.map(_.ts.getTime).max
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TsEvent]
+    val name = s"graft_closed_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = closedSessions(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(evs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // sentinel (negative uid, filtered out below) triggers the batch in
+      // which the watermark computed from the real data takes effect
+      input.addData(TsEvent(-1L, new java.sql.Timestamp(maxTs)))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).filter(col("user_id") >= 0)
+      .select("user_id", "start_epoch", "end_epoch", "n_events")
   }
 
   // ===== §2.3 LLM-pipeline operators ========================================
@@ -1131,6 +1169,7 @@ object SparkEntry {
       "q_salted_agg" -> (qSaltedAgg _),
       "q_salted_join" -> (qSaltedJoin _),
       "q_stateful_sessionize" -> (qStatefulSessionize _),
+      "closed_sessions" -> (closedSessionsQ _),
       "stream_events" -> (streamEvents _),
       "stream_join" -> (streamJoinStatic _),
       "stream_dedup" -> (streamDedupBatch _),
@@ -1451,6 +1490,24 @@ object SparkEntry {
          SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
            CAST(count(*) AS BIGINT) AS n_events
          FROM g GROUP BY 1""",
+    // the closed-stream emission over a finite input with final watermark
+    // W = max(ts): gap-sessions restricted to those provably closed
+    // (end + gap < W) — open tails are exactly what append mode withholds
+    "closed_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+                    FROM events),
+           g AS (
+             SELECT user_id, t,
+               sum(CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+             FROM (SELECT user_id, t,
+                     lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev
+                   FROM e)),
+           s AS (SELECT user_id, min(t) AS start_epoch, max(t) AS end_epoch,
+                   CAST(count(*) AS BIGINT) AS n_events
+                 FROM g GROUP BY user_id, sid)
+         SELECT user_id, start_epoch, end_epoch, n_events
+         FROM s WHERE end_epoch + 1800 < (SELECT max(t) FROM e)""",
     "stream_events" ->
       s"""SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 hour, ts))) AS BIGINT) AS hour_epoch,
           event_type, CAST(count(*) AS BIGINT) AS n,

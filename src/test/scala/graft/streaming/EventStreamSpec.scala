@@ -81,6 +81,37 @@ class ClosedSessionsSpec extends graft.SparkSpec {
       assert(rows.size == spark.table(name).count())
     } finally q.stop()
   }
+
+  test("registered closed_sessions query equals batch gap-sessionization " +
+    "minus the open tails (the driver-oracle identity)") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.SparkEntry.queries("closed_sessions")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val e = eventsTable().select(col("user_id").cast("long").as("user_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("t"))
+    val w = Window.partitionBy("user_id").orderBy("t")
+    val sess = e
+      .withColumn("prev", lag("t", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("t") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("t").as("start_epoch"), max("t").as("end_epoch"),
+        count(lit(1)).as("n_events"))
+    val maxT = e.agg(max("t")).head.getLong(0)
+    val expected = sess.filter(col("end_epoch") + 1800 < maxT)
+      .select("user_id", "start_epoch", "end_epoch", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
 }
 
 class StreamTopKSpec extends graft.SparkSpec {
