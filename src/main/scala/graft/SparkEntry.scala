@@ -539,41 +539,57 @@ object SparkEntry {
       .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  private val closedStagings =
+    scala.collection.concurrent.TrieMap[String, (String, Long)]()
+
   /** Watermark-closed streaming sessions (SURVEY 28f), driven end-to-end
-    * through the REAL streaming operator: all events go in as one
-    * MemoryStream micro-batch, then a single sentinel event at the corpus
-    * max timestamp advances the (batch-lagged) watermark so
+    * through the REAL streaming operator via a parquet file source and a
+    * parquet sink — fully distributed, no O(corpus) driver state. The
+    * first micro-batch reads every staged event file; a per-execution
+    * sentinel file (negative uid, filtered from output) then triggers the
+    * batch in which the (batch-lagged) watermark takes effect, so
     * `EventTimeTimeout` fires for every idle session. With a finite input
     * and final watermark W = max(ts), the append-mode emission is exactly
     * the batch gap-sessionization restricted to sessions provably closed
-    * (`end + gap < W`) — which is what the DuckDB oracle computes. The
-    * MemoryStream (a driver-side bridge) is the test harness, not the
-    * production path: deployments run `readStream` from a real source
-    * against the same `closedSessions` operator. */
+    * (`end + gap < W`) — which is what the DuckDB oracle computes over
+    * `floor(epoch(ts))`. Timestamps are second-truncated at staging so
+    * the millisecond-precision watermark lands exactly on the oracle's
+    * integer-second grid: without the truncation, a session whose floored
+    * end satisfies `end + gap == floor(W)` is emitted by the operator
+    * (sub-second watermark excess) but withheld by the oracle. */
   private def closedSessionsQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.StatefulSessionize.{ClosedSession, TsEvent, closedSessions}
-    implicit val sq = s.sqlContext
-    val evs = t(s, dir, "events")
-      .select(col("user_id").cast("long").as("user_id"),
-        col("ts").cast("timestamp").as("ts"))
-      .as[TsEvent]
-      .collect()
-    val maxTs = evs.iterator.map(_.ts.getTime).max
-    val input =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TsEvent]
-    val name = s"graft_closed_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = closedSessions(input.toDS(), gapSeconds = 1800)
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // events staged once per (session, dir), like formatIngest's layouts;
+    // repeat executions measure the streaming read/state/emit path
+    val (src, maxTsMs) = closedStagings.getOrElseUpdate(dir, {
+      val p = Files.createTempDirectory("graft_closed").toString + "/src"
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          date_trunc("second", col("ts").cast("timestamp")).as("ts"))
+      ev.write.parquet(p)
+      val mx = s.read.parquet(p).agg(max(col("ts"))).head
+        .getTimestamp(0).getTime
+      (p, mx)
+    })
+    val work = Files.createTempDirectory("graft_closed_run").toString
+    val q = closedSessions(
+      s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
+        .as[TsEvent],
+      gapSeconds = 1800)
+      .writeStream.format("parquet")
+      .option("path", s"$work/sink")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
     try {
-      input.addData(evs.toIndexedSeq: _*)
       q.processAllAvailable()
-      // sentinel (negative uid, filtered out below) triggers the batch in
-      // which the watermark computed from the real data takes effect
-      input.addData(TsEvent(-1L, new java.sql.Timestamp(maxTs)))
+      Seq((-1L, new java.sql.Timestamp(maxTsMs))).toDF("user_id", "ts")
+        .write.mode("append").parquet(src)
       q.processAllAvailable()
     } finally q.stop()
-    s.table(name).filter(col("user_id") >= 0)
+    s.read.schema(org.apache.spark.sql.Encoders.product[ClosedSession].schema)
+      .parquet(s"$work/sink")
+      .filter(col("user_id") >= 0)
       .select("user_id", "start_epoch", "end_epoch", "n_events")
   }
 
