@@ -148,9 +148,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // "*" is a valid local[...] token but not an int: integer-valued
+    // settings fall back to the machine's core count
+    val cpusInt = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpusInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -202,7 +206,7 @@ object Bench {
       readBaseline("SPARK_GRAFT_DUCKDB_BASELINE", "DUCKDB_BASELINE.json")
 
     // load factor at bench start: fixed CPU kernel vs committed reference
-    val calibThreads = cpus.toInt
+    val calibThreads = cpusInt
     val calibStartSec = calibrate(calibThreads)
     val calibRef = calibReference("CALIB.json", calibThreads, calibStartSec)
 

@@ -8,15 +8,31 @@ import java.nio.file.{Files, Paths}
   * a full 85-query DuckDB compare at 100× would spend hours re-proving
   * queries whose scale behavior the 20× pass already pins). */
 object Verify {
+  /** Subset names with no registered query — non-empty aborts the run. */
+  private[graft] def unknownNames(names: Set[String]): Set[String] =
+    names -- SparkEntry.queries.keySet
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)      => (s, o, None)
       case Array(s, o, sub) => (s, o, Some(sub.split(",").map(_.trim).toSet))
     }
+    // a typo'd subset must not yield a shrunken-but-green artifact that
+    // looks like a full pass: unknown names are a hard failure
+    val unknown = only.map(unknownNames).getOrElse(Set.empty)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown query names in subset: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // "*" is a valid local[...] token but not an int: integer-valued
+    // settings fall back to the machine's core count
+    val cpusInt = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpusInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -283,7 +283,10 @@ object Similarity {
       failOnNonConvergence: Boolean = false,
       smallGraphLimit: Long = 1000000L
   ): (DataFrame, Dedup.ComponentsStats) = {
-    val pairs = annBuckets(corpus, idCol, vecCol, numPlanes, dim, seed, minCos)
+    // autoFloor 8 = this entry point's pre-auto fixed default, so default
+    // callers keep their old small-corpus recall exactly
+    val pairs = annBuckets(corpus, idCol, vecCol, numPlanes, dim, seed, minCos,
+      autoFloor = 8)
     val (labels, stats) =
       Dedup.componentsWithStats(pairs, maxIters, smallGraphLimit = smallGraphLimit)
     Dedup.enforceConvergence(stats, maxIters, failOnNonConvergence)
@@ -314,16 +317,18 @@ object Similarity {
     * Pairs deduplicate across tables via a final (id_a, id_b) max. */
   /** Hyperplane count for an LSH pass over `n` vectors when the caller
     * passes `numPlanes = 0` (auto): `ceil(log2(n / 64))` clamped to
-    * [8, 24], i.e. expected bucket occupancy held near 64 regardless of
-    * corpus size. In-bucket candidate generation is O(occupancy²) per
+    * [floor, 24], i.e. expected bucket occupancy held near 64 regardless
+    * of corpus size. In-bucket candidate generation is O(occupancy²) per
     * bucket, so a FIXED plane count turns a 5× corpus into ~25× the
     * pairing work — the 100×-scale run measured exactly that (14× wall
-    * on 5× data) before this lever. The floor of 8 keeps small-corpus
-    * bucketing at least as fine as the old fixed default, so co-bucketing
-    * never widens and a threshold-crossing rounded cosine can only be
-    * pruned, never added — the oracle-safety argument for auto mode. */
-  private[operators] def autoPlanes(n: Long): Int =
-    math.min(24, math.max(8,
+    * on 5× data) before this lever. Each entry point passes its pre-auto
+    * fixed default as `floor`, so small-corpus bucketing is at least as
+    * fine as that entry point's old behavior: co-bucketing never widens,
+    * a bucket that stayed under `maxBucket` before cannot newly overflow,
+    * and a threshold-crossing rounded cosine can only be pruned, never
+    * added — the oracle-safety argument for auto mode. */
+  private[operators] def autoPlanes(n: Long, floor: Int): Int =
+    math.min(24, math.max(floor,
       math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
 
   /** Distinct-vector collapse with the degenerate-group guard. Returns
@@ -378,8 +383,9 @@ object Similarity {
 
     // numPlanes = 0 auto-scales per table exactly as [[annBuckets]] does —
     // zero literal planes would co-bucket the whole corpus into one
-    // mega-bucket that maxBucket then silently drops
-    val p = if (numPlanes > 0) numPlanes else autoPlanes(total)
+    // mega-bucket that maxBucket then silently drops; the floor is this
+    // entry point's fixed default (12)
+    val p = if (numPlanes > 0) numPlanes else autoPlanes(total, floor = 12)
     val tablePlanes = (0 until numTables).map(t =>
       VectorFunctions.hyperplanes(p, dim, seed + t))
 
@@ -423,7 +429,8 @@ object Similarity {
       seed: Long = 42L,
       minCos: Double = 0.0,
       maxBucket: Int = 2000,
-      maxEqualGroup: Int = 2000
+      maxEqualGroup: Int = 2000,
+      autoFloor: Int = 12
   ): DataFrame = {
     // Collapse to DISTINCT vectors before bucketing — the same
     // duplicate-crowding guard minhashPairs and simhashPairs carry (their
@@ -442,8 +449,9 @@ object Similarity {
       corpus, idCol, vecCol, minCos, maxEqualGroup)
 
     // auto plane count reads the corpus size off the collapse's probe —
-    // no dedicated count job over the corpus lineage
-    val p = if (numPlanes > 0) numPlanes else autoPlanes(total)
+    // no dedicated count job over the corpus lineage; autoFloor is the
+    // caller's pre-auto fixed default (12 here, 8 for the dedup entry)
+    val p = if (numPlanes > 0) numPlanes else autoPlanes(total, autoFloor)
     val planes = VectorFunctions.hyperplanes(p, dim, seed)
 
     val bucketed = byVec.select(col("v"), col("ids"),
