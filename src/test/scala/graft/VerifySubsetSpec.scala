@@ -20,7 +20,8 @@ class VerifySubsetSpec extends AnyFunSuite {
     val headline = Set("contamination", "dedup_drop", "dedup_embed",
       "dedup_exact", "dedup_groups", "dedup_minhash", "dedup_simhash",
       "embed_ivf_ann", "embed_lsh_ann", "embed_quantized_topk",
-      "multimodal_image", "pipeline_curate", "q_interval_join", "tfidf_topk")
+      "multimodal_image", "pipeline_curate", "q_interval_join", "tfidf_topk",
+      "closed_sessions")
     assert(Verify.unknownNames(headline).isEmpty)
   }
 }
