@@ -51,6 +51,7 @@ class GraftSpec extends SparkSpec {
     val staging = Files.createTempDirectory("graft_anyfmt_src").toString
     nation.write.mode("overwrite").option("header", "true").csv(s"$staging/csv")
     nation.write.mode("overwrite").json(s"$staging/json")
+    nation.write.mode("overwrite").orc(s"$staging/orc")
 
     val plan = graft.plans.TablePlan(
       keep = Seq("^(n_nationkey|n_name)$"), where = Some("n_nationkey < 10"))
@@ -61,13 +62,20 @@ class GraftSpec extends SparkSpec {
     Graft.anyFormatToPq(spark, "json", Map.empty, repo, "fmt", "nation_json",
       path = Some(s"$staging/json"), sourceSchema = Some(nation.schema),
       plan = plan)
+    // columnar leg: ORC ships with Spark, same façade path
+    Graft.anyFormatToPq(spark, "orc", Map.empty, repo, "fmt", "nation_orc",
+      path = Some(s"$staging/orc"), sourceSchema = Some(nation.schema),
+      plan = plan)
 
     val fromCsv = repo.table("fmt", "nation_csv")
     val fromJson = repo.table("fmt", "nation_json")
+    val fromOrc = repo.table("fmt", "nation_orc")
     assert(fromCsv.columns.toSeq == Seq("n_nationkey", "n_name"))
     assert(fromCsv.count() == 10 && fromJson.count() == 10)
     assert(fromCsv.collect().map(_.toSeq).toSet ==
       fromJson.collect().map(_.toSeq).toSet)
+    assert(fromOrc.collect().map(_.toSeq).toSet ==
+      fromCsv.collect().map(_.toSeq).toSet)
     // the repo write stamped metadata like any other ingest
     assert(repo.lastModified("fmt", "nation_csv")
       .contains("csv (Updated 2024-06-01)"))
