@@ -540,7 +540,7 @@ object SparkEntry {
   }
 
   private val closedStagings =
-    scala.collection.concurrent.TrieMap[String, (String, Long)]()
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /** Watermark-closed streaming sessions (SURVEY 28f), driven end-to-end
     * through the REAL streaming operator via a parquet file source and a
@@ -560,18 +560,27 @@ object SparkEntry {
   private def closedSessionsQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.StatefulSessionize.{ClosedSession, TsEvent, closedSessions}
-    // events staged once per (session, dir), like formatIngest's layouts;
-    // repeat executions measure the streaming read/state/emit path
-    val (src, maxTsMs) = closedStagings.getOrElseUpdate(dir, {
-      val p = Files.createTempDirectory("graft_closed").toString + "/src"
+    // events (and the one-row sentinel file) staged once per (session,
+    // dir), like formatIngest's layouts; repeat executions measure the
+    // streaming read/state/emit path over the IDENTICAL file set — the
+    // sentinel enters under a fixed name and is removed again before the
+    // next run, so sentinels never accumulate across executions
+    val (src, sentinelStash) = closedStagings.getOrElseUpdate(dir, {
+      val p = Files.createTempDirectory("graft_closed").toString
       val ev = t(s, dir, "events")
         .select(col("user_id").cast("long").as("user_id"),
           date_trunc("second", col("ts").cast("timestamp")).as("ts"))
-      ev.write.parquet(p)
-      val mx = s.read.parquet(p).agg(max(col("ts"))).head
+      ev.write.parquet(s"$p/src")
+      val mx = s.read.parquet(s"$p/src").agg(max(col("ts"))).head
         .getTimestamp(0).getTime
-      (p, mx)
+      Seq((-1L, new java.sql.Timestamp(mx))).toDF("user_id", "ts")
+        .coalesce(1).write.parquet(s"$p/sentinel")
+      val part = new java.io.File(s"$p/sentinel").listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toString
+      (s"$p/src", part)
     })
+    val sentinelDst = java.nio.file.Paths.get(src, "zz_sentinel.parquet")
+    Files.deleteIfExists(sentinelDst)
     val work = Files.createTempDirectory("graft_closed_run").toString
     val q = closedSessions(
       s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
@@ -583,8 +592,7 @@ object SparkEntry {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      Seq((-1L, new java.sql.Timestamp(maxTsMs))).toDF("user_id", "ts")
-        .write.mode("append").parquet(src)
+      Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
       q.processAllAvailable()
     } finally q.stop()
     s.read.schema(org.apache.spark.sql.Encoders.product[ClosedSession].schema)
@@ -717,12 +725,13 @@ object SparkEntry {
   private def embedLshAnn(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     val dup = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
-    // numPlanes = 0: auto-scaled from corpus size (8 at the oracle scale,
-    // growing with the corpus so bucket occupancy — and the quadratic
-    // in-bucket pairing — stays bounded; output is plane-independent at
-    // minCos = 1.0 because equal-vector pairs bypass the buckets)
+    // numPlanes = 0: auto-scaled from corpus size, growing with the
+    // corpus so bucket occupancy — and the quadratic in-bucket pairing —
+    // stays bounded; autoFloor = 8 keeps this call site's pre-auto fixed
+    // plane count at small scale. Output is plane-independent at
+    // minCos = 1.0 because equal-vector pairs bypass the buckets.
     Similarity.annBuckets(e.unionByName(dup), "vec_id", "embedding",
-      numPlanes = 0, dim = 64, minCos = 1.0)
+      numPlanes = 0, dim = 64, minCos = 1.0, autoFloor = 8)
   }
 
   private def embedIvfAnn(s: SparkSession, dir: String): DataFrame = {

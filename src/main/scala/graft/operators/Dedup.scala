@@ -330,18 +330,20 @@ object Dedup {
       maxEqualGroup: Int,
       saltBuckets: Int = 64
   ): (DataFrame, DataFrame, Long) = {
-    // one probe action yields BOTH the total row count and whether any
-    // group is heavy; the (tiny) heavy-hash frame is only planned when
-    // one exists, so the common corpus pays a single 8-byte-key job
+    // one probe action yields the total row count AND the heavy hash keys
+    // themselves (≤ total/maxEqualGroup entries — 4 MB of longs per 10⁹
+    // rows at the default 2000 — so the collect_list buffer is bounded),
+    // sparing the heavy branch a second corpus-wide aggregation pass
     val probe = keyed
       .groupBy(xxhash64(col("k")).as("hk"))
       .agg(count(lit(1)).as("hn"))
       .agg(
         coalesce(sum(col("hn")), lit(0L)),
-        coalesce(sum(when(col("hn") > maxEqualGroup, 1L)), lit(0L)))
+        collect_list(when(col("hn") > maxEqualGroup, col("hk"))))
       .head()
     val total = probe.getLong(0)
-    val anyHeavy = probe.getLong(1) > 0L
+    val heavyHks = probe.getSeq[Long](1)
+    val anyHeavy = heavyHks.nonEmpty
 
     def allPairs(byKey: DataFrame): DataFrame = byKey
       .filter(size(col("ids")) >= 2)
@@ -353,11 +355,8 @@ object Dedup {
         .agg(sort_array(collect_list("id")).as("ids"))
       (byKey, allPairs(byKey), total)
     } else {
-      val heavyKeys = keyed
-        .groupBy(xxhash64(col("k")).as("hk"))
-        .agg(count(lit(1)).as("hn"))
-        .filter(col("hn") > maxEqualGroup)
-        .select("hk")
+      import keyed.sparkSession.implicits._
+      val heavyKeys = heavyHks.toDF("hk")
       val tagged = keyed.join(broadcast(heavyKeys),
         xxhash64(col("k")) === col("hk"), "left")
       val lightByKey = tagged.filter(col("hk").isNull)
@@ -735,16 +734,18 @@ object Dedup {
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // ONE collect job over the edge blocks: a both-non-null edge passes
+    // through as (src, dst); an edge with one null endpoint collapses to a
+    // self-edge on its non-null node — the union is a no-op but the index
+    // insert registers the isolated node (see driverComponents doc); a
+    // both-null edge coalesces to (null, null) and is dropped
     val asLong = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val full = asLong
-      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(coalesce(col("src"), col("dst")).as("a"),
+        coalesce(col("dst"), col("src")).as("b"))
+      .filter(col("a").isNotNull)
       .as[(Long, Long)].collect()
-    // an edge with one null endpoint contributes its non-null node as an
-    // isolated row (see driverComponents doc)
-    val halves = asLong
-      .filter(col("src").isNull =!= col("dst").isNull)
-      .select(coalesce(col("src"), col("dst"))).as[Long].collect()
 
     var nodes = new Array[Long](1024)
     var parent = new Array[Int](1024)
@@ -775,7 +776,6 @@ object Dedup {
       if (ra != rb) parent(rb) = ra
       e += 1
     }
-    halves.foreach(idx)
 
     val minOf = new Array[Long](n)
     java.util.Arrays.fill(minOf, Long.MaxValue)

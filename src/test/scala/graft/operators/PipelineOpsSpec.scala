@@ -292,10 +292,12 @@ class MultiTableLshSpec extends SparkSpec {
     val auto = Similarity.annBucketsMulti(df, "vec_id", "embedding",
       numTables = 4, numPlanes = 0, dim = 32, minCos = 0.8)
     assert(auto.filter(col("id_b") === col("id_a") + 1000L).count() > 0)
-    // small corpus floor matches annBuckets' auto (8 planes): cross pairs
-    // must come from real buckets, so no pair can exceed the plane budget
+    // on a small corpus auto resolves to the entry point's floor — its
+    // pre-auto fixed default of 12 planes — so the auto run must equal an
+    // explicit 12-plane run bit for bit; a floor regression (the bug
+    // class the per-entry floors fixed) breaks this identity
     val manual = Similarity.annBucketsMulti(df, "vec_id", "embedding",
-      numTables = 4, numPlanes = 8, dim = 32, minCos = 0.8)
+      numTables = 4, numPlanes = 12, dim = 32, minCos = 0.8)
     assert(auto.collect().toSet == manual.collect().toSet)
   }
 }
