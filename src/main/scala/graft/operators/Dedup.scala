@@ -518,21 +518,41 @@ object Dedup {
   }
 
   /** Exact content verification of candidate pairs: keep only pairs whose
-    * documents are byte-identical. The step a production dedup pipeline
-    * runs between LSH candidate generation and any destructive action —
-    * sketch agreement (even a full signature match) is probabilistic;
-    * only content equality proves an exact duplicate. The joins move text
-    * for candidate ids only (a tiny fraction of the corpus), never
-    * all-pairs. */
+    * documents have identical content. The step a production dedup
+    * pipeline runs between LSH candidate generation and any destructive
+    * action — sketch agreement (even a full signature match) is
+    * probabilistic; only content equality proves an exact duplicate.
+    *
+    * Verification compares 32-byte SHA-256 content digests, not the text:
+    * in a duplicate-heavy corpus the candidate ids cover most documents,
+    * so a text-bearing verification join would shuffle essentially the
+    * whole corpus twice — the anti-pattern every other exchange in this
+    * file is shaped to avoid, and the dominant cost of the minhash/simhash
+    * pipelines at the 100× scale before this change. Digest equality is
+    * content equality up to a SHA-256 collision (none is known; the
+    * birthday bound for a 10⁹-document corpus is ~2⁻⁹⁷) — the same
+    * content-hash standard the streaming dedup state already uses, two
+    * orders stronger. `byteExact = true` restores the raw byte-comparison
+    * joins for callers that must rule even that out. */
   def verifyPairsExact(
       pairs: DataFrame,
       docs: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
-    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
-    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("__text_b"))
+      textCol: String,
+      byteExact: Boolean = false): DataFrame = {
+    // digests materialize ONCE (id + 32 bytes per doc — ~40 MB per 10⁶
+    // docs): both join sides read the checkpointed blocks, so the text
+    // scan and the SHA pass run once, not per side. byteExact keeps the
+    // lazy double-scan — checkpointing full text would defeat the point.
+    val keyed =
+      if (byteExact) docs.select(col(idCol).as("__vid"), col(textCol).as("__k"))
+      else docs.select(col(idCol).as("__vid"),
+        sha2(col(textCol).cast("string"), 256).as("__k"))
+        .localCheckpoint(true)
+    val a = keyed.select(col("__vid").as("id_a"), col("__k").as("__k_a"))
+    val b = keyed.select(col("__vid").as("id_b"), col("__k").as("__k_b"))
     pairs.join(a, "id_a").join(b, "id_b")
-      .filter(col("__text_a") === col("__text_b"))
+      .filter(col("__k_a") === col("__k_b"))
       .select(pairs.columns.map(col).toIndexedSeq: _*)
   }
 
