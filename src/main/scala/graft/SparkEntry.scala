@@ -364,8 +364,13 @@ object SparkEntry {
   }
 
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
-    Sessionize.sessionStats(t(s, dir, "events"),
-      keyCol = "user_id", tsCol = "ts", valueCol = "value", gapSeconds = 1800)
+    // value pre-converted to integer cents: the per-session sum must be
+    // bit-stable across partition orders for the oracle hash
+    Sessionize.sessionStats(
+      t(s, dir, "events").withColumn("value_c", cents(col("value"))),
+      keyCol = "user_id", tsCol = "ts", valueCol = "value_c",
+      gapSeconds = 1800)
+      .withColumnRenamed("value_sum", "value_sum_c")
 
   /** Static twin of the stream-stream interval join (SURVEY 28e):
     * `StreamJoin.within` is the SAME plan streaming runs — on static
@@ -1472,18 +1477,19 @@ object SparkEntry {
              ',') AS codes
          FROM m""",
     "q_sessionize" ->
-      """WITH g AS (
-           SELECT user_id, ts,
+      s"""WITH g AS (
+           SELECT user_id, ts, value,
              sum(CASE WHEN prev IS NULL
                       OR floor(epoch(ts)) - floor(epoch(prev)) > 1800 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
-           FROM (SELECT user_id, ts,
+           FROM (SELECT user_id, ts, value,
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
                  FROM events))
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
            CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch,
-           CAST(count(*) AS BIGINT) AS n_events
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(${centsSql("value")}) AS BIGINT) AS value_sum_c
          FROM g GROUP BY 1, 2""",
     "q_bucketed_join" ->
       s"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -86,7 +86,13 @@ object AsOfJoin {
         lit(0).as("__side"),
         struct(payloads.map(col): _*).as("__p")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    // SQL as-of semantics: a null key or null timestamp satisfies no
+    // range predicate, so such right rows can never be a match — without
+    // this filter the window's null ordering (nulls FIRST ascending)
+    // would attach a null-ts right payload to every left row that has no
+    // genuine prior match
     val taggedRight = right.select(rightSel: _*)
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
 
     val leftSel: Seq[Column] =
       Seq(col(leftKey).as("__k"), col(leftTs).as("__t"),
@@ -109,9 +115,15 @@ object AsOfJoin {
         (col("__side") +: leftCols.map(col)) :+
           last(col("__p"), ignoreNulls = true).over(w).as("__pm"): _*)
 
+    // a left row with a null key or null timestamp matches nothing (same
+    // null semantics as the right-side filter; forward mode would
+    // otherwise sort null left ts AFTER every right row and hand it the
+    // earliest payload)
+    val matchable = col(leftKey).isNotNull && col(leftTs).isNotNull
     swept.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payloads.map(p => col("__pm").getField(p).as(p)): _*)
+        payloads.map(p =>
+          when(matchable, col("__pm").getField(p)).as(p)): _*)
   }
 
   /** [[nearestPrior]] with a staleness bound — the feature-store contract:

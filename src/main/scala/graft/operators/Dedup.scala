@@ -29,6 +29,7 @@ object Dedup {
     val h = xxhash64(keys.map(col): _*)
     val kt = struct(keys.map(col): _*)
     val w = Window.partitionBy(h).orderBy(h +: (keys.map(col) ++ order): _*)
+    graft.InternalCols.requireAbsent(df, "Dedup.exact", "__kprev")
     df.withColumn("__kprev", lag(kt, 1).over(w))
       .filter(!(col("__kprev") <=> kt))
       .drop("__kprev")
@@ -101,23 +102,27 @@ object Dedup {
           .select("h", "ids", "n")
     }
     def viaBroadcast(salted: Boolean): DataFrame = {
+      // restriction joins on the colliding HASH, not the id: the
+      // broadcast is distinct 8-byte hashes (≤ the id list it replaced),
+      // and a null-id row in a colliding group stays in the verified
+      // count — an id-equality semi-join can never retain it, which made
+      // `n` transport-dependent (the "same output on every path" contract)
       if (!salted) {
         val byHash = df.select(id.as("id"), xxhash64(content).as("h"))
           .groupBy("h")
           .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
         val singles = byHash.filter(col("n") === 1).select("h", "ids", "n")
-        val collidingIds = byHash.filter(col("n") >= 2)
-          .select(explode(col("ids")).as("__cid"))
+        val collidingHashes = byHash.filter(col("n") >= 2).select("h")
         val verified = df.select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
-          .join(broadcast(collidingIds), col("id") === col("__cid"), "left_semi")
+          .join(broadcast(collidingHashes), Seq("h"), "left_semi")
           .groupBy("h", "c")
           .agg(sort_array(collect_list("id")).as("ids"), count(lit(1)).as("n"))
           .select("h", "ids", "n")
         singles.unionByName(verified)
       } else {
         // no id list is ever built per bare hash: singles come from a
-        // count join (8-byte rows), colliding ids from the same join, and
-        // the verified groups from the two-phase salted assembly
+        // count join (8-byte rows), the verified groups from the
+        // two-phase salted assembly over hash-restricted rows
         val hashed = df.select(id.as("id"), xxhash64(content).as("h"))
         val counts = hashed.groupBy("h").agg(count(lit(1)).as("hn"))
         // null ids are dropped from the array, matching collect_list on
@@ -126,11 +131,10 @@ object Dedup {
           .select(col("h"),
             filter(array(col("id")), x => x.isNotNull).as("ids"),
             lit(1L).as("n"))
-        val collidingIds = hashed.join(counts.filter(col("hn") >= 2), Seq("h"))
-          .select(col("id").as("__cid"))
+        val collidingHashes = counts.filter(col("hn") >= 2).select("h")
         val verified = df
           .select(id.as("id"), xxhash64(content).as("h"), content.as("c"))
-          .join(broadcast(collidingIds), col("id") === col("__cid"), "left_semi")
+          .join(broadcast(collidingHashes), Seq("h"), "left_semi")
           .withColumn("s", pmod(xxhash64(col("id")), lit(saltBuckets)))
           .groupBy("h", "c", "s")
           .agg(collect_list("id").as("sids"), count(lit(1)).as("ns"))
@@ -157,9 +161,9 @@ object Dedup {
         val salted = maxGroup > bigGroupLimit
         val threshold =
           df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-        // a broadcast id list costs well over the raw 8 bytes/row once
-        // boxed + hashed-relation overhead lands; 32 bytes/row is the
-        // conservative planning figure
+        // the broadcast is the distinct colliding HASHES (≤ one 8-byte
+        // value per colliding row); 32 bytes/row stays the conservative
+        // planning figure once hashed-relation overhead lands
         val chooseBroadcast = threshold > 0 && collidingRows * 32L <= threshold
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"exactGroups auto transport: collidingRows=$collidingRows " +
@@ -1002,13 +1006,23 @@ object Dedup {
           val sig = ColumnBridge.column(
             graft.functions.expressions.MinHashSignature(
               ColumnBridge.expression(col("__t")), shingleK, numHashes))
-          fanOut(in.filter(eligible)
+          // no id list is ever built per signature: min/count partial-
+          // aggregate (a degenerate 10M-copy group previously grew one
+          // 10M-element collect_list buffer on a single task — the exact
+          // blowup the salted paths elsewhere exist to prevent), then a
+          // sig-keyed join marks every row above its group minimum. A
+          // duplicated id equal to the min keeps all its rows, as
+          // losersOf's array_distinct guard did.
+          val sigs = fanOut(in.filter(eligible)
             .select(col(idCol).as("__id"), col(textCol).as("__t")), col("__id"))
             .select(col("__id"), sig.as("__sig"))
-            .groupBy("__sig")
-            .agg(sort_array(collect_list("__id")).as("ids"))
-            .filter(size(col("ids")) >= 2)
-            .select(losersOf(col("ids")).as("__loser"))
+            .localCheckpoint(true)
+          val mins = sigs.groupBy("__sig")
+            .agg(min(col("__id")).as("__minid"), count(lit(1)).as("__n"))
+            .filter(col("__n") >= 2)
+          sigs.join(mins, Seq("__sig"))
+            .filter(col("__id") =!= col("__minid"))
+            .select(col("__id").as("__loser"))
         }
       return (in.join(losers, in(idCol) === col("__loser"), "left_anti"),
         ComponentsStats(iterations = 0, converged = true))

@@ -186,7 +186,8 @@ object Multimodal {
     try {
       if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
       var off = 12
-      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
+      // audioFormat, channels, rate, blockAlign, bits
+      var fmt: Option[(Int, Int, Int, Int, Int)] = None
       var dataBytes: Option[Long] = None
       while (off + 8 <= payload.length && (fmt.isEmpty || dataBytes.isEmpty)) {
         val id = tag(off)
@@ -195,14 +196,22 @@ object Multimodal {
         // chunk reports the frames actually present
         val size = math.min(u32(off + 4), (payload.length - off - 8).toLong).toInt
         if (id == "fmt " && size >= 16)
-          fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 20), u16(off + 22)))
+          fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt,
+            u16(off + 20), u16(off + 22)))
         else if (id == "data")
           dataBytes = Some(size.toLong)
         // chunks are word-aligned: odd sizes carry a pad byte
         off += 8 + size + (size & 1)
       }
-      for ((ch, rate, blockAlign, bits) <- fmt; data <- dataBytes
-           if ch > 0 && rate > 0 && blockAlign > 0)
+      // frames = data/blockAlign holds only for uncompressed layouts:
+      // integer PCM (1), IEEE-float PCM (3), extensible (0xFFFE, which
+      // wraps a PCM subformat with blockAlign still bytes-per-frame).
+      // A compressed tag (ADPCM 2/17, …) uses blockAlign as the
+      // compressed block size — quarantine instead of reporting a frame
+      // count off by the compression factor
+      for ((af, ch, rate, blockAlign, bits) <- fmt; data <- dataBytes
+           if (af == 1 || af == 3 || af == 0xFFFE) &&
+             ch > 0 && rate > 0 && blockAlign > 0)
         yield (rate, ch, bits, data / blockAlign)
     } catch { case _: Exception => None }
   }

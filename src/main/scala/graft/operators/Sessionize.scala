@@ -26,6 +26,7 @@ object Sessionize {
     val prev = lag(epoch, 1).over(byKey)
     val newSession =
       when(prev.isNull || (epoch - prev) > gapSeconds, 1).otherwise(0)
+    graft.InternalCols.requireAbsent(df, "byGap", "__new", "session_id")
     df.withColumn("__new", newSession)
       .withColumn("session_id",
         sum(col("__new")).over(
@@ -54,7 +55,10 @@ object Sessionize {
         count(lit(1)).as("n_events"))
       .drop("w")
 
-  /** Per-session rollup: bounds, event count, value sum. */
+  /** Per-session rollup: bounds, event count, value sum. Pass an
+    * integer-typed `valueCol` (e.g. pre-converted cents) when the sum must
+    * be bit-stable across partition orders — float sums are not
+    * reassociable. */
   def sessionStats(
       df: DataFrame,
       keyCol: String,
@@ -67,5 +71,6 @@ object Sessionize {
       .agg(
         min(unix_timestamp(col(tsCol).cast("timestamp"))).as("start_epoch"),
         max(unix_timestamp(col(tsCol).cast("timestamp"))).as("end_epoch"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("value_sum"))
 }

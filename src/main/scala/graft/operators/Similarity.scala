@@ -193,7 +193,12 @@ object Similarity {
       .limit(numCentroids)
       .collect()
       .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toSeq }
+      .map { case (r, i) =>
+        // array<float> and array<double> both seed (the vector kernels
+        // accept either element type; a Float-only getSeq would throw
+        // ClassCastException on double embeddings)
+        i -> r.getSeq[Number](1).map(_.doubleValue()).toSeq
+      }
       .toSeq
 
     for (_ <- 1 to kmeansIters) {

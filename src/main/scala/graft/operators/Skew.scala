@@ -27,6 +27,8 @@ object Skew {
       sums: Map[String, Column],
       numSalts: Int = 16
   ): DataFrame = {
+    graft.InternalCols.requireAbsent(df, "saltedAgg",
+      Seq("__salt", "__n") ++ sums.keys.map(n => s"__s_$n"): _*)
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts)))
     val partial = salted
@@ -50,6 +52,8 @@ object Skew {
       otherKey: String,
       numSalts: Int = 16
   ): DataFrame = {
+    graft.InternalCols.requireAbsent(skewed, "saltedJoin", "__salt")
+    graft.InternalCols.requireAbsent(other, "saltedJoin", "__salt")
     val saltedLeft = skewed.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts))
         .cast("int"))

@@ -24,58 +24,103 @@ object StatefulSessionize {
   /** A timestamped input event for the watermark-closed variant. */
   final case class TsEvent(user_id: Long, ts: java.sql.Timestamp)
 
-  /** Open-session state for [[closedSessions]]. */
+  /** One open session; [[closedSessions]] state holds a start-sorted list
+    * of them, because within the watermark delay a LATE event may extend
+    * an earlier session backward or open a brand-new earlier session —
+    * single-session state silently merged such events into whatever
+    * session happened to be open. */
   final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Per-key state wrapper (sorted by start, pairwise gap-separated). */
+  final case class OpenSessions(sessions: Seq[OpenSession])
 
   /** A session emitted once it can no longer grow. */
   final case class ClosedSession(
       user_id: Long, start_epoch: Long, end_epoch: Long, n_events: Long)
 
-  /** Watermark-closed sessionization: sessions are emitted exactly once —
-    * either when a same-key event arrives past the gap, or when the event-
-    * time watermark passes `last + gap` (GroupStateTimeout.EventTimeTimeout)
-    * so idle keys don't hold state forever. Append output mode: safe for
-    * exactly-once sinks. This is the production streaming shape; the
-    * Update-mode [[assign]] is the batch-equivalent one. */
+  /** Watermark-closed sessionization: sessions are emitted exactly once,
+    * when the event-time watermark passes `last + gap` — the only point
+    * at which no surviving late event can extend the session on either
+    * side (EventTimeTimeout arms at the earliest open close time).
+    * Append output mode: safe for exactly-once sinks. This is the
+    * production streaming shape; the Update-mode [[assign]] is the
+    * batch-equivalent one.
+    *
+    * With `watermarkDelay` zero (the default), every surviving future
+    * event is ≥ the running global max event time, so a session with a
+    * later same-key session after it can provably never grow — those
+    * emit EAGERLY and at most one session per key stays in state, the
+    * ordered-stream memory profile. A non-zero delay admits cross-batch
+    * disorder: state holds every not-yet-provably-closed session and
+    * emission is purely watermark-driven. */
   def closedSessions(
       events: Dataset[TsEvent],
       gapSeconds: Long,
       watermarkDelay: String = "0 seconds"
   ): Dataset[ClosedSession] = {
-    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val stateEnc = Encoders.product[OpenSessions]
     implicit val outEnc = Encoders.product[ClosedSession]
     implicit val longEnc = Encoders.scalaLong
+    val zeroDelay =
+      try {
+        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .stringToInterval(
+            org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+        iv.months == 0 && iv.days == 0 && iv.microseconds == 0L
+      } catch { case _: Throwable => false }
+
+    // start-sorted sessions, pairwise further than gap apart; an event is
+    // a singleton session and one normalize pass merges every chain whose
+    // neighbors are within gap (an event t joins session s exactly when
+    // t ∈ [start - gap, last + gap], including bridging two sessions)
+    def normalize(ss: Seq[OpenSession]): List[OpenSession] =
+      ss.sortBy(s => (s.start, s.last)).foldLeft(List.empty[OpenSession]) {
+        case (acc @ (cur :: rest), nxt) if nxt.start - cur.last <= gapSeconds =>
+          OpenSession(cur.start, math.max(cur.last, nxt.last), cur.n + nxt.n) :: rest
+        case (acc, nxt) => nxt :: acc
+      }.reverse
+
+    def wmClosed(s: OpenSession, wmMs: Long): Boolean =
+      (s.last + gapSeconds) * 1000 + 1 < wmMs
+
+    def emitAndKeep(
+        uid: Long,
+        sessions: List[OpenSession],
+        wmMs: Long,
+        eagerTail: Boolean,
+        state: org.apache.spark.sql.streaming.GroupState[OpenSessions]
+    ): Iterator[ClosedSession] = {
+      val lastIdx = sessions.size - 1
+      val (closed, open) = sessions.zipWithIndex.partition { case (s, i) =>
+        wmClosed(s, wmMs) || (eagerTail && i < lastIdx)
+      }
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(OpenSessions(open.map(_._1)))
+        state.setTimeoutTimestamp(math.max(wmMs + 1,
+          open.map { case (s, _) => (s.last + gapSeconds) * 1000 + 1 }.min))
+      }
+      closed.map { case (s, _) => ClosedSession(uid, s.start, s.last, s.n) }
+        .iterator
+    }
+
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[TsEvent],
-         state: org.apache.spark.sql.streaming.GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(ClosedSession(uid, s.start, s.last, s.n))
-          } else {
-            val times = evs.map(_.ts.getTime / 1000).toSeq.sorted
-            var closed = List.empty[ClosedSession]
-            var open = state.getOption
-            times.foreach { t =>
-              open = open match {
-                case Some(s) if t - s.last <= gapSeconds =>
-                  Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-                case Some(s) =>
-                  closed ::= ClosedSession(uid, s.start, s.last, s.n)
-                  Some(OpenSession(t, t, 1))
-                case None => Some(OpenSession(t, t, 1))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(math.max(
-                state.getCurrentWatermarkMs() + 1,
-                (s.last + gapSeconds) * 1000 + 1))
-            }
-            closed.reverse.iterator
+         state: org.apache.spark.sql.streaming.GroupState[OpenSessions]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut)
+            emitAndKeep(uid, state.get.sessions.toList, wmMs,
+              eagerTail = false, state)
+          else {
+            val incoming = evs.map(e =>
+              OpenSession(math.floorDiv(e.ts.getTime, 1000),
+                math.floorDiv(e.ts.getTime, 1000), 1)).toSeq
+            val merged = normalize(
+              state.getOption.map(_.sessions).getOrElse(Nil) ++ incoming)
+            emitAndKeep(uid, merged, wmMs, eagerTail = zeroDelay, state)
           }
       }
   }

@@ -31,7 +31,9 @@ object StreamDedup {
       .dropDuplicatesWithinWatermark(keys)
 
   /** Content-hash dedup key: 8-byte state entries instead of documents. */
-  def hashKey(events: DataFrame, contentCols: Seq[String]): DataFrame =
+  def hashKey(events: DataFrame, contentCols: Seq[String]): DataFrame = {
+    graft.InternalCols.requireAbsent(events, "hashKey", "__dedup_key")
     events.withColumn("__dedup_key",
       org.apache.spark.sql.functions.xxhash64(contentCols.map(col): _*))
+  }
 }

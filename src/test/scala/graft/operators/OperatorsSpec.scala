@@ -36,6 +36,22 @@ class DedupSpec extends SparkSpec {
     assert(canon(Some(true)).nonEmpty)
   }
 
+  test("exactGroups transports agree on null-id rows in colliding groups") {
+    // the broadcast restriction joins on the colliding HASH: an
+    // id-equality semi-join could never retain a null-id row, making `n`
+    // transport-dependent
+    val df = Seq((Option(1L), "x"), (Option.empty[Long], "x"),
+      (Option(3L), "y")).toDF("id", "c")
+    def canon(mode: Option[Boolean]) =
+      Dedup.exactGroups(df, col("id"), col("c"), mode).collect()
+        .map(r => (r.getAs[Seq[Long]]("ids").mkString(","),
+          r.getAs[Long]("n"))).toSet
+    val direct = canon(Some(false))
+    assert(direct == canon(Some(true)))
+    assert(direct.contains(("1", 2L)), // ids drop the null, n counts it
+      direct.toString)
+  }
+
   test("exactGroups auto transport: broadcast when colliding mass is small, " +
     "direct grouping when it would blow the driver") {
     // the broadcast-restricted plan contains a join (the left_semi id
@@ -651,6 +667,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("e2").isEmpty)         // no right row at/after 25
     assert(out("e3").isEmpty)         // right row is BEFORE left ts
   }
+
+  test("null keys and null timestamps never match (SQL as-of semantics)") {
+    // a null-ts right row sorts FIRST ascending — without the null filter
+    // its payload attaches to any left row lacking a genuine prior match
+    val left = Seq((Option(1L), Option(10L), "e1"),
+      (Option(1L), Option.empty[Long], "eNullTs"),
+      (Option.empty[Long], Option(10L), "eNullKey"))
+      .toDF("k", "ts", "name")
+    val right = Seq((Option(1L), Option.empty[Long], "rNullTs"),
+      (Option.empty[Long], Option(5L), "rNullKey"),
+      (Option(1L), Option(4L), "r4"))
+      .toDF("rk", "rts", "payload")
+    val prior = AsOfJoin.nearestPrior(left, right, "k", "rk", "ts", "rts",
+      Seq("payload"))
+      .select("name", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(prior("e1").contains("r4"))
+    assert(prior("eNullTs").isEmpty,  "null left ts matches nothing")
+    assert(prior("eNullKey").isEmpty, "null left key matches nothing")
+
+    // forward mode sorts null left ts LAST — it would otherwise receive
+    // the earliest right payload
+    val following = AsOfJoin.nearestFollowing(left, right, "k", "rk",
+      "ts", "rts", Seq("payload"))
+      .select("name", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(following("eNullTs").isEmpty)
+    assert(following("eNullKey").isEmpty)
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
@@ -795,6 +840,23 @@ class MultimodalSpec extends SparkSpec {
     assert(means.toSeq == Seq(200.0, 55.0, 7.0)) // constant fill ⇒ exact
   }
 
+  test("decodeWav quarantines compressed (non-PCM) format tags") {
+    // frames = data/blockAlign only holds for uncompressed layouts; an
+    // ADPCM tag uses blockAlign as the compressed block size, so a parsed
+    // result would be off by the compression factor — must return None
+    val good = testWav(8000, 1, 1000)
+    val adpcm = good.clone()
+    adpcm(20) = 2 // audioFormat u16le at offset 20: 2 = MS ADPCM
+    assert(Multimodal.decodeWav(adpcm).isEmpty)
+    val imaAdpcm = good.clone()
+    imaAdpcm(20) = 17
+    assert(Multimodal.decodeWav(imaAdpcm).isEmpty)
+    // IEEE-float PCM (3) keeps the bytes-per-frame contract: still parsed
+    val floatPcm = good.clone()
+    floatPcm(20) = 3
+    assert(Multimodal.decodeWav(floatPcm).nonEmpty)
+  }
+
   test("decodeWav survives corrupt chunk sizes and truncated data") {
     val good = testWav(8000, 1, 1000)
     // truncate mid-data: frame count reflects the bytes actually present
@@ -870,7 +932,7 @@ class SessionWindowSpec extends graft.SparkSpec {
         .toSet
 
     val sweep = canon(Sessionize.sessionStats(
-      df, "user_id", "t", valueCol = "t", gapSeconds = 1800))
+      df, "user_id", "t", valueCol = "user_id", gapSeconds = 1800))
     val native = canon(Sessionize.bySessionWindow(df, "user_id", "t", 1800)
       .withColumn("n_events", col("n_events").cast("long")))
     assert(sweep == native)
@@ -879,12 +941,12 @@ class SessionWindowSpec extends graft.SparkSpec {
   test("boundary: an exactly-gap event merges in BOTH forms; gap+1 splits both") {
     val atGap = Seq((1L, ts(0)), (1L, ts(1800))).toDF("user_id", "t")
     assert(Sessionize.sessionStats(
-      atGap, "user_id", "t", valueCol = "t", gapSeconds = 1800).count() == 1)
+      atGap, "user_id", "t", valueCol = "user_id", gapSeconds = 1800).count() == 1)
     assert(Sessionize.bySessionWindow(atGap, "user_id", "t", 1800).count() == 1)
 
     val pastGap = Seq((1L, ts(0)), (1L, ts(1801))).toDF("user_id", "t")
     assert(Sessionize.sessionStats(
-      pastGap, "user_id", "t", valueCol = "t", gapSeconds = 1800).count() == 2)
+      pastGap, "user_id", "t", valueCol = "user_id", gapSeconds = 1800).count() == 2)
     assert(Sessionize.bySessionWindow(pastGap, "user_id", "t", 1800).count() == 2)
   }
 }

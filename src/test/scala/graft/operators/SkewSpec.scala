@@ -29,6 +29,28 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(salted == plain && salted.nonEmpty)
   }
+
+  test("internal helper column names on the input fail fast, not silently") {
+    // a user '__salt' column would be overwritten by the salting
+    // withColumn and then dropped — data loss with no error
+    val poisoned = lineitem.withColumn("__salt", lit(1))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(poisoned, supplier, "l_suppkey", "s_suppkey")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedAgg(poisoned, Seq("l_returnflag"),
+        Map("s" -> col("l_quantity")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sessionize.byGap(
+        lineitem.withColumn("session_id", lit(1)),
+        "l_suppkey", "l_shipdate", 60)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamDedup.hashKey(
+        lineitem.withColumn("__dedup_key", lit(1)), Seq("l_suppkey"))
+    }
+  }
 }
 
 class StatefulSessionizeSpec extends SparkSpec {

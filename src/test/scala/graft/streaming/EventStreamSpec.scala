@@ -82,6 +82,35 @@ class ClosedSessionsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("a late event within the watermark delay opens its own earlier " +
+    "session instead of merging into the open one") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[TsEvent]
+    val name = s"late_${System.nanoTime()}"
+    val q = closedSessions(input.toDS(), gapSeconds = 60,
+      watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(TsEvent(1, ts(1000)))
+      q.processAllAvailable()
+      // LATE by arrival order but inside the delay: must become its own
+      // earlier session — single-session state merged it into [1000,1000]
+      // (t - last <= gap holds for arbitrarily old t)
+      input.addData(TsEvent(1, ts(100)))
+      q.processAllAvailable()
+      // push the watermark far past both close times
+      input.addData(TsEvent(2, ts(100000)))
+      q.processAllAvailable()
+      input.addData(TsEvent(2, ts(100001)))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[ClosedSession].collect().toSet
+      assert(rows.contains(ClosedSession(1, 100, 100, 1)), rows.toString)
+      assert(rows.contains(ClosedSession(1, 1000, 1000, 1)), rows.toString)
+      assert(rows.size == spark.table(name).count())
+    } finally q.stop()
+  }
+
   test("registered closed_sessions query equals batch gap-sessionization " +
     "minus the open tails (the driver-oracle identity)") {
     import org.apache.spark.sql.expressions.Window
