@@ -22,10 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NgramKernels {
 
-  /** Token [start, end) offsets within the bytes. Whitespace = Java regex
-    * `\s`: space, tab, LF, VT, FF, CR (ASCII-only, multibyte-safe). */
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+  // the ONE whitespace set every fused tokenizer kernel shares (Java
+  // regex `\s`: space, tab, LF, VT, FF, CR — ASCII-only, multibyte-safe)
+  import WsBytes.isSpace
 
   /** Returns packed token offsets: even slots start, odd slots end. */
   private def tokenize(bytes: Array[Byte]): (Array[Int], Int) = {

@@ -39,9 +39,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
-  // Java regex \s = [ \t\n\x0B\f\r] — match the composed wsTokens exactly
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+  // the ONE whitespace set every fused tokenizer kernel shares
+  import WsBytes.isSpace
 
   /** Static kernel (also called from generated code). */
   def compute(s: UTF8String): Long = {

@@ -123,9 +123,17 @@ final case class TablePlan(
       var c = col(src)
       // Naive (NTZ) timestamps: interpret in `tz`, emit UTC instants —
       // the Spark analog of `(col AT TIME ZONE tz)` in the reference.
+      // The NTZ→TS cast binds the SESSION zone, so it is undone with
+      // from_utc_timestamp(·, current_timezone()) before the `tz`
+      // interpretation — a bare to_utc_timestamp(cast(c), z) is only
+      // correct when the session zone is UTC (the cast has already
+      // shifted the wall clock by the session offset). The cancel pair
+      // can disagree only for wall times inside a session-zone DST
+      // transition window.
       tz.foreach { z =>
         if (fieldType(src) == TimestampNTZType)
-          c = to_utc_timestamp(c.cast(TimestampType), z)
+          c = to_utc_timestamp(
+            from_utc_timestamp(c.cast(TimestampType), current_timezone()), z)
       }
       types.get(out) match {
         case Some(t) if Types.isBoolean(t) => c = safeBool(c)
@@ -136,7 +144,15 @@ final case class TablePlan(
     }
 
     val projected = filtered.select(projection: _*)
-    obs.fold(projected)(n => projected.limit(n.toInt))
+    obs.fold(projected) { n =>
+      // Dataset.limit takes an Int: a silent Long.toInt would overflow to
+      // a negative (AnalysisException) or a SMALLER positive limit,
+      // quietly returning fewer rows than the SQL-pushdown rendering of
+      // the same plan
+      require(n >= 0 && n <= Int.MaxValue,
+        s"obs row limit $n outside [0, ${Int.MaxValue}]")
+      projected.limit(n.toInt)
+    }
   }
 
   /** Render as a PostgreSQL SELECT for JDBC pushdown, given the source

@@ -59,7 +59,17 @@ object Jdbc {
           .option("lowerBound", lo)
           .option("upperBound", hi)
           .option("numPartitions", numPartitions)
-      case _ => reader
+      case (None, None, None) => reader
+      case _ =>
+        // a partial spec must not silently degrade the fan-out to one
+        // unpartitioned stream — at scale that is a multi-hour single-
+        // executor ingest with nothing telling the caller why
+        throw new IllegalArgumentException(
+          "readTable partitioning needs partitionColumn, lowerBound AND " +
+            "upperBound together (got " +
+            s"partitionColumn=$partitionColumn lowerBound=$lowerBound " +
+            s"upperBound=$upperBound); use readTableSkewBalanced or " +
+            "readTablePredicates when bounds are unknown")
     }
     val props = new java.util.Properties()
     props.putAll(properties)
@@ -248,12 +258,15 @@ object Jdbc {
       url: String,
       sql: String,
       properties: java.util.Properties = new java.util.Properties()
-  ): DataFrame =
-    spark.read
+  ): DataFrame = {
+    val reader = spark.read
       .format("jdbc")
       .option("url", url)
       .option("query", sql)
-      .load()
+    properties.asInstanceOf[java.util.Hashtable[AnyRef, AnyRef]]
+      .forEach((k, v) => reader.option(k.toString, v.toString))
+    reader.load()
+  }
 
   /** Estimated bytes per row from the source schema (Catalyst per-type
     * `defaultSize`; strings/binary use their conservative defaults). */
@@ -295,9 +308,15 @@ object Jdbc {
             if (rs.next()) Option(rs.getString(1)).filter(_.nonEmpty) else None
           } finally st.close()
         case None =>
-          val rs = conn.getMetaData.getTables(null, schema, table, Array("TABLE"))
-          if (rs.next()) Option(rs.getString("REMARKS")).filter(_.nonEmpty)
-          else None
+          val rs = conn.getMetaData.getTables(null,
+            escapeMetaPattern(conn, schema), escapeMetaPattern(conn, table),
+            Array("TABLE"))
+          var rem: Option[String] = None
+          while (rem.isEmpty && rs.next())
+            if (rs.getString("TABLE_NAME") == table &&
+                rs.getString("TABLE_SCHEM") == schema)
+              rem = Option(rs.getString("REMARKS")).filter(_.nonEmpty)
+          rem
       }
     } finally conn.close()
   }
@@ -305,6 +324,20 @@ object Jdbc {
   /** SQL single-quoted string literal with embedded quotes doubled. */
   private[graft] def sqlLiteral(s: String): String =
     "'" + s.replace("'", "''") + "'"
+
+  /** Escape JDBC metadata wildcards in an EXACT name: getTables/getColumns
+    * treat their schema/table arguments as search patterns where `_`
+    * matches any character — unescaped, `my_table` matches `myXtable` too,
+    * and a columns lookup would interleave both tables' columns. Some
+    * drivers (Derby) report NO escape character, so every call site ALSO
+    * post-filters rows on exact TABLE_SCHEM/TABLE_NAME equality — the
+    * escape is server-side narrowing, the filter is the guarantee. */
+  private def escapeMetaPattern(conn: java.sql.Connection, name: String): String = {
+    val esc = conn.getMetaData.getSearchStringEscape
+    if (esc == null || esc.isEmpty) name
+    else name.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+  }
 
   /** SQL double-quoted identifier with embedded quotes doubled. */
   private[graft] def sqlIdent(name: String): String =
@@ -369,9 +402,11 @@ object Jdbc {
   def tableColumnsMeta(url: String, schema: String, table: String): Seq[ColumnMeta] = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val rs = conn.getMetaData.getColumns(null, schema, table, "%")
+      val rs = conn.getMetaData.getColumns(null,
+        escapeMetaPattern(conn, schema), escapeMetaPattern(conn, table), "%")
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, ColumnMeta)]
-      while (rs.next()) {
+      while (rs.next()) if (rs.getString("TABLE_NAME") == table &&
+          rs.getString("TABLE_SCHEM") == schema) {
         val size = rs.getInt("COLUMN_SIZE")
         val sizeOpt = if (rs.wasNull()) None else Some(size)
         val dd = rs.getInt("DECIMAL_DIGITS")
@@ -390,9 +425,12 @@ object Jdbc {
   def schemaTables(url: String, schema: String): Seq[String] = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val rs = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
+      val rs = conn.getMetaData.getTables(null,
+        escapeMetaPattern(conn, schema), "%", Array("TABLE"))
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (rs.next()) out += rs.getString("TABLE_NAME")
+      while (rs.next())
+        if (rs.getString("TABLE_SCHEM") == schema)
+          out += rs.getString("TABLE_NAME")
       out.toSeq.sorted
     } finally conn.close()
   }
@@ -400,8 +438,16 @@ object Jdbc {
   /** Table existence (reference table_exists, postgres/introspect.py:1). */
   def tableExists(url: String, schema: String, table: String): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url)
-    try conn.getMetaData.getTables(null, schema, table, Array("TABLE")).next()
-    finally conn.close()
+    try {
+      val rs = conn.getMetaData.getTables(null,
+        escapeMetaPattern(conn, schema), escapeMetaPattern(conn, table),
+        Array("TABLE"))
+      var found = false
+      while (!found && rs.next())
+        found = rs.getString("TABLE_NAME") == table &&
+          rs.getString("TABLE_SCHEM") == schema
+      found
+    } finally conn.close()
   }
 
   /** Column name → database type name, in ordinal order (reference
@@ -409,19 +455,29 @@ object Jdbc {
   def tableColumns(url: String, schema: String, table: String): Seq[(String, String)] = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val rs = conn.getMetaData.getColumns(null, schema, table, "%")
+      val rs = conn.getMetaData.getColumns(null,
+        escapeMetaPattern(conn, schema), escapeMetaPattern(conn, table), "%")
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
-      while (rs.next()) out += ((rs.getInt("ORDINAL_POSITION"),
-        rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME")))
+      while (rs.next()) if (rs.getString("TABLE_NAME") == table &&
+          rs.getString("TABLE_SCHEM") == schema)
+        out += ((rs.getInt("ORDINAL_POSITION"),
+          rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME")))
       out.sortBy(_._1).map(t => (t._2, t._3)).toSeq
     } finally conn.close()
   }
 
-  /** PostgreSQL column DDL for `createTableColumnTypes` on the write path
-    * (reference pq_to_pg / postgres_write_pg type mapping). */
+  /** Column DDL for Spark's `createTableColumnTypes` writer option. Spark
+    * parses this option with its OWN DDL parser (`parseTableSchema`) and
+    * lets the JDBC dialect map each Spark type to the database's DDL name
+    * at CREATE TABLE (string → TEXT on PostgreSQL, binary → BYTEA, …) —
+    * emitting PostgreSQL names here ("text", "bytea", "double precision")
+    * fails at parse time before a single row is written. User-supplied
+    * PG-ish/Arrow-ish names normalize to Spark DDL via [[Types.normalize]];
+    * the direct-to-PG DDL mapping lives in the COPY path
+    * (`PgCopy.createTableSql`), which really does speak PostgreSQL. */
   def createTableColumnTypes(colTypes: Map[String, String]): String =
     colTypes
-      .map { case (c, t) => s"$c ${Types.toPostgres(t)}" }
+      .map { case (c, t) => s"$c ${Types.normalize(t)}" }
       .mkString(", ")
 
   /** Write a DataFrame to a database table (reference pq_to_pg). */

@@ -105,7 +105,15 @@ object PgCopy {
       val sb = new StringBuilder(2 + 2 * b.length).append("\\x")
       b.foreach(x => sb.append(hex((x >> 4) & 0xF)).append(hex(x & 0xF)))
       sb.toString()
-    case t: java.sql.Timestamp      => "\"" + t.toString + "\""
+    // render the INSTANT with an explicit +00 offset: Timestamp.toString
+    // formats in the executor JVM's default zone with no zone suffix, so
+    // the server would re-interpret the wall clock in ITS zone — every
+    // value silently shifted by the JVM/server offset. With the offset
+    // spelled out, timestamptz stores the exact instant and plain
+    // timestamp stores the UTC wall clock (Spark's convention for
+    // instants) on any server TimeZone.
+    case t: java.sql.Timestamp      =>
+      "\"" + t.toInstant.toString.replace('T', ' ').replace("Z", "+00") + "\""
     case t: java.time.LocalDateTime => "\"" + t.toString.replace('T', ' ') + "\""
     case t: java.time.Instant       => "\"" + t.toString + "\""
     case d: java.sql.Date           => d.toString

@@ -63,21 +63,12 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       parquetBlockBytes: Option[Long] = None
   ): Path = {
     val dest = tablePath(schema, table)
-    val tmp = new Path(new Path(dataDir, schema), s"_tmp_$table.parquet")
+    // deliberately the same tmp path mergePartitioned uses: a concurrent
+    // write and merge of one table collide on it instead of interleaving
+    val tmp = mergeTmpPath(schema, table)
     val f = fs(dest)
 
-    val out = modified match {
-      case None => df
-      case Some(m) =>
-        // Attach to the first field: Spark serializes all field metadata into
-        // the footer, so readers recover it from the schema alone.
-        val first = df.columns.head
-        val md = new MetadataBuilder()
-          .withMetadata(df.schema.head.metadata)
-          .putString(MetadataKey, m)
-          .build()
-        df.withColumn(first, col(first).as(first, md))
-    }
+    val out = stampModified(df, Nil, modified)
 
     if (f.exists(tmp)) f.delete(tmp, true)
     val writer = out.write.mode("overwrite")
@@ -363,11 +354,17 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     // manifest AFTER the tmp write committed, BEFORE the first swap: its
     // presence certifies the tmp layout is complete and records which
     // partitions are in flight (hasNew=false ⇒ the merged partition came
-    // out empty and the destination dir's end state is "absent")
-    val entries = affected.toSeq.map { row =>
-      val rel = partitionRelDir(row)
-      rel -> f.exists(new Path(tmp, rel))
-    }
+    // out empty and the destination dir's end state is "absent").
+    // hasNew entries come from LISTING the tmp layout — the names the
+    // writer actually created — never from re-rendering row values:
+    // value.toString can drift from the writer's path rendering (e.g.
+    // java.sql.Timestamp's trailing ".0"), and a drifted name would
+    // record hasNew=false for a partition whose merged data is sitting in
+    // tmp, silently discarding the whole update at cleanup
+    val newRels = listPartitionRelDirs(f, tmp, partitionCols.length)
+    val computed = affected.toSeq.map(partitionRelDir)
+    val entries = newRels.map(_ -> true) ++
+      computed.filterNot(newRels.toSet).map(_ -> false)
     writeMergeManifest(schema, table, entries)
 
     promoteMergedPartitions(f, tmp, dest, entries)
@@ -427,8 +424,35 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       }
     }
 
-  /** Hive-escaped relative partition dir (`a=1/b=2`), exactly as Spark's
-    * writer lays directories out. */
+  /** The `a=1/b=2` relative partition dirs present under `base`, walking
+    * exactly `depth` directory levels (sidecars and files skipped) — the
+    * writer-authored names, used as promotion truth by
+    * [[mergePartitioned]]. */
+  private def listPartitionRelDirs(
+      f: org.apache.hadoop.fs.FileSystem,
+      base: Path,
+      depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int): Seq[Path] =
+      if (d == 0) Seq(p)
+      else f.listStatus(p).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+        .flatMap(s => walk(s.getPath, d - 1))
+    // listStatus returns scheme-qualified paths (file:/…): the prefix must
+    // be qualified the same way or nothing strips and the "relative" name
+    // comes back absolute — which then resolves to itself on BOTH sides of
+    // the promote rename
+    val prefix = f.makeQualified(base).toString + "/"
+    walk(base, depth).map { p =>
+      val full = p.toString
+      require(full.startsWith(prefix), s"$full not under $prefix")
+      full.stripPrefix(prefix)
+    }
+  }
+
+  /** Hive-escaped relative partition dir (`a=1/b=2`), matching Spark's
+    * writer layout for the common types; [[mergePartitioned]] treats the
+    * LISTED tmp layout as truth and uses this rendering only for the
+    * defensive empty-merge entries. */
   private def partitionRelDir(row: org.apache.spark.sql.Row): String =
     row.schema.fieldNames.zipWithIndex.map { case (c, i) =>
       val v = Option(row.get(i)).map(x =>

@@ -58,6 +58,37 @@ class TablePlanSparkSpec extends SparkSpec {
     assert(epoch == java.time.Instant.parse("2024-06-01T16:00:00Z").getEpochSecond)
   }
 
+  test("tz normalization is session-timezone independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the NTZ→TS cast binds the session zone; the plan must cancel it —
+    // under a non-UTC session the naive apply() shifted every instant by
+    // the session offset while the SQL pushdown rendering did not
+    val df = Seq("2024-06-01T12:00:00").toDF("s")
+      .select(to_timestamp_ntz($"s").as("ts"))
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    try {
+      for (sessionTz <- Seq("UTC", "America/New_York", "Asia/Tokyo")) {
+        spark.conf.set(key, sessionTz)
+        val out = TablePlan(tz = Some("UTC"))(df)
+        val epoch = out.select(unix_timestamp($"ts")).as[Long].head()
+        assert(epoch ==
+          java.time.Instant.parse("2024-06-01T12:00:00Z").getEpochSecond,
+          s"session $sessionTz shifted the instant")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("obs beyond Int.MaxValue is rejected, not truncated") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("a")
+    val e = intercept[IllegalArgumentException] {
+      TablePlan(obs = Some(5000000000L))(df)
+    }
+    assert(e.getMessage.contains("obs row limit"))
+  }
+
   test("numericMode casts uncovered decimal columns; explicit colTypes wins") {
     import spark.implicits._
     val df = Seq((1L, BigDecimal("12.34"), BigDecimal("56.78")))

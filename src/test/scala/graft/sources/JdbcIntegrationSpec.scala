@@ -121,6 +121,52 @@ class JdbcIntrospectionSpec extends SparkSpec {
       Seq(("A", "BIGINT"), ("B", "VARCHAR")))
   }
 
+  test("metadata lookups treat names literally, not as JDBC patterns") {
+    // '_' is a single-char wildcard in getTables/getColumns patterns:
+    // unescaped, A_B also matches AXB — tableExists answered true for
+    // near-names and a columns lookup interleaved both tables' columns
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("CREATE SCHEMA META") catch { case _: Exception => }
+      try st.execute("DROP TABLE META.A_B") catch { case _: Exception => }
+      try st.execute("DROP TABLE META.AXB") catch { case _: Exception => }
+      st.execute("CREATE TABLE META.A_B (X INT)")
+      st.execute("CREATE TABLE META.AXB (Y INT, Z INT)")
+    } finally conn.close()
+    assert(Jdbc.tableExists(url, "META", "A_B"))
+    assert(!Jdbc.tableExists(url, "META", "A_C"))
+    assert(Jdbc.tableColumns(url, "META", "A_B") == Seq(("X", "INTEGER")))
+    assert(Jdbc.tableColumns(url, "META", "AXB") ==
+      Seq(("Y", "INTEGER"), ("Z", "INTEGER")))
+  }
+
+  test("createTableColumnTypes emits Spark-parseable DDL from PG-ish names") {
+    // Spark parses this writer option with ITS OWN DDL parser; PostgreSQL
+    // names ("text", "bytea", "double precision") threw ParseException
+    // before a single row was written
+    val ddl = Jdbc.createTableColumnTypes(Map(
+      "a" -> "text", "b" -> "bytea", "c" -> "double precision",
+      "d" -> "int4"))
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseTableSchema(ddl)
+    assert(parsed.fieldNames.toSet == Set("a", "b", "c", "d"))
+    assert(parsed("a").dataType == org.apache.spark.sql.types.StringType)
+    assert(parsed("b").dataType == org.apache.spark.sql.types.BinaryType)
+  }
+
+  test("partial partitioning spec is rejected, not silently dropped") {
+    import graft.plans.TablePlan
+    val e = intercept[IllegalArgumentException] {
+      Jdbc.readTable(spark, url, TablePlan(), "META", "T1",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("A",
+            org.apache.spark.sql.types.LongType))),
+        partitionColumn = Some("A"))
+    }
+    assert(e.getMessage.contains("lowerBound"))
+  }
+
   test("dbSchemaToPq exports every discovered table; dbToDb mirrors") {
     val repo = PqRepo(spark,
       java.nio.file.Files.createTempDirectory("graft_schema_jdbc").toString)

@@ -85,6 +85,29 @@ class MergeSpec extends SparkSpec {
       assert(java.util.Arrays.equals(bytes, files("day=d3")(p)), s"$p changed") }
   }
 
+  test("mergePartitioned survives partition values whose toString differs " +
+    "from the writer's path rendering (timestamp partitions)") {
+    // java.sql.Timestamp.toString appends ".0" while Spark's writer does
+    // not: a manifest keyed on re-rendered row values recorded hasNew =
+    // false for every such partition and silently DISCARDED the merged
+    // update at cleanup — promotion truth must come from listing the tmp
+    // layout the writer actually produced
+    val dir = java.nio.file.Files.createTempDirectory("mergets")
+    val repo = PqRepo(spark, dir.toString)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    repo.writePartitioned(
+      Seq((ts("2024-01-01 10:00:00"), 1L, 10.0), (ts("2024-01-02 10:00:00"), 2L, 20.0))
+        .toDF("pt", "k", "v"),
+      "s", "tts", Seq("pt"))
+    repo.mergePartitioned(
+      Seq((ts("2024-01-01 10:00:00"), 1L, 99.0), (ts("2024-01-03 10:00:00"), 3L, 30.0))
+        .toDF("pt", "k", "v"),
+      "s", "tts", keys = Seq("pt", "k"), partitionCols = Seq("pt"))
+    val out = repo.table("s", "tts").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((1L, 99.0), (2L, 20.0), (3L, 30.0)))
+  }
+
   test("mergePartitioned stamps lastModified on rewritten partitions " +
     "(the merge path keeps writePartitioned's metadata contract)") {
     val repo = PqRepo(spark,

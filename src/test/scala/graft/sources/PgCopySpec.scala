@@ -63,8 +63,12 @@ class PgCopySpec extends AnyFunSuite {
     assert(PgCopy.csvField("a\"b,c\nd") == "\"a\"\"b,c\nd\"")
     assert(PgCopy.csvField(Array[Byte](0, 15, -1)) == "\\x000fff")
     assert(PgCopy.csvField(java.sql.Date.valueOf("2024-02-29")) == "2024-02-29")
-    assert(PgCopy.csvField(java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789")) ==
-      "\"2024-02-29 12:34:56.789\"")
+    // instants render in UTC with an explicit +00 offset, independent of
+    // the executor JVM's default zone (Timestamp.toString is zone-local
+    // and suffix-free — the server would re-interpret the wall clock)
+    assert(PgCopy.csvField(java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-02-29T12:34:56.789Z"))) ==
+      "\"2024-02-29 12:34:56.789+00\"")
     assert(PgCopy.csvField(java.time.LocalDateTime.of(2024, 2, 29, 1, 2, 3)) ==
       "\"2024-02-29 01:02:03\"")
     assert(PgCopy.csvField(3.5d) == "3.5")
