@@ -47,37 +47,28 @@ object Bench {
     * becomes the reference (ratio 1.0) and is written back. */
   def calibReference(path: String, threads: Int, measured: Double): Double = {
     val p = java.nio.file.Paths.get(path)
-    val existing: Option[Double] =
+    // ONE parse serves both the lookup and the merge — two divergent
+    // inline parses could drift (one accepting a numeric shape the other
+    // silently drops on rewrite)
+    val prior: Map[String, Double] =
       try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
-        val txt = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        JsonMethods.parse(txt) \ threads.toString match {
-          case JDouble(v) => Some(v)
-          case JInt(v)    => Some(v.toDouble)
-          case _          => None
+        JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)) match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v))    => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty[String, Double]
         }
-      } catch { case _: Throwable => None }
-    existing.getOrElse {
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    prior.getOrElse(threads.toString, {
       // merge the new thread-count key into the existing file — a run at
       // an unseen thread count must never destroy the committed reference
       // for other counts (that would silently re-baseline the next
       // official run against whatever load existed at that moment)
       try {
-        import org.json4s._
-        import org.json4s.jackson.JsonMethods
-        val prior: Map[String, Double] =
-          (try {
-            JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p),
-              java.nio.charset.StandardCharsets.UTF_8)) match {
-              case JObject(fields) => fields.collect {
-                case (k, JDouble(v)) => k -> v
-                case (k, JInt(v))    => k -> v.toDouble
-              }.toMap
-              case _ => Map.empty[String, Double]
-            }
-          } catch { case _: Throwable => Map.empty[String, Double] })
         val merged = prior + (threads.toString -> measured)
         val updated = merged.toSeq.sortBy(_._1.toInt)
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -85,7 +76,7 @@ object Bench {
           updated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } catch { case _: Throwable => () }
       measured
-    }
+    })
   }
 
   private def fmt(v: Double): String =
@@ -227,18 +218,30 @@ object Bench {
     // rounds on an unchanged plan). The median of three is robust to one
     // outlier in either direction; the minimum rides along as a secondary
     // steady-state indicator.
+    // a failed query records (-1, -1) — the timeHeadline sentinel — and is
+    // excluded from every aggregate: a throw measured as a near-zero
+    // "time" would silently DEFLATE total and vs_duckdb with no trace
+    // (the published line would read as a phantom speedup)
     val results = SparkEntry.queries.keys.toSeq.map { name =>
+      var failed = false
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
+        if (!failed)
+          try run(name) catch { case e: Throwable =>
+            failed = true
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> (times(1), times.head) // (median of 3, min)
+      if (failed) name -> (-1.0, -1.0)
+      else name -> (times(1), times.head) // (median of 3, min)
     }
-    val total = results.map(_._2._1).sum
+    val ok = results.filter(_._2._2 >= 0)
+    val total = ok.map(_._2._1).sum
     // aggregate Spark-vs-DuckDB ratio over the queries both engines ran,
     // on MINIMUMS (steady-state; medians carry ambient-load noise)
-    val common = results.filter { case (k, _) => duckdb.contains(k) }
+    val common = ok.filter { case (k, _) => duckdb.contains(k) }
     val duckdbTotal = common.map { case (k, _) => duckdb(k) }.sum
     val sparkCommonMin = common.map(_._2._2).sum
     val vsDuckdb = if (duckdbTotal > 0) sparkCommonMin / duckdbTotal else -1.0
@@ -285,16 +288,19 @@ object Bench {
         var failed = false
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try SparkEntry.queries(name)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            // a failed query must NOT enter the published ratio as a
-            // near-zero "time" — a half-built corpus dir would otherwise
-            // silently flatter vs_duckdb with no trace in the artifact
-            failed = true
-            System.err.println(
-              s"[bench] $label $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          }
+          // all reps are discarded after a failure, so don't re-run a
+          // deterministically-broken query reps times on a big corpus
+          if (!failed)
+            try SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              // a failed query must NOT enter the published ratio as a
+              // near-zero "time" — a half-built corpus dir would otherwise
+              // silently flatter vs_duckdb with no trace in the artifact
+              failed = true
+              System.err.println(
+                s"[bench] $label $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
           (System.nanoTime() - t0) / 1e9
         }.sorted
         if (failed) name -> (-1.0, -1.0)

@@ -172,8 +172,13 @@ object Graft {
       plan: TablePlan = TablePlan()
   ): Seq[(String, Path)] =
     Jdbc.schemaTables(url, schema).map { table =>
+      // quoted identifiers: the catalog can legitimately return
+      // mixed-case or special-character names, which an unquoted
+      // dbtable would case-fold or fail to parse
       val srcSchema = spark.read.format("jdbc")
-        .option("url", url).option("dbtable", s"$schema.$table").load().schema
+        .option("url", url)
+        .option("dbtable", s"${Jdbc.sqlIdent(schema)}.${Jdbc.sqlIdent(table)}")
+        .load().schema
       table -> dbToPq(spark, url, schema, table, srcSchema, repo, plan)
     }
 
@@ -279,8 +284,7 @@ object Graft {
     if (pgDst && createRoles) PgRoles.applyTableRoles(url, ds, dt)
     if (stampComment) {
       val comment = repo.lastModified(schema, table)
-      Jdbc.setTableComment(url, dstSchema.getOrElse(schema),
-        dstTable.getOrElse(table), comment, commentWriteSql(comment))
+      Jdbc.setTableComment(url, ds, dt, comment, commentWriteSql(comment))
     }
   }
 

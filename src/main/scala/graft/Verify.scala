@@ -16,6 +16,12 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)      => (s, o, None)
       case Array(s, o, sub) => (s, o, Some(sub.split(",").map(_.trim).toSet))
+      case _ =>
+        // a controlled exit, not a MatchError stack trace: the driver must
+        // be able to tell operator error from harness breakage
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [query1,query2,...]")
+        sys.exit(2)
     }
     // a typo'd subset must not yield a shrunken-but-green artifact that
     // looks like a full pass: unknown names are a hard failure

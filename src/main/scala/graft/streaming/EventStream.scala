@@ -52,7 +52,13 @@ object EventStream {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // a timed-out wait must not hand back a half-populated table with the
+    // query still running — fail loudly and release the query
+    if (!q.awaitTermination(120000)) {
+      q.stop()
+      throw new java.util.concurrent.TimeoutException(
+        s"stream $queryName did not complete within 120 s")
+    }
     spark.table(queryName)
   }
 }

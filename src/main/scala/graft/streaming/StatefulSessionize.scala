@@ -80,8 +80,13 @@ object StatefulSessionize {
         case (acc, nxt) => nxt :: acc
       }.reverse
 
+    // a session is sealed only when the watermark passes the END of its
+    // last reachable second: an event flooring to second `last + gap`
+    // can carry any millisecond up to (last+gap)*1000+999, so closing at
+    // (last+gap)*1000+1 emitted up to 998 ms early and a surviving
+    // sub-second event could re-open (and re-emit) the session
     def wmClosed(s: OpenSession, wmMs: Long): Boolean =
-      (s.last + gapSeconds) * 1000 + 1 < wmMs
+      (s.last + gapSeconds + 1) * 1000 <= wmMs
 
     def emitAndKeep(
         uid: Long,
@@ -97,8 +102,11 @@ object StatefulSessionize {
       if (open.isEmpty) state.remove()
       else {
         state.update(OpenSessions(open.map(_._1)))
+        // EventTimeTimeout fires when wm exceeds the armed value: arm one
+        // ms under each earliest seal point so the timeout lands exactly
+        // when wmClosed first holds
         state.setTimeoutTimestamp(math.max(wmMs + 1,
-          open.map { case (s, _) => (s.last + gapSeconds) * 1000 + 1 }.min))
+          open.map { case (s, _) => (s.last + gapSeconds + 1) * 1000 - 1 }.min))
       }
       closed.map { case (s, _) => ClosedSession(uid, s.start, s.last, s.n) }
         .iterator

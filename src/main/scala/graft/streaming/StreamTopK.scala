@@ -84,21 +84,39 @@ object StreamTopK {
             state.remove()
             rankCounts(wstart, counts, k)
           } else {
-            val updated = evs.foldLeft(
-              state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])) {
-              (m, e) =>
-                if (m.contains(e.event_type) || m.size < maxKeysPerWindow)
-                  m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
-                else {
-                  // space-saving eviction: the new key replaces the current
-                  // minimum and inherits its count + 1 (deterministic
-                  // victim: smallest count, largest key on ties)
-                  val (vk, vn) = m.minBy { case (key, n) => (n, key) }(
-                    Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
-                  (m - vk).updated(e.event_type, vn + 1L)
-                }
+            // space-saving eviction via a lazy-deletion min-heap: a
+            // per-eviction minBy scan of the full map made the
+            // over-the-cap regime — the exact one the cap exists for —
+            // O(cap) per unseen key (quadratic per batch). Snapshots go
+            // stale when a key's count moves; per-key counts only grow
+            // (an evicted key re-enters above its old count), so a
+            // snapshot matching the live map IS the current minimum.
+            // Victim order unchanged: smallest count, largest key on ties.
+            val victimOrd = Ordering.Tuple2(Ordering.Long, Ordering.String.reverse)
+            val m = scala.collection.mutable.HashMap.empty[String, Long]
+            state.getOption.foreach(_.counts.foreach { case (key, n) => m(key) = n })
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[(Long, String)](victimOrd.reverse)
+            m.foreach { case (key, n) => heap.enqueue((n, key)) }
+            evs.foreach { e =>
+              val key = e.event_type
+              m.get(key) match {
+                case Some(n) =>
+                  m(key) = n + 1L; heap.enqueue((n + 1L, key))
+                case None if m.size < maxKeysPerWindow =>
+                  m(key) = 1L; heap.enqueue((1L, key))
+                case None =>
+                  var victim: (Long, String) = null
+                  while (victim == null) {
+                    val c = heap.dequeue()
+                    if (m.get(c._2).contains(c._1)) victim = c
+                  }
+                  m -= victim._2
+                  m(key) = victim._1 + 1L
+                  heap.enqueue((victim._1 + 1L, key))
+              }
             }
-            state.update(WindowCounts(updated))
+            state.update(WindowCounts(m.toMap))
             // fire when the watermark passes the window end (strictly
             // after, so an on-time event at end-1s still lands first)
             state.setTimeoutTimestamp(math.max(

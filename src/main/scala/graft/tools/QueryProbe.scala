@@ -18,9 +18,14 @@ object QueryProbe {
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    // same SPARK_GRAFT_CPUS convention as Bench/Verify, so probe timings
+    // are comparable to the bench numbers they pre-screen
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpusInt = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpusInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
