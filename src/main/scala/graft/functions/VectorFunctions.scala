@@ -73,6 +73,15 @@ object VectorFunctions {
     toCol(graft.functions.expressions.BoundedTopK(toExpr(score), toExpr(id), k)
       .toAggregateExpression())
 
+  /** Ids of the `k` nearest centroids under cosine order (score desc,
+    * centroid id asc on ties), as `array<int>` best-first. The centroid
+    * matrix rides the expression as a codegen reference object
+    * ([[graft.functions.expressions.NearestCentroids]]), so the plan is
+    * O(1) in centroid count and assignment is shuffle-free — the IVF
+    * argmax (`k = 1`) and probe (`k = nprobe`) kernel. */
+  def nearestCentroids(v: Column, centroids: Seq[(Int, Seq[Double])], k: Int): Column =
+    toCol(graft.functions.expressions.NearestCentroids(toExpr(v), centroids, k))
+
   /** Composed-Column LSH bucket — the spec baseline for the native kernel. */
   private[graft] def lshBucketComposed(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>

@@ -4,8 +4,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Fused native kernels for the embedding operators.
   *
@@ -132,6 +132,71 @@ object VectorKernels {
       i += 1
     }
     cnt
+  }
+
+  /** Ids of the `k` nearest centroids of `v` under cosine order,
+    * best-first (score desc, centroid id asc on ties). `cents` holds the
+    * PRE-NORMALIZED centroids (c/||c||, a zero centroid stays zero), so
+    * the per-centroid score `dot(v, c/||c||)` shares v's norm as a common
+    * positive factor with cosine — the argmax/top-k order is the cosine
+    * order without ever computing ||v||. One pass over the centroid
+    * matrix per row, bounded insertion into k-slot arrays: O(m·d + m·k)
+    * with zero allocation beyond the k slots and the unpacked vector.
+    *
+    * Null when the vector is null, has a null element, or doesn't match
+    * the centroid dimensionality (the same inputs for which the dot
+    * kernel yields null); empty array when there are no centroids. */
+  def nearestCentroids(
+      v: ArrayData,
+      cents: Array[Array[Double]],
+      ids: Array[Int],
+      k: Int,
+      vKind: Int): ArrayData = {
+    val m = cents.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val n = v.numElements()
+    if (n != cents(0).length) return null
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      x(i) = readD(v, i, vKind)
+      i += 1
+    }
+    val kk = math.min(k, m)
+    val bs = new Array[Double](kk)
+    val bi = new Array[Int](kk)
+    var filled = 0
+    var c = 0
+    while (c < m) {
+      val cv = cents(c)
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += x(j) * cv(j); j += 1 }
+      val id = ids(c)
+      if (filled < kk) {
+        var p = filled
+        while (p > 0 && (bs(p - 1) < s || (bs(p - 1) == s && bi(p - 1) > id))) {
+          bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1
+        }
+        bs(p) = s; bi(p) = id
+        filled += 1
+      } else if (s > bs(kk - 1) || (s == bs(kk - 1) && id < bi(kk - 1))) {
+        var p = kk - 1
+        while (p > 0 && (bs(p - 1) < s || (bs(p - 1) == s && bi(p - 1) > id))) {
+          bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1
+        }
+        bs(p) = s; bi(p) = id
+      }
+      c += 1
+    }
+    val out = new Array[Any](filled)
+    var o = 0
+    while (o < filled) {
+      out(o) = java.lang.Integer.valueOf(bi(o))
+      o += 1
+    }
+    new GenericArrayData(out)
   }
 
   private[expressions] def elemKind(dt: DataType): Int = dt match {
@@ -333,6 +398,70 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     val planesRef = ctx.addReferenceObj("graftLshPlanes", planesArr, "double[][]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.expressions.VectorKernels.lshBucket($c, $planesRef, $vKind)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Top-k nearest centroid ids as one fused pass over a centroid matrix
+  * shipped as a codegen reference object — see
+  * [[VectorKernels.nearestCentroids]]. The IVF argmax/probe kernel: the
+  * expression tree is O(1) in centroid count, so a 10⁵-centroid index
+  * plans, constant-folds, and whole-stage-codegens exactly like a
+  * 16-centroid one — where one `greatest(struct(dot(v, array(lit…))))`
+  * branch per centroid grew the tree (and the generated method bodies)
+  * linearly and broke codegen in the low hundreds. Zero shuffle: the
+  * centroids ride the closure, not a join.
+  *
+  * Centroids are held as `Seq[(id, Seq[Double])]` so case-class equality
+  * is structural — `semanticEquals`/canonicalization recognize two
+  * kernels over the same centroids (a raw `Array` param compares by
+  * reference and defeats subexpression elimination). Normalization
+  * (c/||c||) happens once, lazily, driver-side. */
+case class NearestCentroids(
+    child: Expression,
+    centroids: Seq[(Int, Seq[Double])],
+    k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1, got $k")
+    else
+      VectorKernels.checkVectorInputs(prettyName, "input" -> child.dataType)
+
+  private lazy val vKind = VectorKernels.elemKind(child.dataType)
+
+  @transient private lazy val normed: Array[Array[Double]] =
+    centroids.map { case (_, c) =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      (if (nrm == 0.0) c.map(_ => 0.0) else c.map(_ / nrm)).toArray
+    }.toArray
+
+  @transient private lazy val ids: Array[Int] = centroids.map(_._1).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroids(
+      input.asInstanceOf[ArrayData], normed, ids, k, vKind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftIvfCentroids", normed, "double[][]")
+    val idsRef = ctx.addReferenceObj("graftIvfCentroidIds", ids, "int[]")
+    val res = ctx.freshName("ncRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $res =
+        graft.functions.expressions.VectorKernels.nearestCentroids(
+          $c, $centsRef, $idsRef, $k, $vKind);
+      if ($res == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $res;
+      }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

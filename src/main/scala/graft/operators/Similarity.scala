@@ -149,23 +149,64 @@ object Similarity {
     * deterministically from the corpus and optionally refined by
     * distributed k-means, plus the corpus with an assigned
     * nearest-centroid `cluster` column. The index build collects only
-    * centroid-sized data (kilobytes); assignment is a broadcast argmax. */
+    * centroid-sized data; assignment is a shuffle-free constant-size
+    * kernel scan ([[assignClusters]]). */
   final case class IvfIndex(centroids: Seq[(Int, Seq[Double])], assigned: DataFrame)
 
-  private def centroidCols(centroids: Seq[(Int, Seq[Double])], v: Column): Column = {
-    // argmax over cosine(v, centroid_c) — but ||v|| is a common positive
-    // factor across centroids, so argmax needs only dot(v,c)/||c||, and
-    // ||c|| is a Scala-side constant. One dot product per centroid, fully
-    // codegen'd, no UDF, no repeated norm(v).
-    val scored = centroids.map { case (cid, c) =>
-      val cnorm = math.sqrt(c.map(x => x * x).sum)
-      struct(
-        round(VectorFunctions.dot(v, array(c.map(lit): _*)) / lit(cnorm), 9)
-          .as("score"),
-        lit(-cid).as("negid"))
-    }
-    -greatest(scored: _*).getField("negid")
+  /** Nearest-centroid assignment: adds an int `cluster` column. The
+    * argmax over cosine(v, centroid_c) needs only dot(v, c/||c||) — ||v||
+    * is a common positive factor — and runs as ONE constant-size kernel
+    * expression ([[VectorFunctions.nearestCentroids]]) whose centroid
+    * matrix is a codegen reference object: the plan is O(1) in centroid
+    * count (the pre-r11 shape built one `greatest(struct(dot(v,
+    * array(lit…))))` branch per centroid, which grew the expression tree
+    * linearly and broke whole-stage codegen in the low hundreds), fully
+    * codegen'd, no UDF, and — unlike a join against a centroid table —
+    * ZERO shuffle: at 10⁹ corpus rows nothing crosses the wire.
+    * [[assignByJoin]] is the specced join-shaped alternative. */
+  private def assignClusters(
+      vecs: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    vecs.withColumn("cluster",
+      element_at(VectorFunctions.nearestCentroids(col("v"), centroids, 1), 1))
+
+  /** Assignment as a broadcast centroid-DataFrame cross join ranked by
+    * BoundedTopK(1) — the "centroids are data, not plan" formulation.
+    * Kept (and specced identical to [[assignClusters]]) as the measured
+    * alternative, NOT the default: grouping the |corpus|×|centroids|
+    * scored stream back to one row per corpus id makes every corpus id an
+    * aggregation key, and ObjectHashAggregate falls back to SORT-BASED
+    * aggregation past `spark.sql.objectHashAggregate.sortBased.
+    * fallbackThreshold` (128) distinct keys — a per-partition sort of the
+    * full scored stream — and the re-grouped vectors cross one full
+    * exchange. The kernel expression does the same argmax in a straight
+    * shuffle-free scan. */
+  private[operators] def assignByJoin(
+      vecs: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.map { case (cid, c) =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      (cid, if (nrm == 0.0) c.map(_ => 0.0) else c.map(_ / nrm))
+    }.toDF("cid", "cnv"))
+    vecs.crossJoin(cdf)
+      .select(col("id"), col("v"), col("cid"),
+        VectorFunctions.dot(col("v"), col("cnv")).as("score"))
+      .groupBy("id")
+      .agg(first(col("v")).as("v"),
+        VectorFunctions.boundedTopK(col("score"), col("cid"), 1).as("__top"))
+      .select(col("id"), col("v"), col("__top")(0).getField("id").as("cluster"))
   }
+
+  /** Centroid count for [[ivfBuild]] when the caller passes
+    * `numCentroids = 0` (auto): `ceil(√(n / targetClusterSize))` clamped
+    * to [4, 4096] — the same corpus-size lever [[autoPlanes]] gives LSH.
+    * Balances the two costs that scale oppositely in the centroid count:
+    * assignment work is O(n·nlist) while the per-query probed fraction is
+    * ~nprobe/nlist of the corpus, and √-scaling keeps both sublinear as
+    * the corpus grows instead of the index silently falling behind. */
+  private[operators] def autoCentroids(n: Long, targetClusterSize: Int = 64): Int =
+    math.max(4, math.min(4096,
+      math.ceil(math.sqrt(math.max(1.0, n.toDouble / targetClusterSize))).toInt))
 
   /** Build an IVF index over the corpus.
     *
@@ -188,9 +229,13 @@ object Similarity {
       kmeansIters: Int = 0
   ): IvfIndex = {
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // numCentroids = 0: auto-scale from the corpus size (the one count
+    // job runs only in auto mode; explicit callers pay nothing)
+    val nlist =
+      if (numCentroids > 0) numCentroids else autoCentroids(vecs.count())
     var centroids: Seq[(Int, Seq[Double])] = vecs
       .orderBy(xxhash64(col("id")), col("id"))
-      .limit(numCentroids)
+      .limit(nlist)
       .collect()
       .zipWithIndex
       .map { case (r, i) =>
@@ -202,8 +247,7 @@ object Similarity {
       .toSeq
 
     for (_ <- 1 to kmeansIters) {
-      val perDim = vecs
-        .withColumn("cluster", centroidCols(centroids, col("v")))
+      val perDim = assignClusters(vecs, centroids)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg(avg(col("x").cast("double")).as("m"))
@@ -218,7 +262,7 @@ object Similarity {
       }
     }
 
-    val assigned = vecs.withColumn("cluster", centroidCols(centroids, col("v")))
+    val assigned = assignClusters(vecs, centroids)
     IvfIndex(centroids, assigned)
   }
 
@@ -235,17 +279,11 @@ object Similarity {
       nprobe: Int = 4
   ): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    // per-query nprobe nearest centroids (tiny cross product, broadcast);
-    // same norm-free argmax trick as assignment
+    // per-query nprobe nearest centroids — the same constant-size kernel
+    // as assignment with k = nprobe; no per-centroid expression branches
     val probes = q.select(col("query_id"), col("qv"),
-      explode(slice(sort_array(array(index.centroids.map { case (cid, c) =>
-        val cnorm = math.sqrt(c.map(x => x * x).sum)
-        struct(
-          (-round(VectorFunctions.dot(col("qv"), array(c.map(lit): _*))
-            / lit(cnorm), 9)).as("negscore"),
-          lit(cid).as("cid"))
-      }: _*)), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("qv"), col("p.cid").as("cluster"))
+      explode(VectorFunctions.nearestCentroids(
+        col("qv"), index.centroids, nprobe)).as("cluster"))
 
     val scored = broadcast(probes)
       .join(index.assigned, Seq("cluster"))
