@@ -1018,6 +1018,40 @@ object SparkEntry {
         TextFunctions.wsTokenCount(col("text")).cast("bigint").as("n_tokens"))
   }
 
+  /** SURVEY 49 `pack_sequences`: greedy first-fit sequence packing of the
+    * corpus into fixed-token-budget training rows, sharded (the post-
+    * curation step that turns a cleaned corpus into training files).
+    * Modulo shards give the SQL-twin oracle (a per-shard recursive CTE
+    * replays the same greedy fold); the default hash shards are
+    * spec-verified. Budget 90 vs token counts 10..99 exercises both the
+    * bin rollover and the oversize quarantine (bin −1). */
+  private def packSequencesQ(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).cast("long").as("tok"))
+    operators.Packing.packSequences(items, "doc_id", "tok",
+      budget = 90L, numShards = 32,
+      shardExpr = Some(pmod(col("doc_id"), lit(32))))
+      .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
+  }
+
+  /** SURVEY 50 `mix_sources`: deterministic weighted interleave of three
+    * sub-corpora at 5:3:2 into 7 output shards. The keep bounds come
+    * from exact integer arithmetic over the source counts, so the DuckDB
+    * oracle recomputes them bit-for-bit from the same data; modulo
+    * sample/shard keys give the SQL twin (hash defaults spec-verified). */
+  private def mixSourcesQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id")
+    def slice(r: Int) = d.filter(pmod(col("doc_id"), lit(3)) === r)
+    val srcs = Seq(
+      operators.Mixing.SourceSpec("s0", slice(0), 5),
+      operators.Mixing.SourceSpec("s1", slice(1), 3),
+      operators.Mixing.SourceSpec("s2", slice(2), 2))
+    operators.Mixing.mixSources(srcs, "doc_id", numShards = 7,
+      granularity = 1000L,
+      sampleExpr = (_, id) => Some(pmod(id, lit(1000))),
+      shardExpr = (_, id) => Some(pmod(id + 3, lit(7))))
+  }
+
   /** SURVEY 12d `q_zorder`: the Morton-curve values behind
     * [[graft.sources.PqRepo.writeZOrdered]]'s multi-dimensional data
     * skipping, integer-exact under a DuckDB bit-arithmetic oracle (the
@@ -1247,7 +1281,9 @@ object SparkEntry {
       "url_canonicalize" -> (urlCanonicalize _),
       "q_transitions" -> (qTransitions _),
       "source_minhash" -> (sourceMinhash _),
-      "repo_merge" -> (repoMerge _)
+      "repo_merge" -> (repoMerge _),
+      "pack_sequences" -> (packSequencesQ _),
+      "mix_sources" -> (mixSourcesQ _)
     )
 
   // ===== oracles ============================================================
@@ -2074,6 +2110,53 @@ object SparkEntry {
             FROM q, embeddings c WHERE c.vec_id != q.vec_id)
           SELECT query_id, cand_id, cos,
             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
-          FROM pairs QUALIFY rank <= 5"""
+          FROM pairs QUALIFY rank <= 5""",
+    "pack_sequences" ->
+      // the same greedy first-fit fold, replayed per shard by a recursive
+      // CTE: state = (fill of open bin, open bin number); oversize items
+      // emit bin -1 without touching the state
+      raw"""WITH RECURSIVE t AS (
+            SELECT doc_id, CAST(len(${wsTokensSql("text")}) AS BIGINT) AS tok,
+              CAST(doc_id % 32 AS INT) AS shard,
+              CAST(row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS BIGINT) AS rn
+            FROM documents),
+          p AS (
+            SELECT doc_id, tok, shard, rn,
+              CASE WHEN tok > 90 THEN CAST(0 AS BIGINT) ELSE tok END AS fill,
+              CASE WHEN tok > 90 THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bin,
+              CAST(0 AS BIGINT) AS cbin
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.doc_id, t.tok, t.shard, t.rn,
+              CASE WHEN t.tok > 90 THEN p.fill
+                   WHEN p.fill + t.tok > 90 THEN t.tok
+                   ELSE p.fill + t.tok END,
+              CASE WHEN t.tok > 90 THEN CAST(-1 AS BIGINT)
+                   WHEN p.fill + t.tok > 90 THEN p.cbin + 1
+                   ELSE p.cbin END,
+              CASE WHEN t.tok > 90 THEN p.cbin
+                   WHEN p.fill + t.tok > 90 THEN p.cbin + 1
+                   ELSE p.cbin END
+            FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
+          SELECT doc_id, shard, bin, tok AS n_tokens FROM p""",
+    "mix_sources" ->
+      // keep bounds from exact integer arithmetic over the source counts:
+      // bottleneck = argmin n_j/w_j via integer keys n_j*(W/w_j), W = 30
+      """WITH src AS (
+           SELECT doc_id, CAST(doc_id % 3 AS INT) AS s FROM documents),
+         n AS (SELECT s, count(*) AS n FROM src GROUP BY s),
+         w AS (SELECT * FROM (VALUES (0, 5), (1, 3), (2, 2)) AS t(s, w)),
+         j AS (SELECT n.s, n.n, w.w FROM n JOIN w USING (s)),
+         b AS (SELECT s, n, w FROM j ORDER BY n * (30 // w), s LIMIT 1),
+         bounds AS (
+           SELECT j.s,
+             CASE WHEN j.s = (SELECT s FROM b) THEN 1000
+                  ELSE least(1000, (1000 * (SELECT n FROM b) * j.w)
+                                   // ((SELECT w FROM b) * j.n)) END AS bound
+           FROM j)
+         SELECT 's' || CAST(src.s AS VARCHAR) AS source, src.doc_id,
+           CAST((src.doc_id + 3) % 7 AS INT) AS shard
+         FROM src JOIN bounds ON src.s = bounds.s
+         WHERE src.doc_id % 1000 < bounds.bound"""
   )
 }

@@ -182,8 +182,28 @@ object Dedup {
     * this (or any) exchange. */
   private[operators] def fanOut(df: DataFrame, key: Column): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts, key)
+    // probe the executed plan's OWN RDD for the split count (cached on
+    // the Dataset's QueryExecution, no job runs) — `df.rdd` would wrap it
+    // in an extra row-deserializing stage planned purely for the probe
+    if (df.queryExecution.toRdd.getNumPartitions >= parts) df
+    else df.repartition(parts, key)
   }
+
+  /** Materialize a multi-consumer intermediate (sketch/signature/digest
+    * frames: read by a probe action AND the main plan) exactly once.
+    *
+    * Local mode (tests, single-node runs) uses eager `localCheckpoint`:
+    * truncated lineage, executor-local blocks — in one JVM there is no
+    * executor to lose. On a CLUSTER, localCheckpoint blocks are
+    * unreplicated executor-local storage with the lineage cut, so one
+    * executor loss mid-job makes the stage unrecoverable; there the frame
+    * persists MEMORY_AND_DISK with lineage INTACT — the first action
+    * populates the cache while running the kernel once, later consumers
+    * read blocks, and a lost block recomputes from lineage instead of
+    * failing the job. */
+  private[operators] def materializeOnce(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(eager = true)
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** MinHash-LSH near-duplicate pairs.
     *
@@ -220,10 +240,24 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       maxBucket: Int = 500,
-      maxEqualGroup: Int = 2000
+      maxEqualGroup: Int = 2000,
+      smallCorpusBytes: Long = 8L << 20
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // Small-corpus fast path (optimizer-estimated input mass at or below
+    // `smallCorpusBytes`; zero jobs to decide): skip the signature
+    // materialization job, the heavy-group probe action, and the salted
+    // assembly — at this size a degenerate equal-signature group is
+    // bounded by the corpus itself, so the buffers those guard are small
+    // by construction, and the whole operator collapses to ONE action
+    // whose collapse keeps exact all-pairs semantics (identical output —
+    // the salted path only engages past `maxEqualGroup`, and a
+    // gate-small corpus cannot hold a group the machinery would have
+    // treated differently unless maxEqualGroup was lowered for tests).
+    // `smallCorpusBytes = 0` forces the scale machinery.
+    val small = smallPlan(
+      docs.select(col(idCol), col(textCol)), smallCorpusBytes)
 
     // Test inputs arrive in few fat splits (one parquet file → one
     // partition); fanOut spreads the CPU-heavy signature stage across the
@@ -247,7 +281,7 @@ object Dedup {
     // again for the main plan — measured +35-55% on the 20x corpus. The
     // checkpointed blocks are fixed-width (id + numHashes longs), never
     // text.
-    val sigs = fanOut(docs
+    val sigsBase = fanOut(docs
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .filter(col("t").isNotNull && octet_length(col("t")) >= shingleK),
       col("id"))
@@ -256,7 +290,7 @@ object Dedup {
           graft.functions.expressions.MinHashSignature(
             org.apache.spark.sql.graft.ColumnBridge.expression(col("t")),
             shingleK, numHashes)).as("sig"))
-      .localCheckpoint(true)
+    val sigs = if (small) sigsBase else materializeOnce(sigsBase)
 
     // collapse to distinct signatures BEFORE banding: the only corpus-wide
     // shuffle keyed on the fixed-width signature; duplicate mass becomes
@@ -264,8 +298,10 @@ object Dedup {
     // any group past maxEqualGroup so no aggregation buffer holds a whole
     // degenerate group. Identical signature ⇒ every slot agrees ⇒ est 1.0
     // (≥ any threshold): intra-group pairs found unconditionally.
-    val (bySigK, equalIdPairs, _) = collapseByKey(
-      sigs.select(col("sig").as("k"), col("id")), maxEqualGroup)
+    val keyed = sigs.select(col("sig").as("k"), col("id"))
+    val (bySigK, equalIdPairs) =
+      if (small) collapseByKeyDirect(keyed)
+      else { val (e, p, _) = collapseByKey(keyed, maxEqualGroup); (e, p) }
     val bySig = bySigK.select(col("k").as("sig"), col("ids"))
     val equalPairs = equalIdPairs
       .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard"))
@@ -329,6 +365,36 @@ object Dedup {
     * fallback provided), and enters downstream band buckets as ONE
     * representative-id entry. Hash-collision misroutes re-assemble
     * exactly, bounded by `maxEqualGroup`. */
+  /** Optimizer-estimated input size of a frame's plan — the zero-job
+    * size signal the small-corpus gates key on (file-size-derived for
+    * parquet scans, deterministic for a given corpus; no action runs). */
+  private[operators] def planBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** True when the plan's estimated input mass is at or below
+    * `limitBytes` (0 disables the gate — callers force the scale path). */
+  private[operators] def smallPlan(df: DataFrame, limitBytes: Long): Boolean =
+    limitBytes > 0 && planBytes(df) <= BigInt(limitBytes)
+
+  private def allPairsOf(byKey: DataFrame): DataFrame = byKey
+    .filter(size(col("ids")) >= 2)
+    .select(col("k"), explode(idPairs(col("ids"))).as("p"))
+    .select(col("k"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+
+  /** The probe-free collapse: one aggregation, exact all-pairs for every
+    * equal-key group. This is [[collapseByKey]]'s output whenever the
+    * probe finds no group past `maxEqualGroup` — and for a corpus whose
+    * whole input mass is gate-small it is ALWAYS safe (a degenerate
+    * equal-key group is bounded by the corpus itself, so the buffer the
+    * salted path exists to bound is small by construction), while paying
+    * neither the probe action nor the signature materialization job. */
+  private[operators] def collapseByKeyDirect(
+      keyed: DataFrame): (DataFrame, DataFrame) = {
+    val byKey = keyed.groupBy("k")
+      .agg(sort_array(collect_list("id")).as("ids"))
+    (byKey, allPairsOf(byKey))
+  }
+
   private[operators] def collapseByKey(
       keyed: DataFrame,
       maxEqualGroup: Int,
@@ -349,15 +415,9 @@ object Dedup {
     val heavyHks = probe.getSeq[Long](1)
     val anyHeavy = heavyHks.nonEmpty
 
-    def allPairs(byKey: DataFrame): DataFrame = byKey
-      .filter(size(col("ids")) >= 2)
-      .select(col("k"), explode(idPairs(col("ids"))).as("p"))
-      .select(col("k"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-
     if (!anyHeavy) {
-      val byKey = keyed.groupBy("k")
-        .agg(sort_array(collect_list("id")).as("ids"))
-      (byKey, allPairs(byKey), total)
+      val (byKey, pairs) = collapseByKeyDirect(keyed)
+      (byKey, pairs, total)
     } else {
       import keyed.sparkSession.implicits._
       val heavyKeys = heavyHks.toDF("hk")
@@ -392,7 +452,7 @@ object Dedup {
       val entries = exactSide
         .unionByName(bigHeavy.groupBy("k").agg(min("gmin").as("m"))
           .select(col("k"), array(col("m")).as("ids")))
-      (entries, allPairs(exactSide).unionByName(heavyPairs), total)
+      (entries, allPairsOf(exactSide).unionByName(heavyPairs), total)
     }
   }
 
@@ -429,19 +489,24 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 6,
       maxBucket: Int = 500,
-      maxEqualGroup: Int = 2000
+      maxEqualGroup: Int = 2000,
+      smallCorpusBytes: Long = 8L << 20
   ): DataFrame = {
+    // same zero-job small-corpus gate as [[minhashPairs]]: one action,
+    // no sketch materialization job, no probe, exact all-pairs collapse
+    val small = smallPlan(
+      docs.select(col(idCol), col(textCol)), smallCorpusBytes)
     // Sketch with the native one-pass expression (provably equal to the
     // composed SimHash.simhash(wsTokens(..)) — see SimHash64Spec).
     // materialized once for the same reason as minhashPairs' signatures:
     // the probe action must not re-run the sketch kernel
-    val sketched = fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")),
+    val sketchedBase = fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")),
       col("id"))
       .select(col("id"),
         org.apache.spark.sql.graft.ColumnBridge.column(
           graft.functions.expressions.SimHash64(
             org.apache.spark.sql.graft.ColumnBridge.expression(col("t")))).as("sh"))
-      .localCheckpoint(true)
+    val sketched = if (small) sketchedBase else materializeOnce(sketchedBase)
 
     // hamming 0 ≡ identical sketch: every intra-group (i<j) pair, found
     // unconditionally — no bucket cap can lose an exact-duplicate pair.
@@ -449,8 +514,10 @@ object Dedup {
     // (salted assembly) and thins its exhaustive pair list to a spanning
     // tree — components/removal results identical, and only beyond a
     // group size no exhaustive list could be consumed at anyway.
-    val (bySketchK, zeroIdPairs, _) = collapseByKey(
-      sketched.select(col("sh").as("k"), col("id")), maxEqualGroup)
+    val keyedSk = sketched.select(col("sh").as("k"), col("id"))
+    val (bySketchK, zeroIdPairs) =
+      if (small) collapseByKeyDirect(keyedSk)
+      else { val (e, p, _) = collapseByKey(keyedSk, maxEqualGroup); (e, p) }
     val bySketch = bySketchK.select(col("k").as("sh"), col("ids"))
     val zeroPairs = zeroIdPairs
       .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
@@ -537,22 +604,37 @@ object Dedup {
     * birthday bound for a 10⁹-document corpus is ~2⁻⁹⁷) — the same
     * content-hash standard the streaming dedup state already uses, two
     * orders stronger. `byteExact = true` restores the raw byte-comparison
-    * joins for callers that must rule even that out. */
+    * joins for callers that must rule even that out.
+    *
+    * The digest pass is an EAGER fixed cost (one full text scan + SHA +
+    * materialization before the verification join can start), worth
+    * paying only when the corpus is big enough that text-bearing joins
+    * would dominate — so the digest path is auto-gated on the
+    * optimizer's estimated corpus mass (`digestMinBytes`, zero jobs to
+    * decide — the same stats signal as [[minhashPairs]]'
+    * `smallCorpusBytes`): below it the lazy byte-comparison plan runs
+    * instead, whose pair side broadcasts at that size and whose corpus
+    * text never shuffles. A 10⁴-doc corpus keeps sub-second
+    * verification; a 10⁶-doc one keeps the digest win (measured ~2.4 s
+    * off the 100× minhash minimum). `digestMinBytes = 0` forces the
+    * digest path. */
   def verifyPairsExact(
       pairs: DataFrame,
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      byteExact: Boolean = false): DataFrame = {
+      byteExact: Boolean = false,
+      digestMinBytes: Long = 8L << 20): DataFrame = {
     // digests materialize ONCE (id + 32 bytes per doc — ~40 MB per 10⁶
-    // docs): both join sides read the checkpointed blocks, so the text
+    // docs): both join sides read the materialized blocks, so the text
     // scan and the SHA pass run once, not per side. byteExact keeps the
-    // lazy double-scan — checkpointing full text would defeat the point.
+    // lazy double-scan — materializing full text would defeat the point.
+    val lazyBytes = byteExact ||
+      smallPlan(docs.select(col(idCol), col(textCol)), digestMinBytes)
     val keyed =
-      if (byteExact) docs.select(col(idCol).as("__vid"), col(textCol).as("__k"))
-      else docs.select(col(idCol).as("__vid"),
-        sha2(col(textCol).cast("string"), 256).as("__k"))
-        .localCheckpoint(true)
+      if (lazyBytes) docs.select(col(idCol).as("__vid"), col(textCol).as("__k"))
+      else materializeOnce(docs.select(col(idCol).as("__vid"),
+        sha2(col(textCol).cast("string"), 256).as("__k")))
     val a = keyed.select(col("__vid").as("id_a"), col("__k").as("__k_a"))
     val b = keyed.select(col("__vid").as("id_b"), col("__k").as("__k_b"))
     pairs.join(a, "id_a").join(b, "id_b")
@@ -1016,7 +1098,7 @@ object Dedup {
           val sigs = fanOut(in.filter(eligible)
             .select(col(idCol).as("__id"), col(textCol).as("__t")), col("__id"))
             .select(col("__id"), sig.as("__sig"))
-            .localCheckpoint(true)
+            .transform(materializeOnce)
           val mins = sigs.groupBy("__sig")
             .agg(min(col("__id")).as("__minid"), count(lit(1)).as("__n"))
             .filter(col("__n") >= 2)

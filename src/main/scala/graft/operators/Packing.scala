@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data endgame operators: sequence packing and weighted source
+  * mixing — what a production pipeline runs AFTER curation
+  * (`pipeline_curate`) to turn a cleaned corpus into training shards.
+  */
+object Packing {
+
+  /** Greedy first-fit-in-order sequence packing: assign each item (a
+    * document or chunk with an integer token count) to a fixed-budget
+    * training row, never splitting an item and never exceeding `budget`
+    * per bin.
+    *
+    * Scale shape: packing is sequential by nature (each bin's fill
+    * depends on every earlier decision), so the distributed form packs
+    * PER SHARD — exactly how real pipelines shard training files. Items
+    * hash deterministically into `numShards` shards; within a shard they
+    * are ordered by id and folded once, left to right: an item that
+    * would overflow the open bin closes it and opens the next. The
+    * parallelism is across shards; per-shard state is one (fill, bin)
+    * pair and the shard's (id, tok) list — ids and counts only, never
+    * text, so a shard of 10⁵ items is ~1.6 MB of aggregation buffer.
+    * Size `numShards` so corpus/numShards matches the intended training
+    * file size.
+    *
+    * Items with `tok > budget` can never fit any bin: they quarantine to
+    * bin −1 (loud in the output, droppable downstream) and do not
+    * disturb the running fill. Deterministic: shard assignment depends
+    * only on the id (`shardExpr` defaults to
+    * `pmod(xxhash64(id), numShards)`; pass a modulo expression for a
+    * SQL-twin oracle), and in-shard order is id order.
+    *
+    * Output: (idCol, shard int, bin bigint, n_tokens bigint) — bin
+    * numbering is per shard, starting at 0. */
+  def packSequences(
+      items: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      numShards: Int,
+      shardExpr: Option[Column] = None
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val sh = shardExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(numShards)))
+    val byShard = items
+      .select(col(idCol).as("id"), col(tokenCol).cast("long").as("tok"),
+        sh.cast("int").as("shard"))
+      .groupBy("shard")
+      .agg(sort_array(collect_list(struct(col("id"), col("tok")))).as("xs"))
+
+    // one left-to-right fold per shard, entirely inside an array
+    // expression: accumulator = (fill of the open bin, open bin number,
+    // emitted (id, tok, bin) list). The typed empty list comes from a
+    // slice of the transformed input — no hand-written cast strings, so
+    // the id type (long/int/string) passes through unchanged.
+    val emptyOut = slice(
+      transform(col("xs"), x =>
+        struct(x.getField("id").as("id"), x.getField("tok").as("tok"),
+          lit(0L).as("bin"))),
+      1, 0)
+    val zero = struct(lit(0L).as("fill"), lit(0L).as("cbin"),
+      emptyOut.as("out"))
+    val packed = aggregate(col("xs"), zero,
+      (acc, x) => {
+        val tok = x.getField("tok")
+        val over = tok > lit(budget)
+        val fits = acc.getField("fill") + tok <= lit(budget)
+        val bin = when(over, lit(-1L))
+          .when(fits, acc.getField("cbin"))
+          .otherwise(acc.getField("cbin") + 1L)
+        val newFill = when(over, acc.getField("fill"))
+          .when(fits, acc.getField("fill") + tok)
+          .otherwise(tok)
+        val newCbin = when(over, acc.getField("cbin"))
+          .when(fits, acc.getField("cbin"))
+          .otherwise(acc.getField("cbin") + 1L)
+        struct(newFill.as("fill"), newCbin.as("cbin"),
+          concat(acc.getField("out"),
+            array(struct(x.getField("id").as("id"), tok.as("tok"),
+              bin.as("bin")))).as("out"))
+      },
+      acc => acc.getField("out"))
+
+    byShard
+      .select(col("shard"), explode(packed).as("p"))
+      .select(col("p.id").as(idCol), col("shard"), col("p.bin").as("bin"),
+        col("p.tok").as("n_tokens"))
+  }
+}
+
+/** Weighted source mixing: deterministically interleave N tagged corpora
+  * at target ratios into output shards. */
+object Mixing {
+
+  /** One input corpus: a tag (lands in the output `source` column), the
+    * frame, and an INTEGER weight — target ratios are weight parts
+    * (5:3:2), kept integral so the per-source keep bounds are exact
+    * integer arithmetic, replicable bit-for-bit by a SQL oracle (double
+    * ratios would make the bound engine-dependent in the last ulp). */
+  final case class SourceSpec(tag: String, df: DataFrame, weight: Int)
+
+  /** Deterministic weighted mix: sample each source down so the output
+    * composition matches `weights` as closely as the bottleneck source
+    * allows, tag every surviving row with its source, and assign it an
+    * output shard.
+    *
+    * The bottleneck source b maximizes use of the data: it is the source
+    * with the smallest n_j/w_j (found by comparing n_j·(W/w_j) in exact
+    * integer arithmetic, W = Π w_j — no rational division), keeps ALL its
+    * rows, and every other source keeps
+    * `floor(granularity · n_b · w_i / (w_b · n_i))` of `granularity`
+    * hash-space slices — membership depends only on the row's id, so
+    * re-runs and different cluster layouts select the same rows (the
+    * [[Sampling]] property), and the count probe (one count per source,
+    * the only jobs this operator runs before the main plan) is the
+    * integer input both engines agree on.
+    *
+    * `sampleExpr`/`shardExpr` default to seeded xxhash64 of (tag, id);
+    * pass modulo expressions for a SQL-twin oracle. Output:
+    * (source string, idCol, shard int). */
+  def mixSources(
+      sources: Seq[SourceSpec],
+      idCol: String,
+      numShards: Int,
+      granularity: Long = 1L << 20,
+      seed: Long = 42L,
+      sampleExpr: (String, Column) => Option[Column] = (_, _) => None,
+      shardExpr: (String, Column) => Option[Column] = (_, _) => None
+  ): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    require(sources.forall(_.weight > 0), "weights must be positive")
+    require(numShards > 0 && granularity > 0, "positive shards/granularity")
+
+    val counts = sources.map(s => s.tag -> s.df.count()).toMap
+    val wProduct = sources.map(s => BigInt(s.weight)).product
+    // bottleneck: smallest n_j/w_j via exact integer keys n_j * (W/w_j)
+    val bottleneck = sources.minBy { s =>
+      (BigInt(counts(s.tag)) * (wProduct / s.weight), s.tag)
+    }
+    val nB = BigInt(counts(bottleneck.tag))
+    val wB = BigInt(bottleneck.weight)
+
+    val tagged = sources.map { s =>
+      val n = BigInt(counts(s.tag))
+      val bound =
+        if (s.tag == bottleneck.tag || n == 0) granularity
+        else (BigInt(granularity) * nB * s.weight / (wB * n))
+          .min(BigInt(granularity)).toLong
+      val id = col(idCol)
+      val sample = sampleExpr(s.tag, id).getOrElse(
+        pmod(xxhash64(lit(seed), lit(s.tag), id), lit(granularity)))
+      val shard = shardExpr(s.tag, id).getOrElse(
+        pmod(xxhash64(lit(seed + 1), lit(s.tag), id), lit(numShards)))
+      s.df
+        .filter(sample < lit(bound))
+        .select(lit(s.tag).as("source"), id.as(idCol),
+          shard.cast("int").as("shard"))
+    }
+    tagged.reduce(_.unionByName(_))
+  }
+}

@@ -18,9 +18,10 @@ object QueryProbe {
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
-    // same SPARK_GRAFT_CPUS convention as Bench/Verify, so probe timings
-    // are comparable to the bench numbers they pre-screen
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same SPARK_GRAFT_CPUS convention AND default as Bench/Verify, so
+    // probe timings are comparable to the bench numbers they pre-screen
+    // even when the env var is unset
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val cpusInt = scala.util.Try(cpus.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The r11 digest-verification auto-gate: small corpora keep the lazy
+  * byte-comparison verification plan (no eager SHA pass), large ones pay
+  * the digest fixed cost that removes text-bearing shuffles — and every
+  * path returns the same pairs. */
+class DedupGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = {
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "a different document"), (4L, "a different document"),
+      (5L, "unique text here")).toDF("doc_id", "text")
+    // candidates include a FALSE pair (3,5) that verification must prune
+    val pairs = Seq((1L, 2L, 1.0), (3L, 4L, 1.0), (3L, 5L, 1.0))
+      .toDF("id_a", "id_b", "est_jaccard")
+    (docs, pairs)
+  }
+
+  test("all three verification paths agree; false candidates pruned") {
+    val (docs, pairs) = fixture
+    def run(byteExact: Boolean, digestMinBytes: Long) =
+      Dedup.verifyPairsExact(pairs, docs, "doc_id", "text",
+        byteExact, digestMinBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 2L), (3L, 4L))
+    assert(run(byteExact = true, 8L << 20) == expected)
+    assert(run(byteExact = false, 8L << 20) == expected) // gated -> lazy bytes
+    assert(run(byteExact = false, 0L) == expected)       // forced digest
+  }
+
+  test("below the gate the plan carries no SHA pass; forcing does") {
+    val (docs, pairs) = fixture
+    val lazyPlan = Dedup.verifyPairsExact(pairs, docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!lazyPlan.contains("sha2"), lazyPlan)
+    // digestMinBytes = 0 forces the digest path; the materialized frame is
+    // plan-opaque (checkpoint scan), so assert on behavior instead: the
+    // optimized plan reads the materialized digests, not the text column
+    val forced = Dedup.verifyPairsExact(pairs, docs, "doc_id", "text",
+      byteExact = false, digestMinBytes = 0L)
+    val forcedPlan = forced.queryExecution.optimizedPlan.toString
+    assert(forcedPlan.contains("LogicalRDD") || forcedPlan.contains("Scan"),
+      forcedPlan)
+    assert(forced.collect().length == 2)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select(col("doc_id"),
+      graft.functions.TextFunctions.wsTokenCount(col("text"))
+        .cast("long").as("tok"))
+
+  test("packSequences: budget never exceeded, bins contiguous, greedy order") {
+    val out = Packing.packSequences(docs, "doc_id", "tok",
+      budget = 90L, numShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.count())
+    // oversize quarantine only for tok > budget
+    out.foreach { case (_, _, bin, tok) =>
+      if (tok > 90L) assert(bin == -1L) else assert(bin >= 0L)
+    }
+    val byBin = out.filter(_._3 >= 0).groupBy(x => (x._2, x._3))
+    byBin.values.foreach(g => assert(g.map(_._4).sum <= 90L))
+    // per shard: bins are contiguous 0..max and id-ordered (a later doc
+    // never lands in an earlier bin)
+    out.filter(_._3 >= 0).groupBy(_._2).values.foreach { g =>
+      val bins = g.map(_._3).distinct.sorted.toSeq
+      assert(bins == (0L to bins.max), bins.toString)
+      val ordered = g.sortBy(_._1).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+    // greedy tightness: consecutive same-shard bins close only on overflow —
+    // adding the first item of bin k+1 to bin k would have exceeded budget
+    out.filter(_._3 >= 0).groupBy(_._2).values.foreach { g =>
+      val ordered = g.sortBy(_._1)
+      val fills = ordered.groupBy(_._3).map { case (b, xs) => b -> xs.map(_._4).sum }
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        if (b._3 == a._3 + 1) assert(fills(a._3) + b._4 > 90L)
+      }
+    }
+  }
+
+  test("packSequences: deterministic across re-runs; modulo and hash shards both partition all items") {
+    val hash1 = Packing.packSequences(docs, "doc_id", "tok", 90L, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val hash2 = Packing.packSequences(docs, "doc_id", "tok", 90L, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(hash1 == hash2)
+    assert(hash1.map(_._1).size == docs.count())
+  }
+
+  test("mixSources: bottleneck keeps all rows, others downsample toward the ratio, deterministic") {
+    val d = spark.range(0, 3000).toDF("id")
+    val srcs = Seq(
+      Mixing.SourceSpec("a", d.filter($"id" % 3 === 0), 5),
+      Mixing.SourceSpec("b", d.filter($"id" % 3 === 1), 3),
+      Mixing.SourceSpec("c", d.filter($"id" % 3 === 2), 2))
+    val out = Mixing.mixSources(srcs, "id", numShards = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val bySrc = out.groupBy(_._1).map { case (k, v) => k -> v.length }
+    // equal inputs (1000 each) at 5:3:2 -> bottleneck is "a" (largest
+    // weight per row): keeps all 1000; b targets 600, c targets 400
+    assert(bySrc("a") == 1000, bySrc.toString)
+    assert(math.abs(bySrc("b") - 600) < 60, bySrc.toString)
+    assert(math.abs(bySrc("c") - 400) < 50, bySrc.toString)
+    // deterministic
+    val again = Mixing.mixSources(srcs, "id", numShards = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet == again.toSet)
+    // shards cover 0..3
+    assert(out.map(_._3).toSet.subsetOf((0 until 4).toSet))
+  }
+
+  test("mixSources: integer bound arithmetic matches the closed form") {
+    val d = spark.range(0, 1200).toDF("id")
+    val srcs = Seq(
+      Mixing.SourceSpec("x", d.filter($"id" < 200), 1),   // n=200, w=1
+      Mixing.SourceSpec("y", d.filter($"id" >= 200), 1))  // n=1000, w=1
+    // bottleneck x (n/w = 200): y keeps floor(g*200*1/(1*1000)) = g/5
+    val out = Mixing.mixSources(srcs, "id", numShards = 2,
+      granularity = 1000L,
+      sampleExpr = (_, id) => Some(pmod(id, lit(1000))))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.count(_._1 == "x") == 200)
+    // id in [200, 1200): id % 1000 < 200 -> ids 200..199? i.e. 1000..1199
+    assert(out.count(_._1 == "y") == 200)
+  }
+}
