@@ -801,6 +801,38 @@ object SparkEntry {
         col("rank").cast("bigint").as("rank"))
   }
 
+  /** SURVEY 34f `embed_index_topk`: quantized ANN over a PERSISTED index —
+    * the index builds once into the repo (atomic tmp+promote), the search
+    * scans the int8 index table without re-quantizing; rerank-all makes it
+    * ≡ brute force, so the persisted path shares the brute-force oracle. */
+  private def embedIndexTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val repo = PqRepo(s, Files.createTempDirectory("graft_annidx").toString)
+    Similarity.writeQuantizedIndex(repo, e, "vec_id", "embedding", "ann", "emb")
+    val coded = Similarity.readQuantizedIndex(repo, "ann", "emb")
+    Similarity.quantizedTopKIndexed(coded, e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, rerankDepth = Int.MaxValue)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
+  /** SURVEY 34g `embed_ivf_index`: IVF search over a PERSISTED index —
+    * assigned corpus partitioned by cluster (the probe's cluster join
+    * prunes to nprobe partition directories at scale) + centroid side
+    * table; nprobe-all keeps the brute-force oracle. */
+  private def embedIvfIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val repo = PqRepo(s, Files.createTempDirectory("graft_ivfidx").toString)
+    val built = Similarity.ivfBuild(e, "vec_id", "embedding",
+      numCentroids = 16, kmeansIters = 1)
+    Similarity.writeIvfIndex(repo, built, "ann", "emb")
+    val index = Similarity.readIvfIndex(repo, "ann", "emb")
+    Similarity.ivfSearch(index, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 16)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBytesPipeline(s, t(s, dir, "documents"))
 
@@ -1283,7 +1315,9 @@ object SparkEntry {
       "source_minhash" -> (sourceMinhash _),
       "repo_merge" -> (repoMerge _),
       "pack_sequences" -> (packSequencesQ _),
-      "mix_sources" -> (mixSourcesQ _)
+      "mix_sources" -> (mixSourcesQ _),
+      "embed_index_topk" -> (embedIndexTopK _),
+      "embed_ivf_index" -> (embedIvfIndexQ _)
     )
 
   // ===== oracles ============================================================
@@ -2157,6 +2191,28 @@ object SparkEntry {
          SELECT 's' || CAST(src.s AS VARCHAR) AS source, src.doc_id,
            CAST((src.doc_id + 3) % 7 AS INT) AS shard
          FROM src JOIN bounds ON src.s = bounds.s
-         WHERE src.doc_id % 1000 < bounds.bound"""
+         WHERE src.doc_id % 1000 < bounds.bound""",
+    // the persisted-index searches run with coarse-cut-disabled /
+    // nprobe-all parameters, so both reduce to exact brute-force top-5 —
+    // the same oracle embed_ivf_ann / embed_quantized_topk carry
+    "embed_index_topk" -> bruteTop5Sql,
+    "embed_ivf_index" -> bruteTop5Sql
   )
+
+  /** Exact brute-force cosine top-5 for queries vec_id < 10 — the shared
+    * oracle of every ANN variant run in its exactness mode (nprobe-all /
+    * rerank-all), inline and persisted-index alike. */
+  private lazy val bruteTop5Sql =
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            round(CASE WHEN sqrt(${dotSql("q.embedding", "q.embedding")})
+                            * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN 0.0
+                       ELSE ${dotSql("q.embedding", "c.embedding")}
+                            / (sqrt(${dotSql("q.embedding", "q.embedding")})
+                               * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cos
+          FROM q, embeddings c WHERE c.vec_id != q.vec_id)
+        SELECT query_id, cand_id, cos,
+          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM pairs QUALIFY rank <= 5"""
 }

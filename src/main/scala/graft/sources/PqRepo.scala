@@ -186,10 +186,19 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       modified: Option[String] = None
   ): Path = {
     val dest = tablePath(schema, table)
+    // same tmp+promote as [[write]] (r11): the partitioned layout appears
+    // atomically — readers never observe a half-written partition tree,
+    // and a mid-job crash leaves the previous table intact
+    val tmp = mergeTmpPath(schema, table)
+    val f = fs(dest)
+    if (f.exists(tmp)) f.delete(tmp, true)
     stampModified(df, partitionCols, modified)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
-      .parquet(dest.toString)
+      .parquet(tmp.toString)
+    if (f.exists(dest)) f.delete(dest, true)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"Could not promote $tmp to $dest")
     dest
   }
 
