@@ -70,7 +70,12 @@ object Bench {
       // official run against whatever load existed at that moment)
       try {
         val merged = prior + (threads.toString -> measured)
-        val updated = merged.toSeq.sortBy(_._1.toInt)
+        // tolerant sort key: one malformed (non-integer) key in an
+        // existing file must not abort the write inside this try and
+        // silently lose the new reference
+        val updated = merged.toSeq
+          .sortBy { case (k, _) =>
+            (scala.util.Try(k.toInt).getOrElse(Int.MaxValue), k) }
           .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         java.nio.file.Files.write(p,
           updated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -85,19 +90,16 @@ object Bench {
     BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
   private def fmt1(v: Double): String =
     BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-  /** Per-query value formatting for the summary line: centisecond under
-    * 10 s, decisecond above, trailing zeros stripped ("0.20"→"0.2",
-    * "12.00"→"12") — at most 4 chars for any value under 100 s, which is
-    * what lets 85 query names (>1000 chars on their own) plus values fit
-    * the ~2000-char stdout tail (millisecond values overflow it —
-    * measured, not guessed; full-precision minimums live in
-    * bench_detail.json). */
-  private def fmtq(v: Double): String = {
-    val scale = if (v >= 10) 1 else 2
-    val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
-      .bigDecimal.stripTrailingZeros.toPlainString
-    if (s == "-0") "0" else s
-  }
+  /** Per-query value formatting for the summary line: INTEGER
+    * CENTISECONDS (`"qunit":"cs"` marks it): "0.25 s" renders as `25` —
+    * 2 chars where the decimal-seconds form took 4, which is what lets
+    * 90 query names (>1090 chars on their own) plus values fit the
+    * ~2000-char stdout tail (the r11 registry at 90 queries overflowed
+    * the decimal form even at 4 chars/value — measured, not guessed;
+    * full-precision second minimums live in bench_detail.json). A failed
+    * query's −1 sentinel stays −1. */
+  private def fmtq(v: Double): String =
+    if (v < 0) "-1" else math.round(v * 100).toString
 
   /** The single summary line the round driver parses from a bounded
     * (~2000-char) stdout tail. Per-query values are steady-state MINIMUMS
@@ -133,7 +135,7 @@ object Bench {
       }.getOrElse("")
     val bigS = bigSection("big20x", big)
     val b100S = bigSection("b100", big100Total)
-    s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","queries":$qs,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S,"sf":"$sfName"}"""
+    s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","qunit":"cs","queries":$qs,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S,"sf":"$sfName"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -765,15 +765,21 @@ object Dedup {
     * — it can never merge or become a loser either way.
     *
     * Integral ids take [[driverComponentsPrimitive]] — a typed tuple
-    * collect plus primitive arrays; the boxed-Row path below survives only
-    * for string ids, whose values are heap objects regardless. */
+    * collect plus primitive arrays. String ids dictionary-encode to
+    * dense longs in sorted (unsigned UTF-8 byte) order, so the SAME
+    * primitive solver runs and code-minimum ≡ string-minimum — the old
+    * boxed-Row fallback (one `Row[Any]` + HashMap entry per edge) is
+    * gone. */
   private def driverComponents(
       edges: DataFrame,
       idType: org.apache.spark.sql.types.DataType): DataFrame = idType match {
     case org.apache.spark.sql.types.LongType |
          org.apache.spark.sql.types.IntegerType =>
       driverComponentsPrimitive(edges, idType)
-    case _ => driverComponentsBoxed(edges, idType)
+    case org.apache.spark.sql.types.StringType =>
+      driverComponentsString(edges)
+    case other => throw new IllegalArgumentException(
+      s"driver components: unsupported id type ${other.simpleString}")
   }
 
   /** Open-addressed long→int map (linear probing, power-of-2 capacity) —
@@ -825,34 +831,18 @@ object Dedup {
     }
   }
 
-  /** [[driverComponents]] for long/int ids with NO boxed rows: the edge
-    * list collects as a typed `Dataset[(Long, Long)]` (specialized tuples,
-    * ~24 B/edge transiently, vs ~100+ B/edge for `Row[Any]` with boxed
-    * endpoints) and everything after is primitive arrays — nodes,
-    * union-find parents, per-root minima. Measured on the
+  /** The shared primitive solver core for [[driverComponents]]: union-find
+    * with path compression over long-encoded edges, everything in
+    * primitive arrays — nodes, parents, per-root minima; NO boxed rows
+    * (typed `(Long, Long)` tuples are ~24 B/edge transiently vs ~100+ B
+    * for `Row[Any]` with boxed endpoints). Measured on the
     * DriverComponentsScaleSpec graph (875k pairs → 1.75M directed edges,
     * 1M nodes): 243 MB RETAINED across the call (post-GC delta, dominated
     * by the returned 1M-row LocalRelation — the output, not the solver);
     * the solver's own structures are ~30 MB (nodes + parents + index).
-    * The result ships back as a typed Dataset too. */
-  private def driverComponentsPrimitive(
-      edges: DataFrame,
-      idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    // ONE collect job over the edge blocks: a both-non-null edge passes
-    // through as (src, dst); an edge with one null endpoint collapses to a
-    // self-edge on its non-null node — the union is a no-op but the index
-    // insert registers the isolated node (see driverComponents doc); a
-    // both-null edge coalesces to (null, null) and is dropped
-    val asLong = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val full = asLong
-      .select(coalesce(col("src"), col("dst")).as("a"),
-        coalesce(col("dst"), col("src")).as("b"))
-      .filter(col("a").isNotNull)
-      .as[(Long, Long)].collect()
-
+    * Labels = per-component minimum; returns (nodes in first-seen order,
+    * label per node). */
+  private def solveLongEdges(full: Array[(Long, Long)]): (Array[Long], Array[Long]) = {
     var nodes = new Array[Long](1024)
     var parent = new Array[Int](1024)
     var n = 0
@@ -891,12 +881,35 @@ object Dedup {
       if (nodes(i) < minOf(r)) minOf(r) = nodes(i)
       i += 1
     }
-    val out = new Array[(Long, Long)](n)
+    val labels = new Array[Long](n)
     i = 0
     while (i < n) {
-      out(i) = (nodes(i), minOf(find(i)))
+      labels(i) = minOf(find(i))
       i += 1
     }
+    (java.util.Arrays.copyOf(nodes, n), labels)
+  }
+
+  private def driverComponentsPrimitive(
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // ONE collect job over the edge blocks: a both-non-null edge passes
+    // through as (src, dst); an edge with one null endpoint collapses to a
+    // self-edge on its non-null node — the union is a no-op but the index
+    // insert registers the isolated node (see driverComponents doc); a
+    // both-null edge coalesces to (null, null) and is dropped
+    val asLong = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val full = asLong
+      .select(coalesce(col("src"), col("dst")).as("a"),
+        coalesce(col("dst"), col("src")).as("b"))
+      .filter(col("a").isNotNull)
+      .as[(Long, Long)].collect()
+
+    val (nodes, labels) = solveLongEdges(full)
+    val out = Array.tabulate(nodes.length)(i => (nodes(i), labels(i)))
     val df = spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
       .toDF("id", "label")
     if (idType == org.apache.spark.sql.types.IntegerType)
@@ -904,83 +917,58 @@ object Dedup {
     else df
   }
 
-  private def driverComponentsBoxed(
-      edges: DataFrame,
-      idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val rows = edges.collect()
-    val index = new java.util.HashMap[Any, Integer]()
-    val nodes = new scala.collection.mutable.ArrayBuffer[Any]()
-    def idx(v: Any): Int = {
-      val i = index.get(v)
-      if (i != null) i.intValue()
-      else {
-        val n = nodes.length
-        index.put(v, Integer.valueOf(n))
-        nodes += v
-        n
-      }
-    }
-    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
-    def find(x: Int): Int = {
-      var r = x
-      while (parent(r) != r) r = parent(r)
-      var c = x
-      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
-      r
-    }
-    rows.foreach { r =>
-      val a = r.get(0)
-      val b = r.get(1)
-      if (a != null && b != null) {
-        val ia = idx(a); while (parent.length < nodes.length) parent += parent.length
-        val ib = idx(b); while (parent.length < nodes.length) parent += parent.length
-        val ra = find(ia); val rb = find(ib)
-        if (ra != rb) parent(rb) = ra
-      } else if (a != null || b != null) {
-        // a null partner can never join-match in the loop, but the
-        // non-null endpoint still appears there as an isolated node
-        // labeled by itself — keep that row set identical
-        idx(if (a != null) a else b)
-        while (parent.length < nodes.length) parent += parent.length
-      }
-    }
-    val lt: (Any, Any) => Boolean = idType match {
-      case org.apache.spark.sql.types.StringType =>
-        (x, y) => {
-          val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  /** [[driverComponents]] for string ids, through the SAME primitive
+    * solver: the distinct strings dictionary-encode to dense longs in
+    * sorted order — unsigned UTF-8 byte comparison, exactly Spark's
+    * `min`/`least` string order — so the solver's numeric component
+    * minimum IS the string minimum and the union-find never touches an
+    * object. The only per-string heap cost is the dictionary itself
+    * (unavoidable: the values are strings). */
+  private def driverComponentsString(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val full = edges
+      .select(coalesce(col("src"), col("dst")).as("a"),
+        coalesce(col("dst"), col("src")).as("b"))
+      .filter(col("a").isNotNull)
+      .as[(String, String)].collect()
+
+    // dense dictionary in Spark's string order (unsigned UTF-8 bytes,
+    // shorter-prefix-first — UTF8String.compareTo semantics)
+    val dict = {
+      val distinct = new java.util.HashSet[String]()
+      full.foreach { case (a, b) => distinct.add(a); distinct.add(b) }
+      val arr = distinct.toArray(new Array[String](distinct.size))
+      java.util.Arrays.sort(arr, new java.util.Comparator[String] {
+        override def compare(x: String, y: String): Int = {
+          val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           var i = 0
-          var res = a.length - b.length // tentative: shorter is smaller on tie
-          var done = false
-          while (!done && i < a.length && i < b.length) {
+          while (i < a.length && i < b.length) {
             val d = (a(i) & 0xff) - (b(i) & 0xff)
-            if (d != 0) { res = d; done = true }
+            if (d != 0) return d
             i += 1
           }
-          res < 0
+          a.length - b.length
         }
-      case _ => (x, y) =>
-        x.asInstanceOf[Number].longValue() < y.asInstanceOf[Number].longValue()
+      })
+      arr
     }
-    // min member per root
-    val minOf = new java.util.HashMap[Int, Any]()
+    val code = new java.util.HashMap[String, java.lang.Long](dict.length * 2)
     var i = 0
-    while (i < nodes.length) {
-      val r = find(i)
-      val cur = minOf.get(r)
-      if (cur == null || lt(nodes(i), cur)) minOf.put(r, nodes(i))
+    while (i < dict.length) {
+      code.put(dict(i), java.lang.Long.valueOf(i.toLong))
       i += 1
     }
-    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.length)
-    i = 0
-    while (i < nodes.length) {
-      out.add(org.apache.spark.sql.Row(nodes(i), minOf.get(find(i))))
-      i += 1
+
+    val encoded = full.map { case (a, b) =>
+      (code.get(a).longValue(), code.get(b).longValue())
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id", idType),
-      org.apache.spark.sql.types.StructField("label", idType)))
-    edges.sparkSession.createDataFrame(out, schema)
+    val (nodes, labels) = solveLongEdges(encoded)
+    val out = Array.tabulate(nodes.length)(j =>
+      (dict(nodes(j).toInt), dict(labels(j).toInt)))
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      .toDF("id", "label")
   }
 
   /** End-to-end near-duplicate REMOVAL: MinHash-LSH candidate pairs →

@@ -551,7 +551,7 @@ object Similarity {
       minCos: Double = 0.0,
       maxBucket: Int = 2000,
       maxEqualGroup: Int = 2000,
-      autoFloor: Int = 12
+      autoFloor: Int = 8
   ): DataFrame = {
     // Collapse to DISTINCT vectors before bucketing — the same
     // duplicate-crowding guard minhashPairs and simhashPairs carry (their
@@ -570,8 +570,11 @@ object Similarity {
       corpus, idCol, vecCol, minCos, maxEqualGroup)
 
     // auto plane count reads the corpus size off the collapse's probe —
-    // no dedicated count job over the corpus lineage; autoFloor is the
-    // caller's pre-auto fixed default (12 here, 8 for the dedup entry)
+    // no dedicated count job over the corpus lineage; the autoFloor
+    // default is 8, every pre-auto caller's fixed plane count (r11:
+    // reverted from a silent 12 — a raised floor can only prune
+    // candidates, i.e. silently reduce recall for existing numPlanes=0
+    // callers; entry points wanting finer small-corpus bucketing opt in)
     val p = if (numPlanes > 0) numPlanes else autoPlanes(total, autoFloor)
     val planes = VectorFunctions.hyperplanes(p, dim, seed)
 

@@ -314,11 +314,28 @@ object Jdbc {
           var rem: Option[String] = None
           while (rem.isEmpty && rs.next())
             if (rs.getString("TABLE_NAME") == table &&
-                rs.getString("TABLE_SCHEM") == schema)
+                schemaMatches(rs, schema))
               rem = Option(rs.getString("REMARKS")).filter(_.nonEmpty)
           rem
       }
     } finally conn.close()
+  }
+
+  /** Exact post-filter for getTables/getColumns rows (the metadata
+    * pattern args are server-side narrowing; this is the guarantee).
+    * Catalog-style engines (MySQL) report a NULL TABLE_SCHEM and put the
+    * namespace in TABLE_CAT — match on that instead; when the driver
+    * reports neither, accept the row (it has no namespace concept for
+    * the exact filter to check, and the pattern already narrowed). */
+  private def schemaMatches(rs: java.sql.ResultSet, schema: String): Boolean = {
+    val sch = rs.getString("TABLE_SCHEM")
+    if (sch != null) sch == schema
+    else {
+      val cat =
+        try rs.getString("TABLE_CAT")
+        catch { case _: java.sql.SQLException => null }
+      cat == null || cat == schema
+    }
   }
 
   /** SQL single-quoted string literal with embedded quotes doubled. */
@@ -406,7 +423,7 @@ object Jdbc {
         escapeMetaPattern(conn, schema), escapeMetaPattern(conn, table), "%")
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, ColumnMeta)]
       while (rs.next()) if (rs.getString("TABLE_NAME") == table &&
-          rs.getString("TABLE_SCHEM") == schema) {
+          schemaMatches(rs, schema)) {
         val size = rs.getInt("COLUMN_SIZE")
         val sizeOpt = if (rs.wasNull()) None else Some(size)
         val dd = rs.getInt("DECIMAL_DIGITS")
@@ -429,7 +446,7 @@ object Jdbc {
         escapeMetaPattern(conn, schema), "%", Array("TABLE"))
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       while (rs.next())
-        if (rs.getString("TABLE_SCHEM") == schema)
+        if (schemaMatches(rs, schema))
           out += rs.getString("TABLE_NAME")
       out.toSeq.sorted
     } finally conn.close()
@@ -445,7 +462,7 @@ object Jdbc {
       var found = false
       while (!found && rs.next())
         found = rs.getString("TABLE_NAME") == table &&
-          rs.getString("TABLE_SCHEM") == schema
+          schemaMatches(rs, schema)
       found
     } finally conn.close()
   }
@@ -459,7 +476,7 @@ object Jdbc {
         escapeMetaPattern(conn, schema), escapeMetaPattern(conn, table), "%")
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
       while (rs.next()) if (rs.getString("TABLE_NAME") == table &&
-          rs.getString("TABLE_SCHEM") == schema)
+          schemaMatches(rs, schema))
         out += ((rs.getInt("ORDINAL_POSITION"),
           rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME")))
       out.sortBy(_._1).map(t => (t._2, t._3)).toSeq
