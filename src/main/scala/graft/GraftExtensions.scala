@@ -42,10 +42,11 @@ object GraftExtensions {
     FunctionIdentifier("graft_minhash_signature"),
     new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_signature"),
     (exprs: Seq[Expression]) => {
-      require(exprs.length == 3,
-        "graft_minhash_signature(text, k, numHashes) takes 3 arguments")
+      require(exprs.length == 3 || exprs.length == 4,
+        "graft_minhash_signature(text, k, numHashes[, sampleShift]) takes 3 or 4 arguments")
       MinHashSignature(exprs.head,
-        intLit(exprs(1), "k"), intLit(exprs(2), "numHashes"))
+        intLit(exprs(1), "k"), intLit(exprs(2), "numHashes"),
+        if (exprs.length == 4) intLit(exprs(3), "sampleShift") else 0)
     }
   )
 

@@ -710,6 +710,14 @@ object SparkEntry {
     val d = t(s, dir, "documents").select("doc_id", "text")
     val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
     val u = d.unionByName(dup)
+    // 48 slots, unsampled: the r11 kernel-diet experiment (32 slots +
+    // 1/4 content sampling) was oracle-green but a measured 4-9× LOSS at
+    // 100× — a thinner sketch collides near-identical replica texts into
+    // the same signature, and the equal-signature pair expansion (then
+    // digest-pruned) costs far more than the kernel cycles saved. The
+    // sketch's discriminative power IS the scale asset; sampleShift
+    // stays available for corpora whose docs are long enough to keep
+    // sampled sketches sharp.
     val candidates = Dedup.minhashPairs(u, "doc_id", "text",
       shingleK = 5, numHashes = 48, bands = 12, threshold = 1.0)
     // the corpus plants near-identical (templated) docs whose signatures

@@ -241,7 +241,8 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 500,
       maxEqualGroup: Int = 2000,
-      smallCorpusBytes: Long = 8L << 20
+      smallCorpusBytes: Long = 8L << 20,
+      sampleShift: Int = 0
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
@@ -289,7 +290,7 @@ object Dedup {
         org.apache.spark.sql.graft.ColumnBridge.column(
           graft.functions.expressions.MinHashSignature(
             org.apache.spark.sql.graft.ColumnBridge.expression(col("t")),
-            shingleK, numHashes)).as("sig"))
+            shingleK, numHashes, sampleShift)).as("sig"))
     val sigs = if (small) sigsBase else materializeOnce(sigsBase)
 
     // collapse to distinct signatures BEFORE banding: the only corpus-wide
