@@ -2156,8 +2156,14 @@ object SparkEntry {
     "pack_sequences" ->
       // the same greedy first-fit fold, replayed per shard by a recursive
       // CTE: state = (fill of open bin, open bin number); oversize items
-      // emit bin -1 without touching the state
-      raw"""WITH RECURSIVE t AS (
+      // emit bin -1 without touching the state. t MUST be MATERIALIZED:
+      // DuckDB otherwise inlines the tokenizing subquery into the
+      // recursive term and re-tokenizes the whole corpus once per
+      // recursion depth (measured: the 100x check ran for minutes before
+      // this). Even materialized, the recursion re-joins t once per
+      // depth (rows/shards iterations) - fine through 20x, ~8 min at
+      // 100x, which is why the 100x artifact pins this operator at 20x.
+      raw"""WITH RECURSIVE t AS MATERIALIZED (
             SELECT doc_id, CAST(len(${wsTokensSql("text")}) AS BIGINT) AS tok,
               CAST(doc_id % 32 AS INT) AS shard,
               CAST(row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS BIGINT) AS rn
