@@ -841,6 +841,30 @@ object SparkEntry {
         col("rank").cast("bigint").as("rank"))
   }
 
+  /** SURVEY 34h `embed_ivf_append`: incremental ingest into a persisted
+    * IVF index — the index builds on part of the corpus, the rest arrives
+    * as a batch through the partition-scoped merge (only touched cluster
+    * directories rewrite), and the nprobe-all search over the merged
+    * index is exact over the FULL corpus → the shared brute-force
+    * oracle proves the appended rows are really in the index. */
+  private def embedIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val repo = PqRepo(s, Files.createTempDirectory("graft_ivfapp").toString)
+    // modulo split (id ranges differ per sf): 80% of the corpus builds
+    // the index, every fifth vector arrives later as the ingest batch
+    val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val built = Similarity.ivfBuild(base, "vec_id", "embedding",
+      numCentroids = 16, kmeansIters = 1)
+    Similarity.writeIvfIndex(repo, built, "ann", "emb")
+    Similarity.appendToIvfIndex(repo, batch, "vec_id", "embedding", "ann", "emb")
+    val index = Similarity.readIvfIndex(repo, "ann", "emb")
+    Similarity.ivfSearch(index, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 16)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBytesPipeline(s, t(s, dir, "documents"))
 
@@ -1325,7 +1349,8 @@ object SparkEntry {
       "pack_sequences" -> (packSequencesQ _),
       "mix_sources" -> (mixSourcesQ _),
       "embed_index_topk" -> (embedIndexTopK _),
-      "embed_ivf_index" -> (embedIvfIndexQ _)
+      "embed_ivf_index" -> (embedIvfIndexQ _),
+      "embed_ivf_append" -> (embedIvfAppend _)
     )
 
   // ===== oracles ============================================================
@@ -2170,19 +2195,19 @@ object SparkEntry {
             FROM documents),
           p AS (
             SELECT doc_id, tok, shard, rn,
-              CASE WHEN tok > 90 THEN CAST(0 AS BIGINT) ELSE tok END AS fill,
-              CASE WHEN tok > 90 THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bin,
+              CASE WHEN tok IS NULL OR tok > 90 THEN CAST(0 AS BIGINT) ELSE tok END AS fill,
+              CASE WHEN tok IS NULL OR tok > 90 THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bin,
               CAST(0 AS BIGINT) AS cbin
             FROM t WHERE rn = 1
             UNION ALL
             SELECT t.doc_id, t.tok, t.shard, t.rn,
-              CASE WHEN t.tok > 90 THEN p.fill
+              CASE WHEN t.tok IS NULL OR t.tok > 90 THEN p.fill
                    WHEN p.fill + t.tok > 90 THEN t.tok
                    ELSE p.fill + t.tok END,
-              CASE WHEN t.tok > 90 THEN CAST(-1 AS BIGINT)
+              CASE WHEN t.tok IS NULL OR t.tok > 90 THEN CAST(-1 AS BIGINT)
                    WHEN p.fill + t.tok > 90 THEN p.cbin + 1
                    ELSE p.cbin END,
-              CASE WHEN t.tok > 90 THEN p.cbin
+              CASE WHEN t.tok IS NULL OR t.tok > 90 THEN p.cbin
                    WHEN p.fill + t.tok > 90 THEN p.cbin + 1
                    ELSE p.cbin END
             FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
@@ -2210,7 +2235,8 @@ object SparkEntry {
     // nprobe-all parameters, so both reduce to exact brute-force top-5 —
     // the same oracle embed_ivf_ann / embed_quantized_topk carry
     "embed_index_topk" -> bruteTop5Sql,
-    "embed_ivf_index" -> bruteTop5Sql
+    "embed_ivf_index" -> bruteTop5Sql,
+    "embed_ivf_append" -> bruteTop5Sql
   )
 
   /** Exact brute-force cosine top-5 for queries vec_id < 10 — the shared

@@ -28,7 +28,9 @@ object Packing {
     *
     * Items with `tok > budget` can never fit any bin: they quarantine to
     * bin −1 (loud in the output, droppable downstream) and do not
-    * disturb the running fill. Deterministic: shard assignment depends
+    * disturb the running fill. A NULL token count quarantines the same
+    * way — an explicit branch, because letting it fall through
+    * when/otherwise chains gives engine-dependent bins. Deterministic: shard assignment depends
     * only on the id (`shardExpr` defaults to
     * `pmod(xxhash64(id), numShards)`; pass a modulo expression for a
     * SQL-twin oracle), and in-shard order is id order.
@@ -67,7 +69,11 @@ object Packing {
     val packed = aggregate(col("xs"), zero,
       (acc, x) => {
         val tok = x.getField("tok")
-        val over = tok > lit(budget)
+        // a NULL token count quarantines like an oversize item (an
+        // explicit branch: left to when/otherwise fall-through, the two
+        // engines' CASE orders diverge on NULL — Spark's otherwise would
+        // open a new bin, SQL's ELSE would keep the old one)
+        val over = tok.isNull || tok > lit(budget)
         val fits = acc.getField("fill") + tok <= lit(budget)
         val bin = when(over, lit(-1L))
           .when(fits, acc.getField("cbin"))

@@ -359,6 +359,49 @@ object Similarity {
       s"${name}_ivf_centroids")
   }
 
+  /** Incrementally APPEND a batch to a persisted IVF index without
+    * rebuilding — the daily-embedding-ingest primitive at 100 TB, where
+    * re-deriving the whole index per batch is the cost a persisted index
+    * exists to remove. The batch assigns against the EXISTING centroids
+    * (standard IVF ingest: the index geometry is frozen between
+    * re-trains — a drifted corpus re-trains via [[ivfBuild]] +
+    * [[writeIvfIndex]]) and lands through the repo's partition-scoped
+    * merge: only the cluster partitions the batch touches are rewritten
+    * (crash-recoverable via the merge manifest), the rest of the index
+    * stays byte-identical on disk.
+    *
+    * Merge keys are (id, cluster), so re-ingesting an unchanged vector
+    * is idempotent. A re-ingested id whose EMBEDDING changed enough to
+    * move clusters adds the new row without deleting the old one — feed
+    * immutable ids (append-only ingest) or rebuild on reassignment. */
+  def appendToIvfIndex(
+      repo: graft.sources.PqRepo,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      schema: String,
+      name: String): Unit = {
+    val index = readIvfIndex(repo, schema, name)
+    val assigned = assignClusters(
+      batch.select(col(idCol).as("id"), col(vecCol).as("v")), index.centroids)
+    repo.mergePartitioned(assigned, schema, s"${name}_ivf",
+      keys = Seq("id", "cluster"), partitionCols = Seq("cluster"))
+  }
+
+  /** Incrementally append/upsert a batch into a persisted quantized
+    * index: codes derive only from the batch, and the repo merge
+    * replaces rows by id — re-quantizing an updated document's embedding
+    * updates its codes in place. */
+  def appendToQuantizedIndex(
+      repo: graft.sources.PqRepo,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      schema: String,
+      name: String): Unit =
+    repo.merge(quantize(batch, idCol, vecCol), schema, s"${name}_q8",
+      keys = Seq(idCol))
+
   /** Reload a persisted IVF index. The centroid pull is index-sized
     * (≤ numCentroids × dim doubles); the assigned corpus stays a lazy
     * partitioned scan, cluster-prunable by [[ivfSearch]]'s probe join. */

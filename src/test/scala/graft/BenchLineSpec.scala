@@ -36,17 +36,34 @@ class BenchLineSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size >= 85, "worst case must cover the full registry")
   }
 
-  test("line is valid JSON with the calib fields") {
+  test("line is valid JSON with the calib fields and aligned qn/qv arrays") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val parsed = JsonMethods.parse(render(0.25, (1.02, 1.07)))
     assert((parsed \ "calib") != JNothing)
     assert((parsed \ "calib_bad") == JNothing)
+    assert((parsed \ "qunit") == JString("cs"))
     val bad = JsonMethods.parse(render(0.25, (1.0, 1.51)))
     assert((bad \ "calib_bad") == JBool(true))
-    (parsed \ "queries") match {
-      case JObject(fields) => assert(fields.size == SparkEntry.queries.size)
-      case other           => fail(s"queries not an object: $other")
+    assert((parsed \ "qord") == JString("name"))
+    (parsed \ "qv") match {
+      case JArray(values) =>
+        assert(values.size == SparkEntry.queries.size)
+        assert(values.forall(v => v == JInt(25)))
+      case other => fail(s"qv not an array: $other")
+    }
+    // qv order is the sorted query names, independent of caller order:
+    // distinct per-query values rendered from a REVERSED input must come
+    // out name-sorted
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val byName = names.zipWithIndex.toMap
+    val line = Bench.renderSummary(1.0, 1.0,
+      names.reverse.map(n => n -> (byName(n) + 1) / 100.0),
+      -1.0, (1.0, 1.0), None, None, "sf0.1")
+    (JsonMethods.parse(line) \ "qv") match {
+      case JArray(values) =>
+        assert(values == names.indices.map(i => JInt(i + 1): JValue).toList)
+      case other => fail(s"qv not an array: $other")
     }
   }
 

@@ -67,6 +67,45 @@ class IndexPersistSpec extends SparkSpec {
     }
   }
 
+  test("appendToIvfIndex: batch lands in its clusters, search covers it, re-append is idempotent") {
+    val repo = PqRepo(spark, Files.createTempDirectory("idx_app").toString)
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val built = Similarity.ivfBuild(base, "vec_id", "embedding",
+      numCentroids = 8, kmeansIters = 1)
+    Similarity.writeIvfIndex(repo, built, "ann", "a")
+    Similarity.appendToIvfIndex(repo, batch, "vec_id", "embedding", "ann", "a")
+    val index = Similarity.readIvfIndex(repo, "ann", "a")
+    assert(index.assigned.count() == emb.count())
+    // exact (nprobe-all) search over the merged index covers the whole
+    // corpus, appended rows included
+    val queries = emb.filter(col("vec_id") < 5)
+    val merged = topSet(Similarity.ivfSearch(index, queries,
+      "vec_id", "embedding", k = 4, nprobe = 8))
+    val exact = topSet(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 4))
+    assert(merged == exact)
+    // idempotent: re-appending the same batch changes nothing
+    Similarity.appendToIvfIndex(repo, batch, "vec_id", "embedding", "ann", "a")
+    assert(Similarity.readIvfIndex(repo, "ann", "a").assigned.count() == emb.count())
+  }
+
+  test("appendToQuantizedIndex: upsert by id, re-quantized rows replace") {
+    val repo = PqRepo(spark, Files.createTempDirectory("idx_qapp").toString)
+    Similarity.writeQuantizedIndex(repo, emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", "ann", "q")
+    Similarity.appendToQuantizedIndex(repo, emb.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", "ann", "q")
+    val all = Similarity.readQuantizedIndex(repo, "ann", "q")
+    assert(all.count() == emb.count())
+    // upsert: re-appending an overlapping slice keeps one row per id
+    Similarity.appendToQuantizedIndex(repo, emb.filter(col("vec_id") < 200),
+      "vec_id", "embedding", "ann", "q")
+    val after = Similarity.readQuantizedIndex(repo, "ann", "q")
+    assert(after.count() == emb.count())
+    assert(after.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("writePartitioned promotes atomically: no tmp dir left, table readable") {
     val repo = PqRepo(spark, Files.createTempDirectory("idx_part").toString)
     val built = Similarity.ivfBuild(emb.limit(100), "vec_id", "embedding",

@@ -41,6 +41,17 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: null token counts quarantine to bin -1 without disturbing the fill") {
+    // id order: 1(50) -> bin 0 (fill 50); 2(null) -> -1, fill untouched;
+    // 3(45): 50+45 > 90 -> bin 1 (fill 45); 4(40): 45+40 <= 90 -> bin 1
+    val items = Seq((1L, Some(50L)), (2L, Option.empty[Long]),
+      (3L, Some(45L)), (4L, Some(40L))).toDF("id", "tok")
+    val bins = Packing.packSequences(items, "id", "tok", budget = 90L,
+      numShards = 1, shardExpr = Some(lit(0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bins == Map(1L -> 0L, 2L -> -1L, 3L -> 1L, 4L -> 1L), bins.toString)
+  }
+
   test("packSequences: deterministic across re-runs; modulo and hash shards both partition all items") {
     val hash1 = Packing.packSequences(docs, "doc_id", "tok", 90L, 8).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
