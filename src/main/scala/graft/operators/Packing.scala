@@ -138,6 +138,8 @@ object Mixing {
       shardExpr: (String, Column) => Option[Column] = (_, _) => None
   ): DataFrame = {
     require(sources.nonEmpty, "at least one source")
+    require(sources.map(_.tag).distinct.size == sources.size,
+      "source tags must be distinct (counts and bounds are keyed by tag)")
     require(sources.forall(_.weight > 0), "weights must be positive")
     require(numShards > 0 && granularity > 0, "positive shards/granularity")
 
