@@ -1795,18 +1795,7 @@ object SparkEntry {
            ON a.embedding = b.embedding AND a.vec_id < b.vec_id""",
     "embed_ivf_ann" ->
       // nprobe = numCentroids ≡ exact brute-force top-k
-      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-          pairs AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-              round(CASE WHEN sqrt(${dotSql("q.embedding", "q.embedding")})
-                              * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN 0.0
-                         ELSE ${dotSql("q.embedding", "c.embedding")}
-                              / (sqrt(${dotSql("q.embedding", "q.embedding")})
-                                 * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cos
-            FROM q, embeddings c WHERE c.vec_id != q.vec_id)
-          SELECT query_id, cand_id, cos,
-            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
-          FROM pairs QUALIFY rank <= 5""",
+      bruteTop5Sql,
     "dedup_groups" ->
       """WITH u AS (SELECT doc_id, text FROM documents
                     UNION ALL SELECT doc_id + 1000000, text FROM documents)
@@ -2152,32 +2141,10 @@ object SparkEntry {
             CAST(count(*) FILTER (WHERE e.gram IN (SELECT gram FROM s)) AS BIGINT) AS n_shared
           FROM e GROUP BY e.doc_id""",
     "embed_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-          pairs AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-              round(CASE WHEN sqrt(${dotSql("q.embedding", "q.embedding")})
-                              * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN 0.0
-                         ELSE ${dotSql("q.embedding", "c.embedding")}
-                              / (sqrt(${dotSql("q.embedding", "q.embedding")})
-                                 * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cos
-            FROM q, embeddings c WHERE c.vec_id != q.vec_id)
-          SELECT query_id, cand_id, cos,
-            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
-          FROM pairs QUALIFY rank <= 5""",
+      bruteTop5Sql,
     "embed_quantized_topk" ->
       // full rerank depth ≡ exact brute force (coarse cut keeps everyone)
-      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-          pairs AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-              round(CASE WHEN sqrt(${dotSql("q.embedding", "q.embedding")})
-                              * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN 0.0
-                         ELSE ${dotSql("q.embedding", "c.embedding")}
-                              / (sqrt(${dotSql("q.embedding", "q.embedding")})
-                                 * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cos
-            FROM q, embeddings c WHERE c.vec_id != q.vec_id)
-          SELECT query_id, cand_id, cos,
-            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
-          FROM pairs QUALIFY rank <= 5""",
+      bruteTop5Sql,
     "pack_sequences" ->
       // the same greedy first-fit fold, replayed per shard by a recursive
       // CTE: state = (fill of open bin, open bin number); oversize items

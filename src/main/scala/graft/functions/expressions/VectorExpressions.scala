@@ -143,9 +143,13 @@ object VectorKernels {
     * matrix per row, bounded insertion into k-slot arrays: O(m·d + m·k)
     * with zero allocation beyond the k slots and the unpacked vector.
     *
-    * Null when the vector is null, has a null element, or doesn't match
-    * the centroid dimensionality (the same inputs for which the dot
-    * kernel yields null); empty array when there are no centroids. */
+    * Null when the vector is null, has a null element, or matches NO
+    * centroid's dimensionality; a centroid whose dimension differs from
+    * the vector's is skipped (the same per-pair behavior as the dot
+    * kernel, which yields null for that pair — the old per-centroid
+    * expression chain degraded the same way, and indexing past a short
+    * centroid would otherwise throw mid-job on a mixed-dim corpus).
+    * Empty array when there are no centroids. */
   def nearestCentroids(
       v: ArrayData,
       cents: Array[Array[Double]],
@@ -155,7 +159,6 @@ object VectorKernels {
     val m = cents.length
     if (m == 0) return new GenericArrayData(Array.empty[Any])
     val n = v.numElements()
-    if (n != cents(0).length) return null
     val x = new Array[Double](n)
     var i = 0
     while (i < n) {
@@ -170,26 +173,29 @@ object VectorKernels {
     var c = 0
     while (c < m) {
       val cv = cents(c)
-      var s = 0.0
-      var j = 0
-      while (j < n) { s += x(j) * cv(j); j += 1 }
-      val id = ids(c)
-      if (filled < kk) {
-        var p = filled
-        while (p > 0 && (bs(p - 1) < s || (bs(p - 1) == s && bi(p - 1) > id))) {
-          bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1
+      if (cv.length == n) {
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += x(j) * cv(j); j += 1 }
+        val id = ids(c)
+        if (filled < kk) {
+          var p = filled
+          while (p > 0 && (bs(p - 1) < s || (bs(p - 1) == s && bi(p - 1) > id))) {
+            bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1
+          }
+          bs(p) = s; bi(p) = id
+          filled += 1
+        } else if (s > bs(kk - 1) || (s == bs(kk - 1) && id < bi(kk - 1))) {
+          var p = kk - 1
+          while (p > 0 && (bs(p - 1) < s || (bs(p - 1) == s && bi(p - 1) > id))) {
+            bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1
+          }
+          bs(p) = s; bi(p) = id
         }
-        bs(p) = s; bi(p) = id
-        filled += 1
-      } else if (s > bs(kk - 1) || (s == bs(kk - 1) && id < bi(kk - 1))) {
-        var p = kk - 1
-        while (p > 0 && (bs(p - 1) < s || (bs(p - 1) == s && bi(p - 1) > id))) {
-          bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1
-        }
-        bs(p) = s; bi(p) = id
       }
       c += 1
     }
+    if (filled == 0) return null
     val out = new Array[Any](filled)
     var o = 0
     while (o < filled) {

@@ -200,7 +200,15 @@ object Dedup {
     * persists MEMORY_AND_DISK with lineage INTACT — the first action
     * populates the cache while running the kernel once, later consumers
     * read blocks, and a lost block recomputes from lineage instead of
-    * failing the job. */
+    * failing the job.
+    *
+    * Lifecycle note for LONG-LIVED cluster drivers: persisted frames stay
+    * registered with the CacheManager until unpersisted (unlike
+    * localCheckpoint RDDs, which the ContextCleaner reclaims once
+    * unreferenced). A driver looping these operators over many corpora
+    * should call `spark.catalog.clearCache()` between pipelines after the
+    * results materialize — the same discipline `dropNearDuplicates`'
+    * `persistInput` documents. */
   private[operators] def materializeOnce(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(eager = true)
     else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -301,7 +309,7 @@ object Dedup {
     // (≥ any threshold): intra-group pairs found unconditionally.
     val keyed = sigs.select(col("sig").as("k"), col("id"))
     val (bySigK, equalIdPairs) =
-      if (small) collapseByKeyDirect(keyed)
+      if (small) collapseByKeyDirect(keyed, maxEqualGroup)
       else { val (e, p, _) = collapseByKey(keyed, maxEqualGroup); (e, p) }
     val bySig = bySigK.select(col("k").as("sig"), col("ids"))
     val equalPairs = equalIdPairs
@@ -383,17 +391,27 @@ object Dedup {
     .select(col("k"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
 
   /** The probe-free collapse: one aggregation, exact all-pairs for every
-    * equal-key group. This is [[collapseByKey]]'s output whenever the
-    * probe finds no group past `maxEqualGroup` — and for a corpus whose
-    * whole input mass is gate-small it is ALWAYS safe (a degenerate
-    * equal-key group is bounded by the corpus itself, so the buffer the
-    * salted path exists to bound is small by construction), while paying
-    * neither the probe action nor the signature materialization job. */
+    * equal-key group at or below `maxEqualGroup` — [[collapseByKey]]'s
+    * output whenever its probe finds no heavier group. The gate-small
+    * corpus bounds the collect_list BUFFER (a whole-corpus group is a
+    * corpus-sized id list — fine at gate size), but NOT the pair
+    * EXPANSION: a 5 MB corpus of 50k identical docs would still explode
+    * g(g−1)/2 ≈ 1.2×10⁹ in-row pair structs. So groups past
+    * `maxEqualGroup` emit [[starPairs]] instead — the same
+    * spanning-tree thinning the salted path applies, decided per row in
+    * the array expression with no probe action. */
   private[operators] def collapseByKeyDirect(
-      keyed: DataFrame): (DataFrame, DataFrame) = {
+      keyed: DataFrame,
+      maxEqualGroup: Int): (DataFrame, DataFrame) = {
     val byKey = keyed.groupBy("k")
       .agg(sort_array(collect_list("id")).as("ids"))
-    (byKey, allPairsOf(byKey))
+    val pairs = byKey
+      .filter(size(col("ids")) >= 2)
+      .select(col("k"), explode(
+        when(size(col("ids")) <= maxEqualGroup, idPairs(col("ids")))
+          .otherwise(starPairs(col("ids")))).as("p"))
+      .select(col("k"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    (byKey, pairs)
   }
 
   private[operators] def collapseByKey(
@@ -417,7 +435,7 @@ object Dedup {
     val anyHeavy = heavyHks.nonEmpty
 
     if (!anyHeavy) {
-      val (byKey, pairs) = collapseByKeyDirect(keyed)
+      val (byKey, pairs) = collapseByKeyDirect(keyed, maxEqualGroup)
       (byKey, pairs, total)
     } else {
       import keyed.sparkSession.implicits._
@@ -517,7 +535,7 @@ object Dedup {
     // group size no exhaustive list could be consumed at anyway.
     val keyedSk = sketched.select(col("sh").as("k"), col("id"))
     val (bySketchK, zeroIdPairs) =
-      if (small) collapseByKeyDirect(keyedSk)
+      if (small) collapseByKeyDirect(keyedSk, maxEqualGroup)
       else { val (e, p, _) = collapseByKey(keyedSk, maxEqualGroup); (e, p) }
     val bySketch = bySketchK.select(col("k").as("sh"), col("ids"))
     val zeroPairs = zeroIdPairs

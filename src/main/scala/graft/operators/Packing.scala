@@ -20,9 +20,14 @@ object Packing {
     * hash deterministically into `numShards` shards; within a shard they
     * are ordered by id and folded once, left to right: an item that
     * would overflow the open bin closes it and opens the next. The
-    * parallelism is across shards; per-shard state is one (fill, bin)
-    * pair and the shard's (id, tok) list — ids and counts only, never
-    * text, so a shard of 10⁵ items is ~1.6 MB of aggregation buffer.
+    * parallelism is across shards; each shard's fold is a STREAMING pass
+    * over its sorted iterator (`flatMapSortedGroups` — the
+    * KeyValueGroupedDataset shape for genuinely sequential per-group
+    * state) holding one (fill, bin) pair, so a 10⁶-item shard costs
+    * O(items), never materializing the shard in memory (the first cut
+    * accumulated the emitted list inside a Catalyst `aggregate` fold,
+    * whose per-item `concat` copied the accumulator — O(items²) element
+    * copies per shard). Only ids and token counts move, never text.
     * Size `numShards` so corpus/numShards matches the intended training
     * file size.
     *
@@ -47,54 +52,42 @@ object Packing {
   ): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(numShards > 0, "numShards must be positive")
+    val spark = items.sparkSession
+    import spark.implicits._
     val sh = shardExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(numShards)))
-    val byShard = items
+    val prepared = items
       .select(col(idCol).as("id"), col(tokenCol).cast("long").as("tok"),
         sh.cast("int").as("shard"))
-      .groupBy("shard")
-      .agg(sort_array(collect_list(struct(col("id"), col("tok")))).as("xs"))
-
-    // one left-to-right fold per shard, entirely inside an array
-    // expression: accumulator = (fill of the open bin, open bin number,
-    // emitted (id, tok, bin) list). The typed empty list comes from a
-    // slice of the transformed input — no hand-written cast strings, so
-    // the id type (long/int/string) passes through unchanged.
-    val emptyOut = slice(
-      transform(col("xs"), x =>
-        struct(x.getField("id").as("id"), x.getField("tok").as("tok"),
-          lit(0L).as("bin"))),
-      1, 0)
-    val zero = struct(lit(0L).as("fill"), lit(0L).as("cbin"),
-      emptyOut.as("out"))
-    val packed = aggregate(col("xs"), zero,
-      (acc, x) => {
-        val tok = x.getField("tok")
-        // a NULL token count quarantines like an oversize item (an
-        // explicit branch: left to when/otherwise fall-through, the two
-        // engines' CASE orders diverge on NULL — Spark's otherwise would
-        // open a new bin, SQL's ELSE would keep the old one)
-        val over = tok.isNull || tok > lit(budget)
-        val fits = acc.getField("fill") + tok <= lit(budget)
-        val bin = when(over, lit(-1L))
-          .when(fits, acc.getField("cbin"))
-          .otherwise(acc.getField("cbin") + 1L)
-        val newFill = when(over, acc.getField("fill"))
-          .when(fits, acc.getField("fill") + tok)
-          .otherwise(tok)
-        val newCbin = when(over, acc.getField("cbin"))
-          .when(fits, acc.getField("cbin"))
-          .otherwise(acc.getField("cbin") + 1L)
-        struct(newFill.as("fill"), newCbin.as("cbin"),
-          concat(acc.getField("out"),
-            array(struct(x.getField("id").as("id"), tok.as("tok"),
-              bin.as("bin")))).as("out"))
-      },
-      acc => acc.getField("out"))
-
-    byShard
-      .select(col("shard"), explode(packed).as("p"))
-      .select(col("p.id").as(idCol), col("shard"), col("p.bin").as("bin"),
-        col("p.tok").as("n_tokens"))
+    val idField = prepared.schema("id")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, idField.dataType,
+        idField.nullable),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    prepared
+      .groupByKey(r => r.getInt(2))
+      .flatMapSortedGroups(col("id"), col("tok")) {
+        (shard: Int, rows: Iterator[org.apache.spark.sql.Row]) =>
+          var fill = 0L
+          var cbin = 0L
+          rows.map { r =>
+            val tokNull = r.isNullAt(1)
+            val tok = if (tokNull) 0L else r.getLong(1)
+            // a NULL token count quarantines like an oversize item —
+            // explicit, so the SQL oracle's CASE order agrees
+            val bin =
+              if (tokNull || tok > budget) -1L
+              else if (fill + tok <= budget) { fill += tok; cbin }
+              else { cbin += 1; fill = tok; cbin }
+            org.apache.spark.sql.Row(r.get(0), shard, bin,
+              if (tokNull) null else java.lang.Long.valueOf(tok))
+          }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
   }
 }
 
@@ -144,6 +137,13 @@ object Mixing {
     require(numShards > 0 && granularity > 0, "positive shards/granularity")
 
     val counts = sources.map(s => s.tag -> s.df.count()).toMap
+    // an empty source would become the bottleneck (n/w = 0) and zero
+    // every keep bound — a pipeline whose one sub-corpus came up empty
+    // must fail LOUDLY, not ship zero training data
+    val empty = counts.collect { case (tag, 0L) => tag }
+    require(empty.isEmpty,
+      s"mixSources: empty source(s) ${empty.mkString(", ")} make the " +
+        "target ratios unsatisfiable — drop them or fix the upstream feed")
     val wProduct = sources.map(s => BigInt(s.weight)).product
     // bottleneck: smallest n_j/w_j via exact integer keys n_j * (W/w_j)
     val bottleneck = sources.minBy { s =>
@@ -155,7 +155,7 @@ object Mixing {
     val tagged = sources.map { s =>
       val n = BigInt(counts(s.tag))
       val bound =
-        if (s.tag == bottleneck.tag || n == 0) granularity
+        if (s.tag == bottleneck.tag) granularity
         else (BigInt(granularity) * nB * s.weight / (wB * n))
           .min(BigInt(granularity)).toLong
       val id = col(idCol)

@@ -33,6 +33,25 @@ class DedupGateSpec extends SparkSpec {
     assert(run(byteExact = false, 0L) == expected)       // forced digest
   }
 
+  test("small-corpus path still thins a degenerate group past maxEqualGroup " +
+    "to a spanning tree (no g^2 pair expansion)") {
+    // 12 identical docs, maxEqualGroup = 5, DEFAULT gate (corpus is tiny
+    // -> probe-free direct collapse): all-pairs would be 66; the per-row
+    // star fallback emits 11 edges, same connectivity — the expansion a
+    // gate-small corpus of 50k identical docs would otherwise blow up on
+    val docs = (0 until 12).map(i => (i.toLong, "identical content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 48, bands = 12, threshold = 1.0, maxEqualGroup = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 11, pairs.toString)
+    val parent = scala.collection.mutable.Map((0L until 12L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until 12L).map(find).toSet.size == 1)
+  }
+
   test("below the gate the plan carries no SHA pass; forcing does") {
     val (docs, pairs) = fixture
     val lazyPlan = Dedup.verifyPairsExact(pairs, docs, "doc_id", "text")

@@ -68,6 +68,31 @@ class IvfScaleSpec extends SparkSpec {
     assert(viaJoin == viaKernel)
   }
 
+  test("mixed-dimension vectors degrade per-centroid, never throw") {
+    import spark.implicits._
+    // all centroids are 64-dim; a 3-dim stray vector must yield a NULL
+    // result from the kernel (no centroid matches its dimension) — not
+    // an ArrayIndexOutOfBoundsException from indexing past a centroid —
+    // and an ivfSearch probing with it must drop it, not fail the job
+    val index = Similarity.ivfBuild(emb.limit(100), "vec_id", "embedding",
+      numCentroids = 4)
+    val stray = Seq((900000L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+
+    val direct = stray.select(
+      graft.functions.VectorFunctions.nearestCentroids(
+        col("embedding"), index.centroids, 2).as("nc")).head()
+    assert(direct.isNullAt(0), "mismatched dims must yield null, not throw")
+
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .unionByName(stray)
+    val out = Similarity.ivfSearch(index, queries, "vec_id", "embedding",
+      k = 3, nprobe = 4).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getAs[Long]("query_id") == 900000L),
+      "the stray query must be dropped, not matched")
+  }
+
   test("autoCentroids: √(n/target) clamped to [4, 4096]") {
     assert(Similarity.autoCentroids(0L) == 4)
     assert(Similarity.autoCentroids(1024L) == 4)

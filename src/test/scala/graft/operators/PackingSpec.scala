@@ -83,6 +83,17 @@ class PackingSpec extends SparkSpec {
     assert(out.map(_._3).toSet.subsetOf((0 until 4).toSet))
   }
 
+  test("mixSources fails loudly on an empty source instead of shipping zero rows") {
+    val d = spark.range(0, 100).toDF("id")
+    val srcs = Seq(
+      Mixing.SourceSpec("a", d, 1),
+      Mixing.SourceSpec("b", d.filter($"id" < 0), 1))
+    val e = intercept[IllegalArgumentException] {
+      Mixing.mixSources(srcs, "id", numShards = 2)
+    }
+    assert(e.getMessage.contains("empty source"), e.getMessage)
+  }
+
   test("mixSources: integer bound arithmetic matches the closed form") {
     val d = spark.range(0, 1200).toDF("id")
     val srcs = Seq(
