@@ -865,6 +865,27 @@ object SparkEntry {
         col("rank").cast("bigint").as("rank"))
   }
 
+  /** SURVEY 34f' `embed_q8_append` (r12): incremental ingest into the
+    * persisted QUANTIZED index — builds on 80% of the corpus, the rest
+    * arrives as a batch through the bucket-scoped merge (only the bucket
+    * directories the batch's ids hash into rewrite — the r11 verdict's
+    * last full-table-rewrite residual), and the rerank-all search over
+    * the merged index is exact over the FULL corpus → the shared
+    * brute-force oracle proves the appended codes are really served. */
+  private def embedQ8Append(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val repo = PqRepo(s, Files.createTempDirectory("graft_q8app").toString)
+    val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+    Similarity.writeQuantizedIndex(repo, base, "vec_id", "embedding", "ann", "emb")
+    Similarity.appendToQuantizedIndex(repo, batch, "vec_id", "embedding", "ann", "emb")
+    val coded = Similarity.readQuantizedIndex(repo, "ann", "emb")
+    Similarity.quantizedTopKIndexed(coded, e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, rerankDepth = Int.MaxValue)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentBytesPipeline(s, t(s, dir, "documents"))
 
@@ -1350,7 +1371,8 @@ object SparkEntry {
       "mix_sources" -> (mixSourcesQ _),
       "embed_index_topk" -> (embedIndexTopK _),
       "embed_ivf_index" -> (embedIvfIndexQ _),
-      "embed_ivf_append" -> (embedIvfAppend _)
+      "embed_ivf_append" -> (embedIvfAppend _),
+      "embed_q8_append" -> (embedQ8Append _)
     )
 
   // ===== oracles ============================================================
@@ -2203,7 +2225,8 @@ object SparkEntry {
     // the same oracle embed_ivf_ann / embed_quantized_topk carry
     "embed_index_topk" -> bruteTop5Sql,
     "embed_ivf_index" -> bruteTop5Sql,
-    "embed_ivf_append" -> bruteTop5Sql
+    "embed_ivf_append" -> bruteTop5Sql,
+    "embed_q8_append" -> bruteTop5Sql
   )
 
   /** Exact brute-force cosine top-5 for queries vec_id < 10 — the shared

@@ -225,6 +225,29 @@ object Similarity {
     math.max(4, math.min(4096,
       math.ceil(math.sqrt(math.max(1.0, n.toDouble / targetClusterSize))).toInt))
 
+  /** Corpus size from optimizer statistics — ZERO pre-plan jobs, the same
+    * gate pattern as [[Dedup]]'s small-corpus stats gates (which replaced
+    * probe jobs in r11; this replaces auto mode's exact `count()`, the
+    * one remaining pre-plan job in the ANN family). `rowCount` is exact
+    * when the plan carries it (limits, CBO/ANALYZE); otherwise rows are
+    * `sizeInBytes` over an assumed embedding-row width (arrays floored at
+    * 512 B — scalar `defaultSize` would undercount a vector 64×). The
+    * estimate only feeds [[autoCentroids]]' clamped √, so even a 4×
+    * width error moves nlist 2× — inside the heuristic's tolerance, and
+    * callers with a known corpus pass `numCentroids` explicitly. */
+  private[operators] def approxRowCount(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse {
+      val width = df.schema.map { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType => 512
+          case dt => dt.defaultSize
+        }
+      }.sum.max(1)
+      math.max(1L, (stats.sizeInBytes / width).toLong)
+    }
+  }
+
   /** Build an IVF index over the corpus.
     *
     * Seeding orders by `xxhash64(id)` and takes the first `numCentroids`
@@ -246,10 +269,9 @@ object Similarity {
       kmeansIters: Int = 0
   ): IvfIndex = {
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // numCentroids = 0: auto-scale from the corpus size (the one count
-    // job runs only in auto mode; explicit callers pay nothing)
+    // numCentroids = 0: auto-scale from optimizer stats — no pre-plan job
     val nlist =
-      if (numCentroids > 0) numCentroids else autoCentroids(vecs.count())
+      if (numCentroids > 0) numCentroids else autoCentroids(approxRowCount(vecs))
     var centroids: Seq[(Int, Seq[Double])] = vecs
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(nlist)
@@ -328,21 +350,47 @@ object Similarity {
   //    per cluster — a probe's cluster equi-join prunes to its nprobe
   //    partitions at the scan) plus a centroid side table.
 
-  /** Build and persist the int8 quantized index as
-    * `<schema>/<name>_q8`. */
+  /** Sidecar property recording the bucket count a persisted quantized
+    * index was hash-partitioned with — [[appendToQuantizedIndex]] must
+    * bucket its batch with the SAME modulus or merge keys would miss. */
+  private val Q8BucketsProp = "q8.numBuckets"
+
+  private def q8Bucket(idCol: String, numBuckets: Int) =
+    pmod(xxhash64(col(idCol)), lit(numBuckets.toLong)).cast("int").as("bucket")
+
+  /** Build and persist the int8 quantized index as `<schema>/<name>_q8`,
+    * hash-partitioned into `numBuckets` directories on
+    * `pmod(xxhash64(id), numBuckets)`. The bucket layout exists for
+    * [[appendToQuantizedIndex]]: an incremental batch rewrites only the
+    * bucket directories its ids hash into, never the whole index — at
+    * 100 TB of embeddings a 0.1% daily batch must not trigger a full
+    * copy-on-write of all codes (the defect class
+    * [[graft.sources.PqRepo.mergePartitioned]] exists to remove). The
+    * bucket count is stamped in the table's meta sidecar so appends
+    * can't silently bucket with a different modulus. Search reads are
+    * unchanged: [[readQuantizedIndex]] hides the bucket column. */
   def writeQuantizedIndex(
       repo: graft.sources.PqRepo,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       schema: String,
-      name: String): Unit =
-    repo.write(quantize(corpus, idCol, vecCol), schema, s"${name}_q8")
+      name: String,
+      numBuckets: Int = 32): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(idCol != "bucket", "idCol 'bucket' collides with the layout column")
+    val coded = quantize(corpus, idCol, vecCol)
+      .withColumn("bucket", q8Bucket(idCol, numBuckets))
+    repo.writePartitioned(coded, schema, s"${name}_q8", Seq("bucket"))
+    repo.writeTableMeta(schema, s"${name}_q8",
+      Map(Q8BucketsProp -> numBuckets.toString))
+  }
 
-  /** The persisted quantized index: (idCol, qmin, qmax, codes). */
+  /** The persisted quantized index: (idCol, qmin, qmax, codes). The
+    * bucket partition column is layout, not payload — dropped here. */
   def readQuantizedIndex(
       repo: graft.sources.PqRepo, schema: String, name: String): DataFrame =
-    repo.table(schema, s"${name}_q8")
+    repo.table(schema, s"${name}_q8").drop("bucket")
 
   /** Persist an IVF index: assigned corpus partitioned by cluster plus
     * the centroids as `<schema>/<name>_ivf{,_centroids}`. */
@@ -372,35 +420,88 @@ object Similarity {
     *
     * Merge keys are (id, cluster), so re-ingesting an unchanged vector
     * is idempotent. A re-ingested id whose EMBEDDING changed enough to
-    * move clusters adds the new row without deleting the old one — feed
-    * immutable ids (append-only ingest) or rebuild on reassignment. */
+    * move clusters would land a SECOND row while its stale row survives
+    * in a partition the batch never touches — `checkMoved` (default on)
+    * detects exactly that and fails loudly instead of quietly corrupting
+    * the index: the batch's (id, new-cluster) assignments join the
+    * index's (id, cluster) pair — a column-pruned two-thin-column scan,
+    * nothing vector-sized moves — and any differing cluster aborts
+    * before the merge touches disk. Provably append-only feeds (fresh
+    * ids every batch) can pass `checkMoved = false` to skip the scan;
+    * a detected reassignment means the corpus drifted — re-train via
+    * [[ivfBuild]] + [[writeIvfIndex]]. */
   def appendToIvfIndex(
       repo: graft.sources.PqRepo,
       batch: DataFrame,
       idCol: String,
       vecCol: String,
       schema: String,
-      name: String): Unit = {
+      name: String,
+      checkMoved: Boolean = true): Unit = {
     val index = readIvfIndex(repo, schema, name)
     val assigned = assignClusters(
       batch.select(col(idCol).as("id"), col(vecCol).as("v")), index.centroids)
+    if (checkMoved) {
+      val moved = index.assigned.select(col("id"), col("cluster").as("__old"))
+        .join(assigned.select(col("id"), col("cluster")), Seq("id"))
+        .filter(col("__old") =!= col("cluster"))
+        .select(col("id"), col("__old"), col("cluster"))
+      val sample = moved.limit(5).collect() // bounded: ≤5 rows
+      if (sample.nonEmpty) {
+        val shown = sample.map(r =>
+          s"${r.get(0)}: ${r.get(1)} -> ${r.get(2)}").mkString(", ")
+        throw new IllegalStateException(
+          s"appendToIvfIndex($schema/$name): batch re-ingests ids whose " +
+            s"embeddings moved clusters [$shown${if (sample.length == 5) ", …" else ""}] — " +
+            "the stale rows would survive in partitions this merge never " +
+            "rewrites. Re-train the index (ivfBuild + writeIvfIndex), or " +
+            "pass checkMoved = false only for provably append-only feeds")
+      }
+    }
     repo.mergePartitioned(assigned, schema, s"${name}_ivf",
       keys = Seq("id", "cluster"), partitionCols = Seq("cluster"))
   }
 
   /** Incrementally append/upsert a batch into a persisted quantized
-    * index: codes derive only from the batch, and the repo merge
-    * replaces rows by id — re-quantizing an updated document's embedding
-    * updates its codes in place. */
+    * index: codes derive only from the batch, and the bucket-scoped repo
+    * merge replaces rows by id — re-quantizing an updated document's
+    * embedding updates its codes in place.
+    *
+    * Scale shape: the batch is bucketed with the modulus recorded in the
+    * index's meta sidecar, and [[graft.sources.PqRepo.mergePartitioned]]
+    * on (id, bucket) rewrites ONLY the bucket directories the batch's
+    * ids hash into — untouched buckets' files stay byte-identical on
+    * disk (spec-verified). The bucket is a pure function of the id, so a
+    * key can never move partitions and the merge is exactly whole-table
+    * upsert semantics. A missing index bootstraps via
+    * [[writeQuantizedIndex]]; an index written by a pre-bucketed build
+    * (no sidecar) fails loudly — rebuild it rather than silently
+    * rewriting the whole table per batch. */
   def appendToQuantizedIndex(
       repo: graft.sources.PqRepo,
       batch: DataFrame,
       idCol: String,
       vecCol: String,
       schema: String,
-      name: String): Unit =
-    repo.merge(quantize(batch, idCol, vecCol), schema, s"${name}_q8",
-      keys = Seq(idCol))
+      name: String): Unit = {
+    val table = s"${name}_q8"
+    val destMissing = repo.list(schema).forall(_ != table)
+    if (destMissing) {
+      writeQuantizedIndex(repo, batch, idCol, vecCol, schema, name)
+      return
+    }
+    val numBuckets = repo.readTableMeta(schema, table).get(Q8BucketsProp) match {
+      case Some(n) => n.toInt
+      case None => throw new IllegalStateException(
+        s"$schema/$table has no '$Q8BucketsProp' sidecar — it predates the " +
+          "bucketed layout; rebuild it with writeQuantizedIndex before " +
+          "appending (a blind merge would rewrite the entire index)")
+    }
+    val coded = quantize(batch, idCol, vecCol)
+      .withColumn("bucket", q8Bucket(idCol, numBuckets))
+    repo.mergePartitioned(coded, schema, table,
+      keys = Seq(idCol, "bucket"), partitionCols = Seq("bucket"))
+  }
 
   /** Reload a persisted IVF index. The centroid pull is index-sized
     * (≤ numCentroids × dim doubles); the assigned corpus stays a lazy

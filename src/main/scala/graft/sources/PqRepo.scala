@@ -474,6 +474,48 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
   private def mergeTmpPath(schema: String, table: String): Path =
     new Path(new Path(dataDir, schema), s"_tmp_$table.parquet")
 
+  private def tableMetaPath(schema: String, table: String): Path =
+    new Path(tablePath(schema, table), "_graft_meta.json")
+
+  /** Attach a small string-property sidecar (`_graft_meta.json`) to a
+    * table — index geometry the data files can't carry, e.g. the bucket
+    * count a hash-partitioned layout was built with. Underscore-prefixed,
+    * so parquet readers never see it, and stored INSIDE the table dir, so
+    * it survives [[mergePartitioned]] (which swaps partition subdirs, not
+    * the table dir) but is correctly dropped by any whole-table rewrite
+    * ([[write]]/[[writePartitioned]] replace the dir) — stale geometry
+    * cannot outlive the layout it describes; rebuilders re-stamp it. */
+  def writeTableMeta(
+      schema: String, table: String, props: Map[String, String]): Path = {
+    val p = tableMetaPath(schema, table)
+    val f = fs(p)
+    require(f.exists(tablePath(schema, table)),
+      s"no table $schema/$table to attach metadata to")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val out = f.create(p, true)
+    try out.write(mapper.writeValueAsBytes(node))
+    finally out.close()
+    p
+  }
+
+  /** The table's property sidecar, or empty when none was stamped. */
+  def readTableMeta(schema: String, table: String): Map[String, String] = {
+    val p = tableMetaPath(schema, table)
+    val f = fs(p)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val it = root.fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+    b.result()
+  }
+
   private def mergeManifestPath(schema: String, table: String): Path =
     new Path(tablePath(schema, table), "_merge_manifest.json")
 

@@ -106,6 +106,94 @@ class IndexPersistSpec extends SparkSpec {
     assert(after.select("vec_id").distinct().count() == emb.count())
   }
 
+  /** (relative path → size, first/last bytes) for every data file under
+    * the table — cheap byte-level fingerprint to prove untouched
+    * partition files were never rewritten. */
+  private def fileFingerprints(tableDir: java.io.File): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(tableDir)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(f => f.getAbsolutePath.stripPrefix(tableDir.getAbsolutePath) ->
+        (f.length(), f.lastModified()))
+      .toMap
+  }
+
+  test("appendToQuantizedIndex rewrites ONLY the buckets the batch hashes into") {
+    val repo = PqRepo(spark, Files.createTempDirectory("idx_q8b").toString)
+    Similarity.writeQuantizedIndex(repo, emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", "ann", "b", numBuckets = 8)
+    // layout: hash-bucket dirs + the bucket-count sidecar
+    val tableDir = new java.io.File(
+      repo.tablePath("ann", "b_q8").toUri.getPath)
+    assert(tableDir.listFiles().map(_.getName).count(_.startsWith("bucket=")) > 1)
+    assert(repo.readTableMeta("ann", "b_q8").get("q8.numBuckets").contains("8"))
+
+    val before = fileFingerprints(tableDir)
+    // one-row batch: exactly one bucket dir may change
+    val batchId = 150L
+    val touched = spark.sql(s"SELECT pmod(xxhash64(CAST($batchId AS BIGINT)), 8)")
+      .head().getLong(0)
+    Similarity.appendToQuantizedIndex(repo,
+      emb.filter(col("vec_id") === batchId), "vec_id", "embedding", "ann", "b")
+    val after = fileFingerprints(tableDir)
+
+    val untouchedBefore = before.filterNot(_._1.contains(s"/bucket=$touched/"))
+    val untouchedAfter = after.filterNot(_._1.contains(s"/bucket=$touched/"))
+    assert(untouchedBefore == untouchedAfter,
+      "untouched bucket files must be byte-identical (same path/size/mtime)")
+    assert(after.keySet.exists(_.contains(s"/bucket=$touched/")))
+    // and the appended row is served
+    val ids = Similarity.readQuantizedIndex(repo, "ann", "b")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val baseN = emb.filter(col("vec_id") < 100).count()
+    assert(ids.contains(batchId) && ids.size == baseN + 1)
+  }
+
+  test("appendToQuantizedIndex bootstraps a missing index; refuses a legacy unbucketed one") {
+    val repo = PqRepo(spark, Files.createTempDirectory("idx_q8l").toString)
+    // bootstrap: first append IS the build (idempotent ingest loaders)
+    Similarity.appendToQuantizedIndex(repo, emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding", "ann", "boot")
+    assert(Similarity.readQuantizedIndex(repo, "ann", "boot").count() == 50)
+    assert(repo.readTableMeta("ann", "boot_q8").contains("q8.numBuckets"))
+    // legacy layout (plain table, no sidecar): loud failure, not a silent
+    // whole-index rewrite
+    repo.write(Similarity.quantize(
+      emb.filter(col("vec_id") < 50), "vec_id", "embedding"), "ann", "old_q8")
+    val e = intercept[IllegalStateException] {
+      Similarity.appendToQuantizedIndex(repo,
+        emb.filter(col("vec_id") === 60), "vec_id", "embedding", "ann", "old")
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
+  test("appendToIvfIndex detects moved-cluster re-ingest and fails loudly") {
+    val repo = PqRepo(spark, Files.createTempDirectory("idx_mv").toString)
+    val built = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      numCentroids = 8, kmeansIters = 1)
+    Similarity.writeIvfIndex(repo, built, "ann", "m")
+    // an existing id re-ingested with another cluster's embedding: the
+    // batch assignment differs from the stored row's cluster
+    val rows = built.assigned.select("id", "cluster").limit(200).collect()
+    val (idA, cA) = (rows.head.getLong(0), rows.head.getInt(1))
+    val other = rows.find(_.getInt(1) != cA).get.getLong(0)
+    val movedBatch = emb.filter(col("vec_id") === other)
+      .select(lit(idA).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(repo, movedBatch,
+        "vec_id", "embedding", "ann", "m")
+    }
+    assert(e.getMessage.contains("moved clusters"))
+    // the aborted merge touched nothing: index unchanged
+    assert(Similarity.readIvfIndex(repo, "ann", "m").assigned.count() == emb.count())
+    // an append-only feed can skip the scan explicitly
+    Similarity.appendToIvfIndex(repo, movedBatch,
+      "vec_id", "embedding", "ann", "m", checkMoved = false)
+    assert(Similarity.readIvfIndex(repo, "ann", "m")
+      .assigned.count() == emb.count() + 1)
+  }
+
   test("writePartitioned promotes atomically: no tmp dir left, table readable") {
     val repo = PqRepo(spark, Files.createTempDirectory("idx_part").toString)
     val built = Similarity.ivfBuild(emb.limit(100), "vec_id", "embedding",
