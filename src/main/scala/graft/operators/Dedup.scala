@@ -403,14 +403,25 @@ object Dedup {
   private[operators] def collapseByKeyDirect(
       keyed: DataFrame,
       maxEqualGroup: Int): (DataFrame, DataFrame) = {
-    val byKey = keyed.groupBy("k")
+    val grouped = keyed.groupBy("k")
       .agg(sort_array(collect_list("id")).as("ids"))
-    val pairs = byKey
+    val pairs = grouped
       .filter(size(col("ids")) >= 2)
       .select(col("k"), explode(
         when(size(col("ids")) <= maxEqualGroup, idPairs(col("ids")))
           .otherwise(starPairs(col("ids")))).as("p"))
       .select(col("k"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // mirror the scale path's entries: a group past maxEqualGroup enters
+    // downstream band buckets as ONE representative (its sorted head =
+    // group min) — the starPairs above already carry its intra-group
+    // connectivity, and a full ids list would cross-expand ids_a × ids_b
+    // in-row when two degenerate groups share a band bucket (two
+    // 50k-member groups ⇒ ~2.5e9 pair structs inside one row, the exact
+    // blowup this guard exists to stop) besides diverging from the
+    // salted branch's representative-only pair set.
+    val byKey = grouped.withColumn("ids",
+      when(size(col("ids")) <= maxEqualGroup, col("ids"))
+        .otherwise(slice(col("ids"), 1, 1)))
     (byKey, pairs)
   }
 

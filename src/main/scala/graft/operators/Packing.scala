@@ -55,9 +55,22 @@ object Packing {
     val spark = items.sparkSession
     import spark.implicits._
     val sh = shardExpr.getOrElse(pmod(xxhash64(col(idCol)), lit(numShards)))
+    // a caller-supplied shardExpr can evaluate NULL (e.g. pmod over a null
+    // id); unguarded it would NPE inside groupByKey with no hint which row
+    // is at fault. Fail loudly, naming the id. The default expr is
+    // non-nullable, so Catalyst folds this branch away — zero hot-path
+    // cost on the standard path.
+    val shInt = sh.cast("int")
+    val shChecked = when(shInt.isNull,
+      raise_error(concat(
+        lit(s"packSequences: shardExpr evaluated to NULL for $idCol="),
+        coalesce(col(idCol).cast("string"), lit("NULL")),
+        lit(" — coalesce the expression or filter null keys upstream")))
+        .cast("int"))
+      .otherwise(shInt)
     val prepared = items
       .select(col(idCol).as("id"), col(tokenCol).cast("long").as("tok"),
-        sh.cast("int").as("shard"))
+        shChecked.as("shard"))
     val idField = prepared.schema("id")
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(idCol, idField.dataType,
@@ -129,7 +142,40 @@ object Mixing {
       seed: Long = 42L,
       sampleExpr: (String, Column) => Option[Column] = (_, _) => None,
       shardExpr: (String, Column) => Option[Column] = (_, _) => None
-  ): DataFrame = {
+  ): DataFrame =
+    mixSourcesWithStats(sources, idCol, numShards, granularity, seed,
+      sampleExpr, shardExpr)._1
+
+  /** Per-source composition report of a [[mixSourcesWithStats]] run —
+    * what a 100 TB pipeline asserts on instead of trusting the mix:
+    * input count, the integer keep bound out of `granularity`
+    * hash-space slices, the expected surviving rows under a uniform
+    * sample hash (exact `n` for the bottleneck — its bound is the whole
+    * space), and target vs expected output share. Derived entirely from
+    * the count probe the mix already runs — no extra jobs. */
+  final case class MixStats(
+      tag: String,
+      n: Long,
+      weight: Int,
+      bottleneck: Boolean,
+      bound: Long,
+      granularity: Long,
+      keptEstimate: Long,
+      targetShare: Double,
+      achievedShareEstimate: Double)
+
+  /** [[mixSources]] plus the per-source [[MixStats]] the run derived its
+    * keep bounds from — the convergence-report analog of
+    * `Dedup.dropNearDuplicatesWithStats`. */
+  def mixSourcesWithStats(
+      sources: Seq[SourceSpec],
+      idCol: String,
+      numShards: Int,
+      granularity: Long = 1L << 20,
+      seed: Long = 42L,
+      sampleExpr: (String, Column) => Option[Column] = (_, _) => None,
+      shardExpr: (String, Column) => Option[Column] = (_, _) => None
+  ): (DataFrame, Seq[MixStats]) = {
     require(sources.nonEmpty, "at least one source")
     require(sources.map(_.tag).distinct.size == sources.size,
       "source tags must be distinct (counts and bounds are keyed by tag)")
@@ -152,22 +198,41 @@ object Mixing {
     val nB = BigInt(counts(bottleneck.tag))
     val wB = BigInt(bottleneck.weight)
 
-    val tagged = sources.map { s =>
+    val bounds = sources.map { s =>
       val n = BigInt(counts(s.tag))
       val bound =
         if (s.tag == bottleneck.tag) granularity
         else (BigInt(granularity) * nB * s.weight / (wB * n))
           .min(BigInt(granularity)).toLong
+      s.tag -> bound
+    }.toMap
+    val tagged = sources.map { s =>
       val id = col(idCol)
       val sample = sampleExpr(s.tag, id).getOrElse(
         pmod(xxhash64(lit(seed), lit(s.tag), id), lit(granularity)))
       val shard = shardExpr(s.tag, id).getOrElse(
         pmod(xxhash64(lit(seed + 1), lit(s.tag), id), lit(numShards)))
       s.df
-        .filter(sample < lit(bound))
+        .filter(sample < lit(bounds(s.tag)))
         .select(lit(s.tag).as("source"), id.as(idCol),
           shard.cast("int").as("shard"))
     }
-    tagged.reduce(_.unionByName(_))
+
+    val wSum = sources.map(_.weight.toDouble).sum
+    val keptEst = sources.map { s =>
+      // bottleneck: bound == granularity ⇒ exactly n; others: expected
+      // surviving rows of a uniform hash over `granularity` slices
+      s.tag -> (BigInt(counts(s.tag)) * bounds(s.tag) / granularity).toLong
+    }.toMap
+    val keptSum = keptEst.values.map(_.toDouble).sum.max(1.0)
+    val stats = sources.map { s =>
+      MixStats(s.tag, counts(s.tag), s.weight,
+        bottleneck = s.tag == bottleneck.tag,
+        bound = bounds(s.tag), granularity = granularity,
+        keptEstimate = keptEst(s.tag),
+        targetShare = s.weight / wSum,
+        achievedShareEstimate = keptEst(s.tag) / keptSum)
+    }
+    (tagged.reduce(_.unionByName(_)), stats)
   }
 }

@@ -438,7 +438,13 @@ object Jdbc {
   }
 
   /** List table names in a database schema (reference db_schema_tables,
-    * postgres/schema.py:35) via JDBC catalog metadata — engine-agnostic. */
+    * postgres/schema.py:35) via JDBC catalog metadata — engine-agnostic.
+    *
+    * Namespace-less engines (driver reports neither TABLE_SCHEM nor
+    * TABLE_CAT): the `schema` argument cannot be checked and every table
+    * matches — the listing is the whole database regardless of the name
+    * passed (see [[schemaMatches]]). On namespaced engines a wrong
+    * `schema` returns empty, as expected. */
   def schemaTables(url: String, schema: String): Seq[String] = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
@@ -452,7 +458,12 @@ object Jdbc {
     } finally conn.close()
   }
 
-  /** Table existence (reference table_exists, postgres/introspect.py:1). */
+  /** Table existence (reference table_exists, postgres/introspect.py:1).
+    *
+    * Namespace-less engines (neither TABLE_SCHEM nor TABLE_CAT in the
+    * driver's metadata): `schema` cannot be checked, so existence is
+    * decided by the table name alone — a typo'd schema still finds the
+    * table (see [[schemaMatches]]); namespaced engines match exactly. */
   def tableExists(url: String, schema: String, table: String): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
@@ -468,7 +479,9 @@ object Jdbc {
   }
 
   /** Column name → database type name, in ordinal order (reference
-    * get_table_columns + get_table_column_types, introspect.py:7-28). */
+    * get_table_columns + get_table_column_types, introspect.py:7-28).
+    * Namespace-less engines: same caveat as [[tableExists]] — `schema`
+    * is unchecked there, the table name alone selects the metadata. */
   def tableColumns(url: String, schema: String, table: String): Seq[(String, String)] = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {

@@ -70,18 +70,15 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
 
     val out = stampModified(df, Nil, modified)
 
+    recoverWrite(schema, table)
     if (f.exists(tmp)) f.delete(tmp, true)
     val writer = out.write.mode("overwrite")
     maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n))
     parquetBlockBytes.foreach(b => writer.option("parquet.block.size", b))
     writer.parquet(tmp.toString)
 
-    if (f.exists(dest)) {
-      if (archiveExisting) archive(schema, table, archiveDir)
-      else f.delete(dest, true)
-    }
-    if (!f.rename(tmp, dest))
-      throw new java.io.IOException(s"Could not promote $tmp to $dest")
+    if (archiveExisting && f.exists(dest)) archive(schema, table, archiveDir)
+    promoteTable(f, tmp, schema, table)
     dest
   }
 
@@ -103,7 +100,8 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     if (!f.exists(dir)) return Nil
     f.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.endsWith(".parquet"))
-      .filterNot(_.getPath.getName.startsWith("_tmp_"))
+      .filterNot(s => s.getPath.getName.startsWith("_tmp_") ||
+        s.getPath.getName.startsWith("_old_"))
       .map(_.getPath.getName.stripSuffix(".parquet"))
       .sorted
   }
@@ -186,19 +184,18 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       modified: Option[String] = None
   ): Path = {
     val dest = tablePath(schema, table)
-    // same tmp+promote as [[write]] (r11): the partitioned layout appears
-    // atomically — readers never observe a half-written partition tree,
-    // and a mid-job crash leaves the previous table intact
+    // same tmp + sidecar promote as [[write]] (r12): the partitioned
+    // layout appears atomically — readers never observe a half-written
+    // partition tree, and no crash point loses the previous table
     val tmp = mergeTmpPath(schema, table)
     val f = fs(dest)
+    recoverWrite(schema, table)
     if (f.exists(tmp)) f.delete(tmp, true)
     stampModified(df, partitionCols, modified)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(tmp.toString)
-    if (f.exists(dest)) f.delete(dest, true)
-    if (!f.rename(tmp, dest))
-      throw new java.io.IOException(s"Could not promote $tmp to $dest")
+    promoteTable(f, tmp, schema, table)
     dest
   }
 
@@ -270,6 +267,7 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       modified: Option[String] = None
   ): Path = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    recoverWrite(schema, table) // heal a crashed earlier promote first
     val dest = tablePath(schema, table)
     if (!fs(dest).exists(dest))
       return write(updates, schema, table, modified = modified)
@@ -334,8 +332,10 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
         "row would survive)")
     val dest = tablePath(schema, table)
     val f = fs(dest)
-    // a manifest from a crashed previous merge: roll it forward first, so
-    // the current-side read below sees a consistent table
+    // a manifest from a crashed previous merge — or a whole-table promote
+    // that crashed mid-swap: roll both forward first, so the current-side
+    // read below sees a consistent table
+    recoverWrite(schema, table)
     recoverMergePartitioned(schema, table)
     if (!f.exists(dest))
       return writePartitioned(updates, schema, table, partitionCols, modified)
@@ -473,6 +473,50 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
 
   private def mergeTmpPath(schema: String, table: String): Path =
     new Path(new Path(dataDir, schema), s"_tmp_$table.parquet")
+
+  private def oldSidecarPath(schema: String, table: String): Path =
+    new Path(new Path(dataDir, schema), s"_old_$table.parquet")
+
+  /** Swap a fully-written tmp layout into the table path, preserving the
+    * previous table as a reader-invisible `_old_` sidecar until the new
+    * one is in place — the whole-table analog of [[mergePartitioned]]'s
+    * per-partition swap. NO crash point loses data: at every instant the
+    * table path or the sidecar holds a complete table (a crash inside
+    * the two-rename window leaves the path briefly absent for readers;
+    * the next write on the table — or an explicit [[recoverWrite]] —
+    * restores it). A failed final rename rolls the old table back. */
+  private def promoteTable(
+      f: FileSystem, tmp: Path, schema: String, table: String): Unit = {
+    val dest = tablePath(schema, table)
+    val side = oldSidecarPath(schema, table)
+    if (f.exists(side)) f.delete(side, true) // stale: recoverWrite ran at entry
+    if (f.exists(dest) && !f.rename(dest, side))
+      throw new java.io.IOException(s"Could not stage $dest aside to $side")
+    if (!f.rename(tmp, dest)) {
+      if (f.exists(side)) f.rename(side, dest) // roll the old table back
+      throw new java.io.IOException(s"Could not promote $tmp to $dest")
+    }
+    if (f.exists(side)) f.delete(side, true)
+  }
+
+  /** Heal a write whose [[promoteTable]] swap crashed between its two
+    * renames: a surviving `_old_` sidecar means either the new table
+    * landed (sidecar is leftover — dropped) or it did not (the sidecar IS
+    * the previous table — renamed back into place). Runs automatically at
+    * the start of every write path; public so an operator can heal a
+    * table without writing to it. Returns true when something was
+    * repaired. Do not run concurrently with a writer on the same table —
+    * writers already serialize on the shared tmp path. */
+  def recoverWrite(schema: String, table: String): Boolean = {
+    val side = oldSidecarPath(schema, table)
+    val dest = tablePath(schema, table)
+    val f = fs(side)
+    if (!f.exists(side)) return false
+    if (f.exists(dest)) f.delete(side, true)
+    else if (!f.rename(side, dest))
+      throw new java.io.IOException(s"Could not restore $side to $dest")
+    true
+  }
 
   private def tableMetaPath(schema: String, table: String): Path =
     new Path(tablePath(schema, table), "_graft_meta.json")

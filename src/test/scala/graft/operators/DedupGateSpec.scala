@@ -52,6 +52,24 @@ class DedupGateSpec extends SparkSpec {
     assert((0L until 12L).map(find).toSet.size == 1)
   }
 
+  test("direct collapse thins a degenerate group's ENTRY to its representative " +
+    "(banding sees one id, not the full group)") {
+    // r12 advice fix: the gate-small path used to keep the FULL ids array
+    // for groups past maxEqualGroup — two 50k-member groups sharing a band
+    // bucket would cross-expand ~2.5e9 in-row pair structs downstream.
+    // Entries must mirror the salted scale branch: representative only.
+    val keyed = (0 until 12).map(i => ("samekey", i.toLong)).toDF("k", "id")
+      .unionByName(Seq(("other", 100L), ("other", 101L)).toDF("k", "id"))
+    val (byKey, pairs) = Dedup.collapseByKeyDirect(keyed, maxEqualGroup = 5)
+    val entries = byKey.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(entries("samekey") == Seq(0L), entries.toString)
+    assert(entries("other") == Seq(100L, 101L))
+    // intra-group connectivity still rides the star pairs
+    assert(pairs.filter(col("k") === "samekey").count() == 11)
+    assert(pairs.filter(col("k") === "other").count() == 1)
+  }
+
   test("below the gate the plan carries no SHA pass; forcing does") {
     val (docs, pairs) = fixture
     val lazyPlan = Dedup.verifyPairsExact(pairs, docs, "doc_id", "text")

@@ -52,6 +52,21 @@ class PackingSpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> -1L, 3L -> 1L, 4L -> 1L), bins.toString)
   }
 
+  test("packSequences: a NULL-evaluating shardExpr fails loudly, naming the id") {
+    // r12 advice fix: pmod over a null id used to NPE inside groupByKey
+    // with no hint which input row was at fault
+    val items = Seq((Some(1L), 50L), (Option.empty[Long], 30L))
+      .toDF("id", "tok")
+    val e = intercept[Exception] {
+      Packing.packSequences(items, "id", "tok", budget = 90L,
+        numShards = 4, shardExpr = Some(pmod(col("id"), lit(4)))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m != null && m.contains("shardExpr evaluated to NULL")), e.toString)
+  }
+
   test("packSequences: deterministic across re-runs; modulo and hash shards both partition all items") {
     val hash1 = Packing.packSequences(docs, "doc_id", "tok", 90L, 8).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
@@ -81,6 +96,34 @@ class PackingSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
     // shards cover 0..3
     assert(out.map(_._3).toSet.subsetOf((0 until 4).toSet))
+  }
+
+  test("mixSourcesWithStats reports the achieved composition the bounds imply") {
+    val d = spark.range(0, 3000).toDF("id")
+    val srcs = Seq(
+      Mixing.SourceSpec("a", d.filter($"id" % 3 === 0), 5),
+      Mixing.SourceSpec("b", d.filter($"id" % 3 === 1), 3),
+      Mixing.SourceSpec("c", d.filter($"id" % 3 === 2), 2))
+    val g = 1000L
+    // modulo sample over dense ids: the hash-slice estimate is EXACT, so
+    // the reported keptEstimate must equal the materialized counts
+    val (df, stats) = Mixing.mixSourcesWithStats(srcs, "id", numShards = 4,
+      granularity = g,
+      sampleExpr = (_, id) => Some(pmod(id / 3, lit(g))))
+    val byTag = stats.map(s => s.tag -> s).toMap
+    assert(byTag("a").bottleneck && !byTag("b").bottleneck && !byTag("c").bottleneck)
+    assert(stats.forall(_.n == 1000))
+    assert(byTag("a").bound == g && byTag("a").keptEstimate == 1000)
+    assert(byTag("b").bound == 600 && byTag("c").bound == 400)
+    assert(byTag("b").targetShare == 0.3 && byTag("c").targetShare == 0.2)
+    val actual = df.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stats.foreach { s => assert(actual(s.tag) == s.keptEstimate,
+      s"$s vs actual ${actual(s.tag)}") }
+    val shares = stats.map(s => s.tag -> s.achievedShareEstimate).toMap
+    assert(math.abs(shares("a") - 0.5) < 1e-9 &&
+      math.abs(shares("b") - 0.3) < 1e-9 && math.abs(shares("c") - 0.2) < 1e-9,
+      shares.toString)
   }
 
   test("mixSources fails loudly on an empty source instead of shipping zero rows") {

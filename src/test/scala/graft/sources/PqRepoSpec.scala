@@ -122,6 +122,38 @@ class PartitionedRepoSpec extends graft.SparkSpec {
 class WriteSizingSpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._
 
+  test("recoverWrite heals every crash point of the whole-table sidecar swap") {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("graft_repo_rw").toString)
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    repo.write(nation, "tpch", "nation")
+    val dest = new java.io.File(repo.tablePath("tpch", "nation").toUri.getPath)
+    val side = new java.io.File(dest.getParent, "_old_nation.parquet")
+
+    // crash AFTER dest→sidecar, BEFORE tmp→dest: the sidecar IS the table
+    assert(dest.renameTo(side))
+    assert(!repo.list("tpch").contains("nation")) // sidecar hidden from list
+    assert(repo.recoverWrite("tpch", "nation"))
+    assert(repo.table("tpch", "nation").count() == nation.count())
+    assert(!side.exists())
+
+    // crash AFTER tmp→dest, BEFORE sidecar delete: sidecar is leftover
+    repo.write(nation.limit(3), "tpch", "stale")
+    val staleDir = new java.io.File(repo.tablePath("tpch", "stale").toUri.getPath)
+    org.apache.commons.io.FileUtils.copyDirectory(staleDir, side)
+    assert(repo.recoverWrite("tpch", "nation"))
+    assert(!side.exists())
+    assert(repo.table("tpch", "nation").count() == nation.count())
+
+    // clean table: no-op
+    assert(!repo.recoverWrite("tpch", "nation"))
+    // the next write over a sidecar-only state heals then replaces
+    assert(dest.renameTo(side))
+    repo.write(nation.limit(5), "tpch", "nation")
+    assert(repo.table("tpch", "nation").count() == 5)
+    assert(!side.exists())
+  }
+
   test("maxRecordsPerFile bounds rows per output file") {
     val repo = PqRepo(spark, java.nio.file.Files
       .createTempDirectory("graft_sizing").toString)
