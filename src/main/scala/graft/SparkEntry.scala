@@ -718,11 +718,12 @@ object SparkEntry {
     // sketch's discriminative power IS the scale asset; sampleShift
     // stays available for corpora whose docs are long enough to keep
     // sampled sketches sharp.
-    val candidates = Dedup.minhashPairs(u, "doc_id", "text",
-      shingleK = 5, numHashes = 48, bands = 12, threshold = 1.0)
     // the corpus plants near-identical (templated) docs whose signatures
-    // can fully collide — exact verification prunes them, as in production
-    Dedup.verifyPairsExact(candidates, u, "doc_id", "text")
+    // can fully collide — exact verification prunes them, as in
+    // production. Fused form (r12): ONE text scan computes sketch and
+    // digest; verification joins the shared checkpoint.
+    Dedup.minhashPairsVerified(u, "doc_id", "text",
+      shingleK = 5, numHashes = 48, bands = 12, threshold = 1.0)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 

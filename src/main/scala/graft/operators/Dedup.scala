@@ -251,7 +251,60 @@ object Dedup {
       maxEqualGroup: Int = 2000,
       smallCorpusBytes: Long = 8L << 20,
       sampleShift: Int = 0
+  ): DataFrame =
+    minhashCandidates(docs, idCol, textCol, shingleK, numHashes, bands,
+      threshold, maxBucket, maxEqualGroup, smallCorpusBytes, sampleShift,
+      withDigest = false)._1
+
+  /** [[minhashPairs]] + exact verification FUSED over one corpus scan:
+    * the signature checkpoint additionally carries each doc's 32-byte
+    * SHA-256, so verification joins the already-materialized digests
+    * instead of [[verifyPairsExact]]'s second full text scan + digest
+    * materialization — at 100 TB that halves the operator's corpus I/O
+    * (one pass computes sketch AND digest), and it was the measured
+    * next-biggest stage of the registered dedup query at 100×. Below the
+    * small-corpus gate nothing materializes and the digests evaluate
+    * lazily inside the join, like verifyPairsExact's gated path.
+    * Output and semantics are identical to
+    * `verifyPairsExact(minhashPairs(...), docs, ...)`. */
+  def minhashPairsVerified(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 500,
+      maxEqualGroup: Int = 2000,
+      smallCorpusBytes: Long = 8L << 20,
+      sampleShift: Int = 0
   ): DataFrame = {
+    val (cand, digests) = minhashCandidates(docs, idCol, textCol, shingleK,
+      numHashes, bands, threshold, maxBucket, maxEqualGroup,
+      smallCorpusBytes, sampleShift, withDigest = true)
+    val digs = digests.get
+    val a = digs.select(col("id").as("id_a"), col("__dig").as("__dig_a"))
+    val b = digs.select(col("id").as("id_b"), col("__dig").as("__dig_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .filter(col("__dig_a") === col("__dig_b"))
+      .select(cand.columns.map(col).toIndexedSeq: _*)
+  }
+
+  private def minhashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int,
+      maxEqualGroup: Int,
+      smallCorpusBytes: Long,
+      sampleShift: Int,
+      withDigest: Boolean
+  ): (DataFrame, Option[DataFrame]) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // Small-corpus fast path (optimizer-estimated input mass at or below
@@ -290,28 +343,54 @@ object Dedup {
     // again for the main plan — measured +35-55% on the 20x corpus. The
     // checkpointed blocks are fixed-width (id + numHashes longs), never
     // text.
-    val sigsBase = fanOut(docs
+    val sigExpr = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.MinHashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("t")),
+        shingleK, numHashes, sampleShift)).as("sig")
+    val base = fanOut(docs
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .filter(col("t").isNotNull && octet_length(col("t")) >= shingleK),
       col("id"))
-      .select(col("id"),
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          graft.functions.expressions.MinHashSignature(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("t")),
-            shingleK, numHashes, sampleShift)).as("sig"))
+    // withDigest (the [[minhashPairsVerified]] fusion): the SAME scan and
+    // checkpoint also carry the 32-byte SHA-256 — verification then joins
+    // materialized digests, no second pass over the text
+    val sigsBase =
+      if (withDigest)
+        base.select(col("id"), sigExpr, unhex(sha2(col("t"), 256)).as("__dig"))
+      else base.select(col("id"), sigExpr)
     val sigs = if (small) sigsBase else materializeOnce(sigsBase)
+    val digests =
+      if (withDigest) Some(sigs.select(col("id"), col("__dig"))) else None
 
     // collapse to distinct signatures BEFORE banding: the only corpus-wide
-    // shuffle keyed on the fixed-width signature; duplicate mass becomes
-    // list payload instead of bucket crowding, and [[collapseByKey]] salts
-    // any group past maxEqualGroup so no aggregation buffer holds a whole
-    // degenerate group. Identical signature ⇒ every slot agrees ⇒ est 1.0
-    // (≥ any threshold): intra-group pairs found unconditionally.
-    val keyed = sigs.select(col("sig").as("k"), col("id"))
+    // shuffle, keyed on a compact SURROGATE of the signature; duplicate
+    // mass becomes list payload instead of bucket crowding, and
+    // [[collapseByKey]] salts any group past maxEqualGroup so no
+    // aggregation buffer holds a whole degenerate group. Identical
+    // signature ⇒ every slot agrees ⇒ est 1.0 (≥ any threshold):
+    // intra-group pairs found unconditionally.
+    //
+    // Surrogate key (r12): grouping on the raw signature made the
+    // corpus-wide exchange carry numHashes longs per row (384 B at 48
+    // slots) and the aggregation hash-compare whole arrays — measured as
+    // the dominant stage of the threshold-1.0 mainline at 100×, over 2×
+    // the kernel itself. Two independently-seeded 64-bit hashes of the
+    // signature form an effectively collision-free 128-bit key: the
+    // exchange carries 16 B + id per row (~16× less) and the hash map
+    // compares two longs. The banding branch recovers real signatures
+    // via the k-rejoin below (distinct-sized, lazy — never executed at
+    // threshold 1.0). A cross-signature surrogate collision is
+    // ~n²/2^129 — far below the sketch's own collision floor, and the
+    // dedup callers verify every candidate byte-exactly downstream.
+    def surrogate(sig: Column): Column = struct(
+      xxhash64(sig).as("h1"), xxhash64(lit(0x9E3779B97F4A7C15L), sig).as("h2"))
+    val keyed = sigs.select(surrogate(col("sig")).as("k"), col("id"))
     val (bySigK, equalIdPairs) =
       if (small) collapseByKeyDirect(keyed, maxEqualGroup)
       else { val (e, p, _) = collapseByKey(keyed, maxEqualGroup); (e, p) }
-    val bySig = bySigK.select(col("k").as("sig"), col("ids"))
+    val sigByK = sigs.select(surrogate(col("sig")).as("k"), col("sig"))
+      .dropDuplicates("k")
+    val bySig = bySigK.join(sigByK, "k").select(col("sig"), col("ids"))
     val equalPairs = equalIdPairs
       .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard"))
 
@@ -349,10 +428,12 @@ object Dedup {
     // signature `bands` times to produce zero pairs. equalPairs needs no
     // dedup on its own: signature groups are disjoint and intra-group
     // pairs are unique, so the cross-branch merge groupBy goes too.
-    if (threshold * numHashes > numHashes - 1) equalPairs
-    else equalPairs.unionByName(crossPairs)
-      .groupBy("id_a", "id_b")
-      .agg(max("est_jaccard").as("est_jaccard"))
+    val out =
+      if (threshold * numHashes > numHashes - 1) equalPairs
+      else equalPairs.unionByName(crossPairs)
+        .groupBy("id_a", "id_b")
+        .agg(max("est_jaccard").as("est_jaccard"))
+    (out, digests)
   }
 
   /** Distinct-key collapse of a `(k, id)` frame with the degenerate-group
@@ -1127,11 +1208,14 @@ object Dedup {
       return (in.join(losers, in(idCol) === col("__loser"), "left_anti"),
         ComponentsStats(iterations = 0, converged = true))
     }
-    val candidates = minhashPairs(in, idCol, textCol, shingleK, numHashes,
-      bands, threshold)
     val pairs =
-      if (verifyExact) verifyPairsExact(candidates, in, idCol, textCol)
-      else candidates
+      if (verifyExact)
+        // fused: one scan computes sketch AND digest (r12) — identical
+        // output to verifyPairsExact(minhashPairs(...), ...)
+        minhashPairsVerified(in, idCol, textCol, shingleK, numHashes,
+          bands, threshold)
+      else minhashPairs(in, idCol, textCol, shingleK, numHashes,
+        bands, threshold)
     val (labels, stats) =
       componentsWithStats(pairs, maxIters, reliableCheckpoint, smallGraphLimit)
     enforceConvergence(stats, maxIters, failOnNonConvergence)

@@ -41,7 +41,41 @@ def canon(rows, cols, name=""):
     return [cols[i] for i in idx], out
 
 
-def main(sfdir, outdir, json_out=None):
+def pack_oracle_rows(con):
+    """Linear replay of the pack_sequences greedy fold (budget 90,
+    shard = doc_id % 32, in-shard doc_id order, NULL/oversize -> bin -1).
+
+    Semantically identical to the recursive-CTE oracle in
+    SparkEntry.oracleSql, but O(rows): the CTE re-joins the tokenized
+    corpus once per recursion depth, which is ~8 min in DuckDB at 100x —
+    an oracle-side cost, so the 100x gate replays the 10-line fold here
+    instead (--py-pack). The CTE stays the committed oracle at driver
+    scales, where it doubles as an independent SQL formulation.
+    Tokenization stays in DuckDB (the exact wsTokensSql expression)."""
+    items = con.sql(r"""
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> len(x) > 0)) AS BIGINT) AS tok,
+          CAST(doc_id % 32 AS INT) AS shard
+        FROM documents ORDER BY shard, doc_id""").fetchall()
+    rows, fill, cbin, cur_shard = [], 0, 0, None
+    for doc_id, tok, shard in items:
+        if shard != cur_shard:
+            cur_shard, fill, cbin = shard, 0, 0
+        if tok is None or tok > 90:
+            b = -1
+        elif fill + tok <= 90:
+            fill += tok
+            b = cbin
+        else:
+            cbin += 1
+            fill = tok
+            b = cbin
+        rows.append((doc_id, shard, b, tok))
+    return ["doc_id", "shard", "bin", "n_tokens"], rows
+
+
+def main(sfdir, outdir, json_out=None, py_pack=False):
     report = {}
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -63,8 +97,12 @@ def main(sfdir, outdir, json_out=None):
         sq = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
         try:
             scols, srows = canon(sq.fetchall(), sq.columns, name)
-            oq = con.sql(oracle[name])
-            ocols, orows = canon(oq.fetchall(), oq.columns, name)
+            if name == "pack_sequences" and py_pack:
+                pcols, prows = pack_oracle_rows(con)
+                ocols, orows = canon(prows, pcols, name)
+            else:
+                oq = con.sql(oracle[name])
+                ocols, orows = canon(oq.fetchall(), oq.columns, name)
         except TypeError as e:
             print(f"{name:22s} UNHASHABLE {e}")
             report[name] = {"rows_match": False, "schema_match": False,
@@ -103,5 +141,7 @@ def main(sfdir, outdir, json_out=None):
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2],
-                       sys.argv[3] if len(sys.argv) > 3 else None) else 0)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(1 if main(args[0], args[1],
+                       args[2] if len(args) > 2 else None,
+                       py_pack="--py-pack" in sys.argv) else 0)
