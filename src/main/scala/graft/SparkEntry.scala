@@ -731,8 +731,8 @@ object SparkEntry {
     val d = t(s, dir, "documents").select("doc_id", "text")
     val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
     val u = d.unionByName(dup)
-    val candidates = Dedup.simhashPairs(u, "doc_id", "text", maxHamming = 0)
-    Dedup.verifyPairsExact(candidates, u, "doc_id", "text")
+    // fused sketch+digest single scan (r12) — see dedupMinhash
+    Dedup.simhashPairsVerified(u, "doc_id", "text", maxHamming = 0)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 

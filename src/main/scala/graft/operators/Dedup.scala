@@ -602,7 +602,47 @@ object Dedup {
       maxBucket: Int = 500,
       maxEqualGroup: Int = 2000,
       smallCorpusBytes: Long = 8L << 20
+  ): DataFrame =
+    simhashCandidates(docs, idCol, textCol, maxHamming, maxBucket,
+      maxEqualGroup, smallCorpusBytes, withDigest = false)._1
+
+  /** [[simhashPairs]] + exact verification FUSED over one corpus scan —
+    * the SimHash sibling of [[minhashPairsVerified]]: the sketch
+    * checkpoint also carries the 32-byte SHA-256, verification joins the
+    * shared materialization instead of a second full text pass. Output
+    * identical to `verifyPairsExact(simhashPairs(...), docs, ...)`
+    * (null-text docs sketch to a common group but carry null digests, so
+    * the digest equality prunes them — exactly as verifyPairsExact's
+    * null-safe-free `===` did). */
+  def simhashPairsVerified(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 6,
+      maxBucket: Int = 500,
+      maxEqualGroup: Int = 2000,
+      smallCorpusBytes: Long = 8L << 20
   ): DataFrame = {
+    val (cand, digests) = simhashCandidates(docs, idCol, textCol, maxHamming,
+      maxBucket, maxEqualGroup, smallCorpusBytes, withDigest = true)
+    val digs = digests.get
+    val a = digs.select(col("id").as("id_a"), col("__dig").as("__dig_a"))
+    val b = digs.select(col("id").as("id_b"), col("__dig").as("__dig_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .filter(col("__dig_a") === col("__dig_b"))
+      .select(cand.columns.map(col).toIndexedSeq: _*)
+  }
+
+  private def simhashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      maxBucket: Int,
+      maxEqualGroup: Int,
+      smallCorpusBytes: Long,
+      withDigest: Boolean
+  ): (DataFrame, Option[DataFrame]) = {
     // same zero-job small-corpus gate as [[minhashPairs]]: one action,
     // no sketch materialization job, no probe, exact all-pairs collapse
     val small = smallPlan(
@@ -611,13 +651,18 @@ object Dedup {
     // composed SimHash.simhash(wsTokens(..)) — see SimHash64Spec).
     // materialized once for the same reason as minhashPairs' signatures:
     // the probe action must not re-run the sketch kernel
-    val sketchedBase = fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")),
+    val shExpr = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.SimHash64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("t")))).as("sh")
+    val base = fanOut(docs.select(col(idCol).as("id"), col(textCol).as("t")),
       col("id"))
-      .select(col("id"),
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          graft.functions.expressions.SimHash64(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("t")))).as("sh"))
+    val sketchedBase =
+      if (withDigest)
+        base.select(col("id"), shExpr, unhex(sha2(col("t"), 256)).as("__dig"))
+      else base.select(col("id"), shExpr)
     val sketched = if (small) sketchedBase else materializeOnce(sketchedBase)
+    val digests =
+      if (withDigest) Some(sketched.select(col("id"), col("__dig"))) else None
 
     // hamming 0 ≡ identical sketch: every intra-group (i<j) pair, found
     // unconditionally — no bucket cap can lose an exact-duplicate pair.
@@ -633,7 +678,7 @@ object Dedup {
     val zeroPairs = zeroIdPairs
       .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
 
-    if (maxHamming <= 0) zeroPairs
+    if (maxHamming <= 0) (zeroPairs, digests)
     else {
       val banded = bySketch.select(col("sh"), col("ids"),
         explode(array((0 until 4).map(j =>
@@ -660,9 +705,9 @@ object Dedup {
           greatest(col("ia"), col("ib")).as("id_b"),
           col("h").as("hamming"))
 
-      zeroPairs.unionByName(crossPairs)
+      (zeroPairs.unionByName(crossPairs)
         .groupBy("id_a", "id_b")
-        .agg(min("hamming").as("hamming"))
+        .agg(min("hamming").as("hamming")), digests)
     }
   }
 

@@ -70,6 +70,36 @@ class DedupGateSpec extends SparkSpec {
     assert(pairs.filter(col("k") === "other").count() == 1)
   }
 
+  test("fused single-scan verification equals the two-pass form, both gates") {
+    val (docs, _) = fixture
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(8L << 20, 0L).foreach { gate => // small path / forced scale path
+      val oldMin = pairSet(Dedup.verifyPairsExact(
+        Dedup.minhashPairs(docs, "doc_id", "text", numHashes = 48,
+          bands = 12, threshold = 1.0, smallCorpusBytes = gate),
+        docs, "doc_id", "text"))
+      val newMin = pairSet(Dedup.minhashPairsVerified(docs, "doc_id", "text",
+        numHashes = 48, bands = 12, threshold = 1.0, smallCorpusBytes = gate))
+      assert(newMin == oldMin && newMin == Set((1L, 2L), (3L, 4L)),
+        s"minhash gate=$gate: $newMin vs $oldMin")
+      val oldSim = pairSet(Dedup.verifyPairsExact(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0,
+          smallCorpusBytes = gate), docs, "doc_id", "text"))
+      val newSim = pairSet(Dedup.simhashPairsVerified(docs, "doc_id", "text",
+        maxHamming = 0, smallCorpusBytes = gate))
+      assert(newSim == oldSim, s"simhash gate=$gate: $newSim vs $oldSim")
+    }
+    // null-text docs group by null sketch but must never verify as pairs
+    val withNulls = docs.unionByName(Seq(
+      (100L, null.asInstanceOf[String]),
+      (101L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val simNull = pairSet(Dedup.simhashPairsVerified(
+      withNulls, "doc_id", "text", maxHamming = 0))
+    assert(!simNull.contains((100L, 101L)), simNull.toString)
+  }
+
   test("below the gate the plan carries no SHA pass; forcing does") {
     val (docs, pairs) = fixture
     val lazyPlan = Dedup.verifyPairsExact(pairs, docs, "doc_id", "text")
