@@ -878,7 +878,11 @@ object SparkEntry {
     val repo = PqRepo(s, Files.createTempDirectory("graft_q8app").toString)
     val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
     val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
-    Similarity.writeQuantizedIndex(repo, base, "vec_id", "embedding", "ann", "emb")
+    // 8 buckets at test scale (the 20% batch touches them all anyway —
+    // the pruning win is spec-verified with a one-row batch; production
+    // keeps the 32-bucket default)
+    Similarity.writeQuantizedIndex(repo, base, "vec_id", "embedding", "ann",
+      "emb", numBuckets = 8)
     Similarity.appendToQuantizedIndex(repo, batch, "vec_id", "embedding", "ann", "emb")
     val coded = Similarity.readQuantizedIndex(repo, "ann", "emb")
     Similarity.quantizedTopKIndexed(coded, e, e.filter(col("vec_id") < 10),

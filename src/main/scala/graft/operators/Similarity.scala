@@ -494,8 +494,10 @@ object Similarity {
       case Some(n) => n.toInt
       case None => throw new IllegalStateException(
         s"$schema/$table has no '$Q8BucketsProp' sidecar — it predates the " +
-          "bucketed layout; rebuild it with writeQuantizedIndex before " +
-          "appending (a blind merge would rewrite the entire index)")
+          "bucketed layout, or a build crashed before stamping it; rebuild " +
+          "with writeQuantizedIndex before appending (a blind merge with a " +
+          "guessed modulus would split ids across buckets, and a flat merge " +
+          "would rewrite the entire index)")
     }
     val coded = quantize(batch, idCol, vecCol)
       .withColumn("bucket", q8Bucket(idCol, numBuckets))

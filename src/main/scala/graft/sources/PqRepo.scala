@@ -181,7 +181,9 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       schema: String,
       table: String,
       partitionCols: Seq[String],
-      modified: Option[String] = None
+      modified: Option[String] = None,
+      maxRecordsPerFile: Option[Long] = None,
+      parquetBlockBytes: Option[Long] = None
   ): Path = {
     val dest = tablePath(schema, table)
     // same tmp + sidecar promote as [[write]] (r12): the partitioned
@@ -191,12 +193,37 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     val f = fs(dest)
     recoverWrite(schema, table)
     if (f.exists(tmp)) f.delete(tmp, true)
-    stampModified(df, partitionCols, modified)
+    val writer = stampModified(df, partitionCols, modified)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
-      .parquet(tmp.toString)
+    maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n))
+    parquetBlockBytes.foreach(b => writer.option("parquet.block.size", b))
+    writer.parquet(tmp.toString)
     promoteTable(f, tmp, schema, table)
     dest
+  }
+
+  /** The table's hive partition columns, inferred from its directory
+    * layout (one `col=value` level per partition column) — empty for a
+    * flat table. */
+  def partitionColsOf(schema: String, table: String): Seq[String] = {
+    val dest = tablePath(schema, table)
+    val f = fs(dest)
+    if (!f.exists(dest)) return Nil
+    val cols = Seq.newBuilder[String]
+    var cur = dest
+    var done = false
+    while (!done) {
+      f.listStatus(cur).find(s =>
+        s.isDirectory && s.getPath.getName.contains("=") &&
+          !s.getPath.getName.startsWith("_")) match {
+        case Some(s) =>
+          cols += s.getPath.getName.split("=", 2)(0)
+          cur = s.getPath
+        case None => done = true
+      }
+    }
+    cols.result()
   }
 
   /** The lastModified stamp on the first DATA column (partition columns
@@ -268,6 +295,7 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
   ): Path = {
     require(keys.nonEmpty, "merge needs at least one key column")
     recoverWrite(schema, table) // heal a crashed earlier promote first
+    requireFlatLayout(schema, table, "merge")
     val dest = tablePath(schema, table)
     if (!fs(dest).exists(dest))
       return write(updates, schema, table, modified = modified)
@@ -477,6 +505,21 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
   private def oldSidecarPath(schema: String, table: String): Path =
     new Path(new Path(dataDir, schema), s"_old_$table.parquet")
 
+  /** Whole-table ops that rewrite through the FLAT [[write]] path must
+    * refuse hive-partitioned trees: the rewrite would demote partition
+    * columns to data columns — every downstream partition-pruning scan
+    * silently degrades to a full read — and a later [[mergePartitioned]]
+    * would interleave partition dirs with flat files, a layout Spark
+    * cannot read coherently. */
+  private def requireFlatLayout(schema: String, table: String, op: String): Unit =
+    if (partitionColsOf(schema, table).nonEmpty)
+      throw new IllegalStateException(
+        s"$op($schema/$table): the table is hive-partitioned; a flat " +
+          "rewrite would silently demote its partition columns (losing " +
+          "directory pruning) and leave any table-level meta sidecar " +
+          "stale. Use mergePartitioned for upserts, or rebuild through " +
+          "writePartitioned with the original partition columns")
+
   /** Swap a fully-written tmp layout into the table path, preserving the
     * previous table as a reader-invisible `_old_` sidecar until the new
     * one is in place — the whole-table analog of [[mergePartitioned]]'s
@@ -655,8 +698,10 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     * reference set_table_comment, postgres/comments.py:35). Parquet footers
     * are immutable, so this rewrites the table through the normal
     * tmp+promote path — an admin-rate operation. */
-  def setComment(schema: String, table: String, comment: String): Path =
+  def setComment(schema: String, table: String, comment: String): Path = {
+    requireFlatLayout(schema, table, "setComment")
     write(this.table(schema, table), schema, table, modified = Some(comment))
+  }
 
   /** Write with piggybacked data-quality metrics: the aliased aggregate
     * `metrics` (row counts, null counts, min/max freshness, …) are
@@ -682,7 +727,15 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     * many incremental/small writes (task-sized files accumulate; small
     * files break scan parallelism planning and metadata caches at scale).
     * Rewrites through the same tmp+promote path (readers never see a
-    * half-compacted table) and preserves the embedded `last_modified`. */
+    * half-compacted table) and preserves the embedded `last_modified`.
+    *
+    * Hive-partitioned tables (r12) compact WITHOUT flattening: rows
+    * re-lay per partition value (repartition on the partition columns —
+    * exactly where incremental [[mergePartitioned]] runs accumulate
+    * task-sized files), the directory tree and any `_graft_meta.json`
+    * sidecar survive. A flat rewrite here would have demoted the
+    * partition columns to data columns and broken every downstream
+    * pruning scan. */
   def compact(
       schema: String,
       table: String,
@@ -691,11 +744,26 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       parquetBlockBytes: Option[Long] = None
   ): Path = {
     val src = this.table(schema, table)
-    val coalesced = targetPartitions.map(src.coalesce).getOrElse(src)
-    write(coalesced, schema, table,
-      modified = lastModified(schema, table),
-      maxRecordsPerFile = maxRecordsPerFile,
-      parquetBlockBytes = parquetBlockBytes)
+    val pcols = partitionColsOf(schema, table)
+    if (pcols.nonEmpty) {
+      val meta = readTableMeta(schema, table)
+      val cols = pcols.map(col)
+      val laid = targetPartitions
+        .map(n => src.repartition(n, cols: _*))
+        .getOrElse(src.repartition(cols: _*))
+      val dest = writePartitioned(laid, schema, table, pcols,
+        modified = lastModified(schema, table),
+        maxRecordsPerFile = maxRecordsPerFile,
+        parquetBlockBytes = parquetBlockBytes)
+      if (meta.nonEmpty) writeTableMeta(schema, table, meta)
+      dest
+    } else {
+      val coalesced = targetPartitions.map(src.coalesce).getOrElse(src)
+      write(coalesced, schema, table,
+        modified = lastModified(schema, table),
+        maxRecordsPerFile = maxRecordsPerFile,
+        parquetBlockBytes = parquetBlockBytes)
+    }
   }
 
   /** Remove an active or archived table (reference pq_remove). */

@@ -119,6 +119,65 @@ class PartitionedRepoSpec extends graft.SparkSpec {
   }
 }
 
+class PartitionedLayoutGuardSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def partRepo(): (PqRepo, Long) = {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("graft_repo_pl").toString)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", org.apache.spark.sql.functions.year(col("o_orderdate")))
+    repo.writePartitioned(orders, "tpch", "orders_part", Seq("o_year"),
+      modified = Some("x (Updated 2024-05-01)"))
+    (repo, orders.count())
+  }
+
+  test("flat-rewrite ops refuse a hive-partitioned table instead of flattening it") {
+    val (repo, _) = partRepo()
+    assert(repo.partitionColsOf("tpch", "orders_part") == Seq("o_year"))
+    val e1 = intercept[IllegalStateException] {
+      repo.merge(repo.table("tpch", "orders_part").limit(5),
+        "tpch", "orders_part", keys = Seq("o_orderkey"))
+    }
+    assert(e1.getMessage.contains("mergePartitioned"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      repo.setComment("tpch", "orders_part", "y (Updated 2024-06-01)")
+    }
+    assert(e2.getMessage.contains("hive-partitioned"), e2.getMessage)
+    // flat tables keep working
+    repo.write(spark.read.parquet(s"$sfDir/nation.parquet"), "tpch", "nation")
+    repo.setComment("tpch", "nation", "z (Updated 2024-07-01)")
+    assert(repo.lastModified("tpch", "nation").contains("z (Updated 2024-07-01)"))
+  }
+
+  test("compact preserves a partitioned layout, its sidecar, and lastModified") {
+    val (repo, n) = partRepo()
+    repo.writeTableMeta("tpch", "orders_part", Map("k" -> "v"))
+    def files = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(
+        repo.tablePath("tpch", "orders_part").toUri.getPath))
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    }
+    val before = files.length
+    repo.compact("tpch", "orders_part")
+    val dirs = new java.io.File(
+      repo.tablePath("tpch", "orders_part").toUri.getPath).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("o_year=")), dirs.mkString(","))
+    assert(files.length <= before)
+    assert(repo.table("tpch", "orders_part").count() == n)
+    assert(repo.readTableMeta("tpch", "orders_part") == Map("k" -> "v"))
+    assert(repo.lastModified("tpch", "orders_part")
+      .contains("x (Updated 2024-05-01)"))
+    // pruning still works after compaction
+    val plan = repo.table("tpch", "orders_part")
+      .filter(col("o_year") === 1997).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan)
+  }
+}
+
 class WriteSizingSpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._
 
