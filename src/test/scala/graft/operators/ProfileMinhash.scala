@@ -90,6 +90,12 @@ object ProfileMinhash {
       clearRdds()
       time(s"full FUSED #$i")(fullFused().select(count(lit(1))).head())
     }
+    // the bench's exact consumption shape
+    for (i <- 1 to 3) {
+      clearRdds()
+      time(s"FUSED noop-write #$i")(
+        fullFused().write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 }
