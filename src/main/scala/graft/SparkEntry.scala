@@ -1124,6 +1124,13 @@ object SparkEntry {
       .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
   }
 
+  /** SURVEY 49a `pack_stats` (r12): per-shard fill report over the
+    * packing — bins, packed/quarantined items and tokens, utilization.
+    * One aggregation over the already-oracled pack_sequences result;
+    * the SQL twin wraps the same recursive-CTE replay. */
+  private def packStatsQ(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packStats(packSequencesQ(s, dir), budget = 90L)
+
   /** SURVEY 50 `mix_sources`: deterministic weighted interleave of three
     * sub-corpora at 5:3:2 into 7 output shards. The keep bounds come
     * from exact integer arithmetic over the source counts, so the DuckDB
@@ -1373,6 +1380,7 @@ object SparkEntry {
       "source_minhash" -> (sourceMinhash _),
       "repo_merge" -> (repoMerge _),
       "pack_sequences" -> (packSequencesQ _),
+      "pack_stats" -> (packStatsQ _),
       "mix_sources" -> (mixSourcesQ _),
       "embed_index_topk" -> (embedIndexTopK _),
       "embed_ivf_index" -> (embedIvfIndexQ _),
@@ -2172,40 +2180,23 @@ object SparkEntry {
     "embed_quantized_topk" ->
       // full rerank depth ≡ exact brute force (coarse cut keeps everyone)
       bruteTop5Sql,
-    "pack_sequences" ->
-      // the same greedy first-fit fold, replayed per shard by a recursive
-      // CTE: state = (fill of open bin, open bin number); oversize items
-      // emit bin -1 without touching the state. t MUST be MATERIALIZED:
-      // DuckDB otherwise inlines the tokenizing subquery into the
-      // recursive term and re-tokenizes the whole corpus once per
-      // recursion depth (measured: the 100x check ran for minutes before
-      // this). Even materialized, the recursion re-joins t once per
-      // depth (rows/shards iterations) - fine through 20x, ~8 min at
-      // 100x, which is why the 100x artifact pins this operator at 20x.
-      raw"""WITH RECURSIVE t AS MATERIALIZED (
-            SELECT doc_id, CAST(len(${wsTokensSql("text")}) AS BIGINT) AS tok,
-              CAST(doc_id % 32 AS INT) AS shard,
-              CAST(row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS BIGINT) AS rn
-            FROM documents),
-          p AS (
-            SELECT doc_id, tok, shard, rn,
-              CASE WHEN tok IS NULL OR tok > 90 THEN CAST(0 AS BIGINT) ELSE tok END AS fill,
-              CASE WHEN tok IS NULL OR tok > 90 THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bin,
-              CAST(0 AS BIGINT) AS cbin
-            FROM t WHERE rn = 1
-            UNION ALL
-            SELECT t.doc_id, t.tok, t.shard, t.rn,
-              CASE WHEN t.tok IS NULL OR t.tok > 90 THEN p.fill
-                   WHEN p.fill + t.tok > 90 THEN t.tok
-                   ELSE p.fill + t.tok END,
-              CASE WHEN t.tok IS NULL OR t.tok > 90 THEN CAST(-1 AS BIGINT)
-                   WHEN p.fill + t.tok > 90 THEN p.cbin + 1
-                   ELSE p.cbin END,
-              CASE WHEN t.tok IS NULL OR t.tok > 90 THEN p.cbin
-                   WHEN p.fill + t.tok > 90 THEN p.cbin + 1
-                   ELSE p.cbin END
-            FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
-          SELECT doc_id, shard, bin, tok AS n_tokens FROM p""",
+    "pack_sequences" -> packSeqSql,
+    "pack_stats" ->
+      // one aggregation over the same fold replay; utilization divides
+      // exact integers in DOUBLE, identical operation order to Spark
+      s"""SELECT shard, n_bins, n_packed, n_quarantined, packed_tokens,
+            oversize_tokens,
+            CASE WHEN n_bins > 0
+                 THEN round(CAST(packed_tokens AS DOUBLE) / (n_bins * 90), 6)
+                 ELSE 0.0 END AS utilization
+          FROM (
+            SELECT shard,
+              CAST(coalesce(max(CASE WHEN bin >= 0 THEN bin END) + 1, 0) AS BIGINT) AS n_bins,
+              CAST(count(*) FILTER (WHERE bin >= 0) AS BIGINT) AS n_packed,
+              CAST(count(*) FILTER (WHERE bin < 0) AS BIGINT) AS n_quarantined,
+              CAST(coalesce(sum(n_tokens) FILTER (WHERE bin >= 0), 0) AS BIGINT) AS packed_tokens,
+              CAST(coalesce(sum(n_tokens) FILTER (WHERE bin < 0), 0) AS BIGINT) AS oversize_tokens
+            FROM ($packSeqSql) pack GROUP BY shard) agg""",
     "mix_sources" ->
       // keep bounds from exact integer arithmetic over the source counts:
       // bottleneck = argmin n_j/w_j via integer keys n_j*(W/w_j), W = 30
@@ -2233,6 +2224,43 @@ object SparkEntry {
     "embed_ivf_append" -> bruteTop5Sql,
     "embed_q8_append" -> bruteTop5Sql
   )
+
+  /** The pack_sequences oracle: the same greedy first-fit fold, replayed
+    * per shard by a recursive CTE — state = (fill of open bin, open bin
+    * number); oversize items emit bin -1 without touching the state.
+    * `t` MUST be MATERIALIZED: DuckDB otherwise inlines the tokenizing
+    * subquery into the recursive term and re-tokenizes the whole corpus
+    * once per recursion depth (measured: the 100x check ran for minutes
+    * before this). Even materialized, the recursion re-joins t once per
+    * depth (rows/shards iterations) — fine through 20x, ~8 min at 100x,
+    * which is why the 100x gate replays the fold linearly instead
+    * (tools/check_correctness.py --py-pack). Shared by pack_sequences
+    * and (wrapped in an aggregation) pack_stats. */
+  private lazy val packSeqSql =
+    raw"""WITH RECURSIVE t AS MATERIALIZED (
+            SELECT doc_id, CAST(len(${wsTokensSql("text")}) AS BIGINT) AS tok,
+              CAST(doc_id % 32 AS INT) AS shard,
+              CAST(row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS BIGINT) AS rn
+            FROM documents),
+          p AS (
+            SELECT doc_id, tok, shard, rn,
+              CASE WHEN tok IS NULL OR tok > 90 THEN CAST(0 AS BIGINT) ELSE tok END AS fill,
+              CASE WHEN tok IS NULL OR tok > 90 THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bin,
+              CAST(0 AS BIGINT) AS cbin
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.doc_id, t.tok, t.shard, t.rn,
+              CASE WHEN t.tok IS NULL OR t.tok > 90 THEN p.fill
+                   WHEN p.fill + t.tok > 90 THEN t.tok
+                   ELSE p.fill + t.tok END,
+              CASE WHEN t.tok IS NULL OR t.tok > 90 THEN CAST(-1 AS BIGINT)
+                   WHEN p.fill + t.tok > 90 THEN p.cbin + 1
+                   ELSE p.cbin END,
+              CASE WHEN t.tok IS NULL OR t.tok > 90 THEN p.cbin
+                   WHEN p.fill + t.tok > 90 THEN p.cbin + 1
+                   ELSE p.cbin END
+            FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
+          SELECT doc_id, shard, bin, tok AS n_tokens FROM p"""
 
   /** Exact brute-force cosine top-5 for queries vec_id < 10 — the shared
     * oracle of every ANN variant run in its exactness mode (nprobe-all /

@@ -102,6 +102,31 @@ object Packing {
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
   }
+
+  /** Per-shard packing report over a [[packSequences]] result — the
+    * fill-efficiency assert a training-shard build needs (a silently
+    * half-empty shard wastes training compute; a quarantine-heavy shard
+    * signals a tokenizer or budget misconfiguration). One aggregation
+    * over the already-computed packing, no re-fold: per shard the bin
+    * count, packed/quarantined item and token totals, and `utilization`
+    * = packed tokens / (bins × budget). Quarantined items (bin −1:
+    * oversize or null token count) are excluded from bins and
+    * utilization and reported separately. */
+  def packStats(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val ok = col("bin") >= 0
+    packed.groupBy("shard").agg(
+      (max(when(ok, col("bin"))) + 1).as("n_bins"),
+      count(when(ok, lit(1))).as("n_packed"),
+      count(when(!ok, lit(1))).as("n_quarantined"),
+      coalesce(sum(when(ok, col("n_tokens"))), lit(0L)).as("packed_tokens"),
+      coalesce(sum(when(!ok, col("n_tokens"))), lit(0L)).as("oversize_tokens"))
+      .withColumn("n_bins", coalesce(col("n_bins"), lit(0L)))
+      .withColumn("utilization",
+        when(col("n_bins") > 0,
+          round(col("packed_tokens") / (col("n_bins") * lit(budget)), 6))
+          .otherwise(lit(0.0)))
+  }
 }
 
 /** Weighted source mixing: deterministically interleave N tagged corpora

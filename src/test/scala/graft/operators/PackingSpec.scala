@@ -98,6 +98,28 @@ class PackingSpec extends SparkSpec {
     assert(out.map(_._3).toSet.subsetOf((0 until 4).toSet))
   }
 
+  test("packStats: per-shard bins/quarantine/utilization from the packed output") {
+    // shard 0: 50 -> bin 0; null -> -1; 45 -> bin 1; 40 -> bin 1
+    //   bins=2, packed=3, quarantined=1, packed_tokens=135, util=135/180
+    // shard 1: 95 (oversize) -> -1 only: bins=0, util=0
+    val items = Seq(
+      (1L, Some(50L), 0), (2L, Option.empty[Long], 0),
+      (3L, Some(45L), 0), (4L, Some(40L), 0),
+      (5L, Some(95L), 1)).toDF("id", "tok", "sh")
+    val packed = Packing.packSequences(items, "id", "tok", budget = 90L,
+      numShards = 2, shardExpr = Some(col("sh")))
+    val stats = Packing.packStats(packed, budget = 90L).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val s0 = stats(0)
+    assert(s0.getLong(1) == 2 && s0.getLong(2) == 3 && s0.getLong(3) == 1)
+    assert(s0.getLong(4) == 135 && s0.getLong(5) == 0)
+    assert(math.abs(s0.getDouble(6) - 0.75) < 1e-9)
+    val s1 = stats(1)
+    assert(s1.getLong(1) == 0 && s1.getLong(2) == 0 && s1.getLong(3) == 1)
+    assert(s1.getLong(4) == 0 && s1.getLong(5) == 95)
+    assert(s1.getDouble(6) == 0.0)
+  }
+
   test("mixSourcesWithStats reports the achieved composition the bounds imply") {
     val d = spark.range(0, 3000).toDF("id")
     val srcs = Seq(
