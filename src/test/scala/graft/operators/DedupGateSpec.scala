@@ -100,6 +100,51 @@ class DedupGateSpec extends SparkSpec {
     assert(!simNull.contains((100L, 101L)), simNull.toString)
   }
 
+  test("fused == two-pass on a randomized corpus, every gate x threshold combo") {
+    // seeded random corpus: 40 base texts, 1-4 copies each, plus
+    // near-variants (one word changed) that candidate generation may pair
+    // but exact verification must prune
+    val rnd = new scala.util.Random(20260814L)
+    val words = Vector("alpha", "bravo", "carbon", "delta", "ember",
+      "falcon", "granite", "harbor", "indigo", "juniper")
+    def text() = Seq.fill(8 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
+      .mkString(" ")
+    var id = 0L
+    val rows = Seq.newBuilder[(Long, String)]
+    (1 to 40).foreach { _ =>
+      val t = text()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        rows += ((id, t)); id += 1
+      }
+      if (rnd.nextBoolean()) { // near-variant
+        rows += ((id, t.replaceFirst("\\w+", words(rnd.nextInt(words.size)))))
+        id += 1
+      }
+    }
+    val docs = rows.result().toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (gate <- Seq(8L << 20, 0L); th <- Seq(1.0, 0.75)) {
+      val twoPass = pairSet(Dedup.verifyPairsExact(
+        Dedup.minhashPairs(docs, "doc_id", "text", numHashes = 48,
+          bands = 12, threshold = th, smallCorpusBytes = gate),
+        docs, "doc_id", "text"))
+      val fused = pairSet(Dedup.minhashPairsVerified(docs, "doc_id", "text",
+        numHashes = 48, bands = 12, threshold = th, smallCorpusBytes = gate))
+      assert(fused == twoPass, s"minhash gate=$gate th=$th")
+      assert(fused.nonEmpty)
+    }
+    for (gate <- Seq(8L << 20, 0L); mh <- Seq(0, 4)) {
+      val twoPass = pairSet(Dedup.verifyPairsExact(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = mh,
+          smallCorpusBytes = gate), docs, "doc_id", "text"))
+      val fused = pairSet(Dedup.simhashPairsVerified(docs, "doc_id", "text",
+        maxHamming = mh, smallCorpusBytes = gate))
+      assert(fused == twoPass, s"simhash gate=$gate maxHamming=$mh")
+    }
+  }
+
   test("below the gate the plan carries no SHA pass; forcing does") {
     val (docs, pairs) = fixture
     val lazyPlan = Dedup.verifyPairsExact(pairs, docs, "doc_id", "text")

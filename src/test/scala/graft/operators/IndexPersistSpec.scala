@@ -194,6 +194,26 @@ class IndexPersistSpec extends SparkSpec {
       .assigned.count() == emb.count() + 1)
   }
 
+  test("bucket-scoped appends converge to the same index as a full rebuild") {
+    val repo = PqRepo(spark, Files.createTempDirectory("idx_q8cv").toString)
+    // random-ish disjoint batches by id residue, plus an overlapping
+    // re-append: the incremental path must land exactly the rebuild state
+    val b0 = emb.filter(col("vec_id") % 3 === 0)
+    val b1 = emb.filter(col("vec_id") % 3 === 1)
+    val b2 = emb.filter(col("vec_id") % 3 === 2)
+    Similarity.writeQuantizedIndex(repo, b0, "vec_id", "embedding", "ann",
+      "cv", numBuckets = 8)
+    Similarity.appendToQuantizedIndex(repo, b1, "vec_id", "embedding", "ann", "cv")
+    Similarity.appendToQuantizedIndex(repo, b2, "vec_id", "embedding", "ann", "cv")
+    Similarity.appendToQuantizedIndex(repo, b1, "vec_id", "embedding", "ann", "cv")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getSeq[Int](3)))
+      .toMap
+    val incremental = asMap(Similarity.readQuantizedIndex(repo, "ann", "cv"))
+    val rebuilt = asMap(Similarity.quantize(emb, "vec_id", "embedding"))
+    assert(incremental == rebuilt)
+  }
+
   test("writePartitioned promotes atomically: no tmp dir left, table readable") {
     val repo = PqRepo(spark, Files.createTempDirectory("idx_part").toString)
     val built = Similarity.ivfBuild(emb.limit(100), "vec_id", "embedding",
