@@ -866,7 +866,7 @@ object SparkEntry {
         col("rank").cast("bigint").as("rank"))
   }
 
-  /** SURVEY 34f' `embed_q8_append` (r12): incremental ingest into the
+  /** SURVEY 34i `embed_q8_append` (r12): incremental ingest into the
     * persisted QUANTIZED index — builds on 80% of the corpus, the rest
     * arrives as a batch through the bucket-scoped merge (only the bucket
     * directories the batch's ids hash into rewrite — the r11 verdict's
