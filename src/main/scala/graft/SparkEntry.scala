@@ -951,6 +951,48 @@ object SparkEntry {
       col("n_bytes").as("n_bytes"))
   }
 
+  /** SURVEY 39c: the REAL video metadata kernel under the oracle —
+    * closing the last §2 stub (r13). Minimal-but-valid ISO-BMFF payloads
+    * whose movie timescale/duration, dimensions, codec fourcc, frame
+    * count, track count, and `mdat` payload size are pure functions of
+    * doc_id are built by [[Multimodal.encodeMp4]] on the executors and
+    * parsed back by the REAL [[Multimodal.decodeVideo]] box walk; every
+    * output — including total byte length, from the encoder's
+    * deterministic layout (Mp4LayoutSpec pins the constants) — is
+    * integer-exact from the generating formulas. */
+  private def multimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val media = ids.map { id =>
+      val mdat = new Array[Byte](64 + (id % 50).toInt)
+      var i = 0
+      while (i < mdat.length) { mdat(i) = ((id + i) % 251).toByte; i += 1 }
+      Multimodal.MediaRow(id,
+        Multimodal.encodeMp4(
+          timescale = 600 + (id % 5).toInt * 200,
+          durationTicks = 1000 + (id % 9000).toInt,
+          width = 160 + (id % 8).toInt * 16,
+          height = 120 + ((id / 8) % 8).toInt * 16,
+          codec = Seq("avc1", "hev1", "vp09")((id % 3).toInt),
+          nFrames = 24 + (id % 100).toInt,
+          withAudio = id % 2 == 1,
+          mdat = mdat),
+        "video/mp4", 0, 0)
+    }
+    Multimodal.decodeVideo(media).toDF().select(
+      col("media_id"),
+      col("ok").cast("bigint").as("ok"),
+      col("timescale").as("timescale"),
+      col("duration_ticks").as("duration_ticks"),
+      col("n_tracks").cast("bigint").as("n_tracks"),
+      col("codec"),
+      col("width").cast("bigint").as("width"),
+      col("height").cast("bigint").as("height"),
+      col("n_frames").as("n_frames"),
+      col("mdat_bytes").as("mdat_bytes"),
+      col("n_bytes").as("n_bytes"))
+  }
+
   private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     // daily-ingest shape: the new batch is half known content (copies of
     // corpus docs) and half genuinely new; only the new half survives
@@ -1360,6 +1402,7 @@ object SparkEntry {
       "multimodal_meta" -> (multimodalMeta _),
       "multimodal_image" -> (multimodalImage _),
       "multimodal_audio" -> (multimodalAudio _),
+      "multimodal_video" -> (multimodalVideo _),
       "dedup_incremental" -> (dedupIncremental _),
       "scrub_pii" -> (scrubPii _),
       "text_normalize" -> (textNormalize _),
@@ -1789,6 +1832,23 @@ object SparkEntry {
            CAST(16 AS BIGINT) AS bits_per_sample,
            CAST(64 + (doc_id % 37) AS BIGINT) AS n_frames,
            CAST(44 + (64 + (doc_id % 37)) * (1 + (doc_id % 2)) * 2 AS BIGINT) AS n_bytes
+         FROM documents""",
+    "multimodal_video" ->
+      // the generating formulas for the ISO-BMFF fixtures; n_bytes checks
+      // the encoder's deterministic box layout (455 B of fixed structure +
+      // the mdat payload + 261 B for the optional audio trak — constants
+      // pinned by Mp4LayoutSpec) that the REAL box-walk parser reported
+      """SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS ok,
+           CAST(600 + (doc_id % 5) * 200 AS BIGINT) AS timescale,
+           CAST(1000 + (doc_id % 9000) AS BIGINT) AS duration_ticks,
+           CAST(1 + (doc_id % 2) AS BIGINT) AS n_tracks,
+           CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                ELSE 'vp09' END AS codec,
+           CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,
+           CAST(120 + ((doc_id // 8) % 8) * 16 AS BIGINT) AS height,
+           CAST(24 + (doc_id % 100) AS BIGINT) AS n_frames,
+           CAST(64 + (doc_id % 50) AS BIGINT) AS mdat_bytes,
+           CAST(519 + (doc_id % 50) + (doc_id % 2) * 261 AS BIGINT) AS n_bytes
          FROM documents""",
     "dedup_minhash" ->
       // identical texts → identical signatures → collide in every band and
