@@ -381,9 +381,12 @@ object Similarity {
     require(idCol != "bucket", "idCol 'bucket' collides with the layout column")
     val coded = quantize(corpus, idCol, vecCol)
       .withColumn("bucket", q8Bucket(idCol, numBuckets))
-    repo.writePartitioned(coded, schema, s"${name}_q8", Seq("bucket"))
-    repo.writeTableMeta(schema, s"${name}_q8",
-      Map(Q8BucketsProp -> numBuckets.toString))
+    // the modulus sidecar rides INSIDE the tmp layout (r13): it promotes
+    // atomically with the bucket tree, so no crash point can leave a
+    // healthy index that appendToQuantizedIndex then refuses for want of
+    // its geometry stamp
+    repo.writePartitioned(coded, schema, s"${name}_q8", Seq("bucket"),
+      metaProps = Some(Map(Q8BucketsProp -> numBuckets.toString)))
   }
 
   /** The persisted quantized index: (idCol, qmin, qmax, codes). The

@@ -60,7 +60,8 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       archiveExisting: Boolean = false,
       archiveDir: String = "archive",
       maxRecordsPerFile: Option[Long] = None,
-      parquetBlockBytes: Option[Long] = None
+      parquetBlockBytes: Option[Long] = None,
+      metaProps: Option[Map[String, String]] = None
   ): Path = {
     val dest = tablePath(schema, table)
     // deliberately the same tmp path mergePartitioned uses: a concurrent
@@ -76,6 +77,11 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n))
     parquetBlockBytes.foreach(b => writer.option("parquet.block.size", b))
     writer.parquet(tmp.toString)
+    // the property sidecar is written INTO the tmp layout, so it travels
+    // atomically with the files it describes through the promote swap —
+    // no crash point can leave a promoted layout without its sidecar
+    metaProps.filter(_.nonEmpty).foreach(p =>
+      writeMetaFile(f, new Path(tmp, MetaFileName), p))
 
     if (archiveExisting && f.exists(dest)) archive(schema, table, archiveDir)
     promoteTable(f, tmp, schema, table)
@@ -183,7 +189,8 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       partitionCols: Seq[String],
       modified: Option[String] = None,
       maxRecordsPerFile: Option[Long] = None,
-      parquetBlockBytes: Option[Long] = None
+      parquetBlockBytes: Option[Long] = None,
+      metaProps: Option[Map[String, String]] = None
   ): Path = {
     val dest = tablePath(schema, table)
     // same tmp + sidecar promote as [[write]] (r12): the partitioned
@@ -199,6 +206,11 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n))
     parquetBlockBytes.foreach(b => writer.option("parquet.block.size", b))
     writer.parquet(tmp.toString)
+    // sidecar travels atomically inside the tmp layout (see [[write]]) —
+    // an index build can no longer crash into a promoted layout whose
+    // geometry sidecar is missing
+    metaProps.filter(_.nonEmpty).foreach(p =>
+      writeMetaFile(f, new Path(tmp, MetaFileName), p))
     promoteTable(f, tmp, schema, table)
     dest
   }
@@ -256,11 +268,41 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       sortCols: Seq[String],
       numFiles: Int,
       modified: Option[String] = None
-  ): Path = {
-    val laid = df
-      .repartitionByRange(numFiles, sortCols.map(col): _*)
+  ): Path =
+    // the layout spec rides the meta sidecar (atomically, inside the tmp
+    // layout) so [[compact]] can re-apply it: without the stamp a later
+    // compaction would coalesce arbitrary file unions and the per-file
+    // min/max ranges this writer exists to tighten would quietly widen
+    write(sortedLayout(df, sortCols, numFiles), schema, table,
+      modified = modified, metaProps = Some(sortedLayoutMeta(sortCols, numFiles)))
+
+  private def sortedLayout(df: DataFrame, sortCols: Seq[String], numFiles: Int) =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    write(laid, schema, table, modified = modified)
+
+  /** Layout-spec sidecar keys ([[writeSorted]]/[[writeZOrdered]] stamp
+    * them; [[compact]] re-applies). Columns are comma-joined — layout
+    * columns with commas in their names are refused at stamp time rather
+    * than silently mis-split at compact time. */
+  private val LayoutKindProp = "layout.kind"
+  private val LayoutColsProp = "layout.cols"
+  private val LayoutFilesProp = "layout.files"
+  private val LayoutBitsProp = "layout.bits"
+
+  private def requireJoinableCols(cols: Seq[String], op: String): Unit =
+    require(cols.forall(!_.contains(",")),
+      s"$op: layout column names may not contain ',' (sidecar encoding): $cols")
+
+  private def sortedLayoutMeta(sortCols: Seq[String], numFiles: Int): Map[String, String] = {
+    requireJoinableCols(sortCols, "writeSorted")
+    Map(LayoutKindProp -> "sorted", LayoutColsProp -> sortCols.mkString(","),
+      LayoutFilesProp -> numFiles.toString)
+  }
+
+  private def zLayoutMeta(zCols: Seq[String], numFiles: Int, bits: Int): Map[String, String] = {
+    requireJoinableCols(zCols, "writeZOrdered")
+    Map(LayoutKindProp -> "zorder", LayoutColsProp -> zCols.mkString(","),
+      LayoutFilesProp -> numFiles.toString, LayoutBitsProp -> bits.toString)
   }
 
   /** Copy-on-write MERGE (upsert): rows of `updates` replace current rows
@@ -561,29 +603,48 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     true
   }
 
+  private val MetaFileName = "_graft_meta.json"
+
   private def tableMetaPath(schema: String, table: String): Path =
-    new Path(tablePath(schema, table), "_graft_meta.json")
+    new Path(tablePath(schema, table), MetaFileName)
+
+  /** Serialize a property map as a meta-sidecar JSON file at `path`. */
+  private def writeMetaFile(
+      f: FileSystem, path: Path, props: Map[String, String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val out = f.create(path, true)
+    try out.write(mapper.writeValueAsBytes(node))
+    finally out.close()
+  }
 
   /** Attach a small string-property sidecar (`_graft_meta.json`) to a
-    * table — index geometry the data files can't carry, e.g. the bucket
-    * count a hash-partitioned layout was built with. Underscore-prefixed,
-    * so parquet readers never see it, and stored INSIDE the table dir, so
-    * it survives [[mergePartitioned]] (which swaps partition subdirs, not
-    * the table dir) but is correctly dropped by any whole-table rewrite
-    * ([[write]]/[[writePartitioned]] replace the dir) — stale geometry
-    * cannot outlive the layout it describes; rebuilders re-stamp it. */
+    * table — index geometry or layout spec the data files can't carry,
+    * e.g. the bucket count a hash-partitioned layout was built with or
+    * the sort/z-order columns [[compact]] must re-apply.
+    * Underscore-prefixed, so parquet readers never see it, and stored
+    * INSIDE the table dir, so it survives [[mergePartitioned]] (which
+    * swaps partition subdirs, not the table dir) but is correctly dropped
+    * by any whole-table rewrite ([[write]]/[[writePartitioned]] replace
+    * the dir) — stale geometry cannot outlive the layout it describes;
+    * rebuilders re-stamp it. Writers that create the layout should pass
+    * `metaProps` to [[write]]/[[writePartitioned]] instead, which stamps
+    * the sidecar INSIDE the tmp layout so it promotes atomically with the
+    * files; this standalone path (for annotating an existing table)
+    * stages through a hidden tmp file + rename, so a crash can at worst
+    * lose the update, never leave a torn sidecar. */
   def writeTableMeta(
       schema: String, table: String, props: Map[String, String]): Path = {
     val p = tableMetaPath(schema, table)
     val f = fs(p)
     require(f.exists(tablePath(schema, table)),
       s"no table $schema/$table to attach metadata to")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.createObjectNode()
-    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-    val out = f.create(p, true)
-    try out.write(mapper.writeValueAsBytes(node))
-    finally out.close()
+    val staging = new Path(tablePath(schema, table), s".$MetaFileName.tmp")
+    writeMetaFile(f, staging, props)
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(staging, p))
+      throw new java.io.IOException(s"Could not publish sidecar $staging to $p")
     p
   }
 
@@ -654,7 +715,14 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       numFiles: Int,
       bits: Int = 16,
       modified: Option[String] = None
-  ): Path = {
+  ): Path =
+    // layout spec stamped like [[writeSorted]]'s, so [[compact]] re-lays
+    // along the same Morton curve instead of silently de-clustering
+    write(zOrderLayout(df, zCols, numFiles, bits), schema, table,
+      modified = modified, metaProps = Some(zLayoutMeta(zCols, numFiles, bits)))
+
+  private def zOrderLayout(
+      df: DataFrame, zCols: Seq[String], numFiles: Int, bits: Int): DataFrame = {
     import graft.functions.ZOrder
     graft.InternalCols.requireAbsent(df, "PqRepo.writeZOrdered", "__z")
     val bounds = df.select(
@@ -664,12 +732,10 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       ZOrder.normalize(col(c),
         lit(bounds.getAs[Any](s"__min_$c")), lit(bounds.getAs[Any](s"__max_$c")), bits)
     }
-    val laid = df
-      .withColumn("__z", ZOrder.zValue(normalized, bits))
+    df.withColumn("__z", ZOrder.zValue(normalized, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    write(laid, schema, table, modified = modified)
   }
 
   /** Write a table bucketed (and per-bucket sorted) on join/grouping keys,
@@ -733,9 +799,21 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     * re-lay per partition value (repartition on the partition columns —
     * exactly where incremental [[mergePartitioned]] runs accumulate
     * task-sized files), the directory tree and any `_graft_meta.json`
-    * sidecar survive. A flat rewrite here would have demoted the
+    * sidecar survive (the preserved sidecar travels inside the tmp
+    * layout, so no crash point can strip a healthy index of its
+    * geometry — r13). A flat rewrite here would have demoted the
     * partition columns to data columns and broken every downstream
-    * pruning scan. */
+    * pruning scan.
+    *
+    * LAYOUT-PRESERVING (r13): a table written by [[writeSorted]] /
+    * [[writeZOrdered]] carries its layout spec in the meta sidecar, and
+    * compact RE-APPLIES it — range-repartition + within-file sort on the
+    * recorded sort (or Morton) columns — instead of coalescing arbitrary
+    * file unions. Without this, maintenance quietly widened per-file
+    * min/max ranges and the data skipping those writers exist for
+    * degraded on exactly the tables someone cared enough to lay out.
+    * `targetPartitions` overrides the recorded file count (and the
+    * re-stamped spec records the new count). */
   def compact(
       schema: String,
       table: String,
@@ -745,24 +823,40 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
   ): Path = {
     val src = this.table(schema, table)
     val pcols = partitionColsOf(schema, table)
+    val meta = readTableMeta(schema, table)
     if (pcols.nonEmpty) {
-      val meta = readTableMeta(schema, table)
       val cols = pcols.map(col)
       val laid = targetPartitions
         .map(n => src.repartition(n, cols: _*))
         .getOrElse(src.repartition(cols: _*))
-      val dest = writePartitioned(laid, schema, table, pcols,
+      writePartitioned(laid, schema, table, pcols,
         modified = lastModified(schema, table),
         maxRecordsPerFile = maxRecordsPerFile,
-        parquetBlockBytes = parquetBlockBytes)
-      if (meta.nonEmpty) writeTableMeta(schema, table, meta)
-      dest
+        parquetBlockBytes = parquetBlockBytes,
+        metaProps = Some(meta))
     } else {
-      val coalesced = targetPartitions.map(src.coalesce).getOrElse(src)
-      write(coalesced, schema, table,
+      val layoutCols = meta.get(LayoutColsProp)
+        .map(_.split(",").toSeq).getOrElse(Nil)
+      val n = targetPartitions
+        .orElse(meta.get(LayoutFilesProp).flatMap(s =>
+          scala.util.Try(s.toInt).toOption))
+      val (laid, newMeta) = meta.get(LayoutKindProp) match {
+        case Some("sorted") if layoutCols.nonEmpty && n.isDefined =>
+          (sortedLayout(src, layoutCols, n.get),
+            meta + (LayoutFilesProp -> n.get.toString))
+        case Some("zorder") if layoutCols.nonEmpty && n.isDefined =>
+          val bits = meta.get(LayoutBitsProp)
+            .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(16)
+          (zOrderLayout(src, layoutCols, n.get, bits),
+            meta + (LayoutFilesProp -> n.get.toString))
+        case _ =>
+          (targetPartitions.map(src.coalesce).getOrElse(src), meta)
+      }
+      write(laid, schema, table,
         modified = lastModified(schema, table),
         maxRecordsPerFile = maxRecordsPerFile,
-        parquetBlockBytes = parquetBlockBytes)
+        parquetBlockBytes = parquetBlockBytes,
+        metaProps = Some(newMeta))
     }
   }
 

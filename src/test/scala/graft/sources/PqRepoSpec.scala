@@ -246,6 +246,102 @@ class CompactionSpec extends graft.SparkSpec {
   }
 }
 
+/** r13: maintenance must not destroy the layouts the sorted/z-order
+  * writers exist to create — compact re-applies the layout spec stamped
+  * in the meta sidecar. */
+class LayoutPreservingCompactSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  /** Per-file [min, max] of `c`, sorted; asserts in-file sortedness. */
+  private def fileRanges(repo: PqRepo, schema: String, table: String,
+      c: String): Seq[(Long, Long)] = {
+    val dir = new java.io.File(repo.tablePath(schema, table).toUri.getPath)
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select(c).collect().map(_.getLong(0))
+      assert(rows.zip(rows.tail).forall { case (a, b) => a <= b },
+        s"${f.getName} not sorted after compact")
+      (rows.min, rows.max)
+    }.sortBy(_._1)
+  }
+
+  private def assertDisjoint(ranges: Seq[(Long, Long)]): Unit =
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file ranges overlap after compact: hi=$hi lo2=$lo2")
+    }
+
+  test("compact re-applies a sorted layout: per-file ranges stay tight") {
+    val repo = PqRepo(spark, java.nio.file.Files
+      .createTempDirectory("graft_compact_sorted").toString)
+    val df = spark.range(10000).select(
+      (col("id") * 2654435761L % 10000).as("k"), col("id").as("v"))
+    repo.writeSorted(df, "s", "laidout", sortCols = Seq("k"), numFiles = 4,
+      modified = Some("x (Updated 2024-05-01)"))
+
+    repo.compact("s", "laidout")
+    val ranges = fileRanges(repo, "s", "laidout", "k")
+    assert(ranges.length == 4, s"expected the recorded 4 files, got $ranges")
+    assertDisjoint(ranges)
+    assert(repo.table("s", "laidout").count() == 10000)
+    assert(repo.lastModified("s", "laidout").contains("x (Updated 2024-05-01)"))
+    val meta = repo.readTableMeta("s", "laidout")
+    assert(meta.get("layout.kind").contains("sorted") &&
+      meta.get("layout.cols").contains("k"), meta.toString)
+
+    // a target override re-lays (still sorted, still disjoint) and the
+    // re-stamped spec records the new count for the NEXT compaction
+    repo.compact("s", "laidout", targetPartitions = Some(2))
+    val ranges2 = fileRanges(repo, "s", "laidout", "k")
+    assert(ranges2.length == 2, ranges2.toString)
+    assertDisjoint(ranges2)
+    assert(repo.readTableMeta("s", "laidout")
+      .get("layout.files").contains("2"))
+  }
+
+  test("compact re-applies a z-order layout: boxes stay narrow in BOTH dims") {
+    val repoDir = java.nio.file.Files
+      .createTempDirectory("graft_compact_z").toString
+    val repo = PqRepo(spark, repoDir)
+    val grid = spark.range(10000).select(
+      (col("id") % 100).as("x"), (col("id") / 100).cast("long").as("y"))
+    repo.writeZOrdered(grid, "lay", "zed", Seq("x", "y"), numFiles = 16, bits = 8)
+
+    def avgRange(c: String): Double = {
+      val dir = new java.io.File(s"$repoDir/lay/zed.parquet")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length > 8, s"expected many files, got ${files.length}")
+      val widths = files.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min(col(c)), max(col(c))).head()
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      widths.sum / widths.length
+    }
+    repo.compact("lay", "zed")
+    // the ZOrderSpec tightness bound for the ORIGINAL write — compact
+    // must not widen past it (a de-clustering compact measures ~99 here)
+    assert(avgRange("x") < 60 && avgRange("y") < 60,
+      s"z-order layout lost in compact: x=${avgRange("x")} y=${avgRange("y")}")
+    assert(repo.table("lay", "zed").count() == 10000)
+    assert(repo.readTableMeta("lay", "zed").get("layout.kind").contains("zorder"))
+  }
+
+  test("metaProps travels atomically with write; plain rewrite drops it") {
+    val repo = PqRepo(spark, java.nio.file.Files
+      .createTempDirectory("graft_meta_travel").toString)
+    val df = spark.range(100).toDF("id")
+    repo.write(df, "s", "t", metaProps = Some(Map("geom" -> "g1")))
+    assert(repo.readTableMeta("s", "t") == Map("geom" -> "g1"))
+    // no torn staging file left behind
+    val dir = new java.io.File(repo.tablePath("s", "t").toUri.getPath)
+    assert(!dir.listFiles().exists(_.getName.endsWith(".tmp")))
+    // a whole-table rewrite WITHOUT metaProps replaces the dir: stale
+    // geometry cannot outlive the layout it described
+    repo.write(df, "s", "t")
+    assert(repo.readTableMeta("s", "t").isEmpty)
+  }
+}
+
 class SortedWriteSpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._
 
