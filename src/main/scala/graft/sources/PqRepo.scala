@@ -333,7 +333,8 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       schema: String,
       table: String,
       keys: Seq[String],
-      modified: Option[String] = None
+      modified: Option[String] = None,
+      allowMissingColumns: Boolean = false
   ): Path = {
     require(keys.nonEmpty, "merge needs at least one key column")
     recoverWrite(schema, table) // heal a crashed earlier promote first
@@ -341,18 +342,81 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     val dest = tablePath(schema, table)
     if (!fs(dest).exists(dest))
       return write(updates, schema, table, modified = modified)
-    val merged = cowMerge(this.table(schema, table), updates, keys)
+    val current = this.table(schema, table)
+    validateMergeSchema(current, updates, keys, allowMissingColumns,
+      s"merge($schema/$table)")
+    val merged = cowMerge(current, updates, keys, allowMissingColumns)
     write(merged, schema, table, modified = modified)
+  }
+
+  /** Up-front schema drift check for the merge paths (r13): a drifted
+    * updates batch used to die inside `unionByName` with a generic Spark
+    * analysis error mid-job; now the mismatch is named — which columns
+    * the batch is missing, which it added — BEFORE any work runs, and
+    * evolution is an explicit opt-in rather than an accident. Name
+    * matching is case-insensitive, like Spark's default resolution. Merge
+    * keys must exist on BOTH sides under any mode: a null-filled key
+    * column would null-match every row (`<=>`), silently replacing
+    * everything in its path. */
+  private def validateMergeSchema(
+      current: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      allowMissingColumns: Boolean,
+      op: String,
+      partitionScoped: Boolean = false): Unit = {
+    val curCols = current.columns.map(_.toLowerCase).toSet
+    val updCols = updates.columns.map(_.toLowerCase).toSet
+    val keysAbsent = keys.filterNot(k =>
+      curCols.contains(k.toLowerCase) && updCols.contains(k.toLowerCase))
+    if (keysAbsent.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$op: merge key column(s) [${keysAbsent.mkString(", ")}] must be " +
+          "present in both the current table and the updates batch — " +
+          "an evolved (null-filled) key would null-match and replace " +
+          "unrelated rows")
+    val added = updates.columns.filterNot(c => curCols.contains(c.toLowerCase))
+    val missing = current.columns.filterNot(c => updCols.contains(c.toLowerCase))
+    if (!allowMissingColumns && (added.nonEmpty || missing.nonEmpty))
+      throw new IllegalArgumentException(
+        s"$op: updates schema drifted from the current table" +
+          (if (missing.nonEmpty)
+            s"; missing from updates: [${missing.mkString(", ")}]" else "") +
+          (if (added.nonEmpty)
+            s"; new in updates: [${added.mkString(", ")}]" else "") +
+          ". Align the batch upstream, or pass allowMissingColumns = true " +
+          "to evolve the table (absent columns fill with nulls on either " +
+          "side)")
+    // a partition-scoped merge rewrites ONLY affected partition dirs, so
+    // a column that exists only in the updates batch would land in those
+    // files and nowhere else — readers without mergeSchema=true would see
+    // it appear and vanish depending on which file infers the schema
+    if (partitionScoped && allowMissingColumns && added.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$op: updates add column(s) [${added.mkString(", ")}], but a " +
+          "partition-scoped merge cannot evolve untouched partitions — " +
+          "the new column would exist only in rewritten files, giving " +
+          "readers an inference-order-dependent schema. Rebuild the " +
+          "table through writePartitioned with the evolved schema, then " +
+          "merge")
   }
 
   /** current rows not replaced by `updates` (null-safe key match), plus
     * all of `updates` — the relational core of [[merge]]. Aliased sides so
-    * shared column names can't trip ambiguous-attribute analysis. */
-  private def cowMerge(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    * shared column names can't trip ambiguous-attribute analysis. With
+    * `allowMissingColumns` the union evolves the schema: columns absent
+    * on one side carry nulls there (the schema is validated by
+    * [[validateMergeSchema]] before this runs). */
+  private def cowMerge(
+      current: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      allowMissingColumns: Boolean = false): DataFrame = {
     val cur = current.alias("__cur")
     val upd = updates.select(keys.map(col): _*).alias("__upd")
     val cond = keys.map(k => col(s"__cur.$k") <=> col(s"__upd.$k")).reduce(_ && _)
-    cur.join(upd, cond, "left_anti").unionByName(updates)
+    cur.join(upd, cond, "left_anti")
+      .unionByName(updates, allowMissingColumns = allowMissingColumns)
   }
 
   /** Partition-pruned copy-on-write MERGE over a [[writePartitioned]]
@@ -393,7 +457,8 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       table: String,
       keys: Seq[String],
       partitionCols: Seq[String],
-      modified: Option[String] = None
+      modified: Option[String] = None,
+      allowMissingColumns: Boolean = false
   ): Path = {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(partitionCols.nonEmpty && partitionCols.forall(keys.contains),
@@ -410,10 +475,43 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     if (!f.exists(dest))
       return writePartitioned(updates, schema, table, partitionCols, modified)
 
+    validateMergeSchema(spark.read.parquet(dest.toString), updates, keys,
+      allowMissingColumns, s"mergePartitioned($schema/$table)",
+      partitionScoped = true)
+
     // the partitions this batch touches: a driver-side list of tuples
     val affected = updates.select(partitionCols.map(col): _*).distinct().collect()
+    mergeIntoPartitions(updates, schema, table, keys, partitionCols,
+      affected.toSeq, modified, allowMissingColumns)
+  }
+
+  /** The partition-scoped merge ENGINE, shared by [[mergePartitioned]]
+    * (affected = the updates' own partition tuples; `partitionCols ⊆
+    * keys` makes that sufficient) and by callers that merge on a key the
+    * partition value is NOT a function of — e.g. IVF reassignment, where
+    * a re-ingested id must vanish from its OLD cluster partition while
+    * landing in its new one. The CALLER owns the safety obligation the
+    * `partitionCols ⊆ keys` rule otherwise enforces: every current row
+    * whose key tuple matches an updates row must live in one of
+    * `affected`'s partitions, or stale rows survive outside the rewrite
+    * scope (exactly the corruption appendToIvfIndex's moved-id guard
+    * detects). Rewrites only `affected` partition dirs via the
+    * manifest-recorded crash-recoverable swap; untouched partitions are
+    * never read or rewritten. */
+  private[graft] def mergeIntoPartitions(
+      updates: DataFrame,
+      schema: String,
+      table: String,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      affected: Seq[org.apache.spark.sql.Row],
+      modified: Option[String] = None,
+      allowMissingColumns: Boolean = false
+  ): Path = {
+    val dest = tablePath(schema, table)
+    val f = fs(dest)
     if (affected.isEmpty) return dest
-    val touchFilter = affected.toSeq.map { row =>
+    val touchFilter = affected.map { row =>
       partitionCols.zipWithIndex
         .map { case (c, i) => col(c) <=> lit(row.get(i)) }
         .reduce(_ && _)
@@ -422,7 +520,7 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     // current rows of affected partitions only (PartitionFilters prune the
     // rest before I/O), merged with the updates
     val current = spark.read.parquet(dest.toString).filter(touchFilter)
-    val merged = cowMerge(current, updates, keys)
+    val merged = cowMerge(current, updates, keys, allowMissingColumns)
 
     // write affected partitions to a tmp layout, then swap each directory
     val tmp = mergeTmpPath(schema, table)
@@ -441,7 +539,7 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     // record hasNew=false for a partition whose merged data is sitting in
     // tmp, silently discarding the whole update at cleanup
     val newRels = listPartitionRelDirs(f, tmp, partitionCols.length)
-    val computed = affected.toSeq.map(partitionRelDir)
+    val computed = affected.map(partitionRelDir)
     val entries = newRels.map(_ -> true) ++
       computed.filterNot(newRels.toSet).map(_ -> false)
     writeMergeManifest(schema, table, entries)

@@ -45,6 +45,85 @@ class MergeSpec extends SparkSpec {
     assert(out == Set((Some("a"), 1.0), (None, 9.0)))
   }
 
+  test("merge rejects a drifted updates schema up front, naming the drift") {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("mergeschema1").toString)
+    repo.write(Seq((1L, "a", 10.0)).toDF("k", "name", "v"), "s", "t")
+    // updates drop `v` and add `extra`: both directions named in one error
+    val e = intercept[IllegalArgumentException] {
+      repo.merge(Seq((2L, "b", "huh")).toDF("k", "name", "extra"),
+        "s", "t", Seq("k"))
+    }
+    assert(e.getMessage.contains("merge(s/t)"), e.getMessage)
+    assert(e.getMessage.contains("missing from updates: [v]"), e.getMessage)
+    assert(e.getMessage.contains("new in updates: [extra]"), e.getMessage)
+    // nothing ran: the table is untouched
+    assert(repo.table("s", "t").count() == 1)
+  }
+
+  test("merge evolves the schema on opt-in: absent columns null-fill " +
+    "on either side; an evolved-away merge key stays rejected") {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("mergeschema2").toString)
+    repo.write(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v"),
+      "s", "t")
+    // updates lack `v` (old column → null for new rows) and add `tag`
+    // (new column → null for carried-over rows)
+    repo.merge(Seq((2L, "b2", "fresh"), (3L, "c", "new")).toDF("k", "name", "tag"),
+      "s", "t", Seq("k"), allowMissingColumns = true)
+    val out = repo.table("s", "t").select("k", "name", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.getString(3)))).toSet
+    assert(out == Set(
+      (1L, "a", Some(10.0), None),
+      (2L, "b2", None, Some("fresh")),
+      (3L, "c", None, Some("new"))), out.toString)
+    // a batch without the merge key can never evolve past the guard —
+    // a null-filled key would null-match (<=>) unrelated rows
+    val e = intercept[IllegalArgumentException] {
+      repo.merge(Seq(("x", 1.0)).toDF("name", "v"), "s", "t", Seq("k"),
+        allowMissingColumns = true)
+    }
+    assert(e.getMessage.contains("merge key column(s) [k]"), e.getMessage)
+  }
+
+  test("mergePartitioned schema guard: drift rejected by default, " +
+    "missing-column evolution allowed, added columns always rejected") {
+    val repo = PqRepo(spark,
+      java.nio.file.Files.createTempDirectory("mergeschema3").toString)
+    repo.writePartitioned(
+      Seq(("d1", 1L, 10.0, "x"), ("d2", 2L, 20.0, "y"))
+        .toDF("day", "k", "v", "note"),
+      "s", "t", Seq("day"))
+    // default: drift is named before any partition is touched
+    val e1 = intercept[IllegalArgumentException] {
+      repo.mergePartitioned(Seq(("d1", 1L, 11.0)).toDF("day", "k", "v"),
+        "s", "t", keys = Seq("day", "k"), partitionCols = Seq("day"))
+    }
+    assert(e1.getMessage.contains("mergePartitioned(s/t)") &&
+      e1.getMessage.contains("missing from updates: [note]"), e1.getMessage)
+    // opt-in: a batch missing `note` lands with nulls — file schemas stay
+    // uniform because the output keeps the current table's full schema
+    repo.mergePartitioned(Seq(("d1", 1L, 11.0)).toDF("day", "k", "v"),
+      "s", "t", keys = Seq("day", "k"), partitionCols = Seq("day"),
+      allowMissingColumns = true)
+    val out = repo.table("s", "t").select("day", "k", "v", "note").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.getString(3)))).toSet
+    assert(out == Set(("d1", 1L, 11.0, None), ("d2", 2L, 20.0, Some("y"))),
+      out.toString)
+    // a batch ADDING a column can never evolve partition-scoped: untouched
+    // partitions' files would keep the old schema (inference-order reads)
+    val e2 = intercept[IllegalArgumentException] {
+      repo.mergePartitioned(
+        Seq(("d1", 1L, 12.0, "x", "new")).toDF("day", "k", "v", "note", "extra"),
+        "s", "t", keys = Seq("day", "k"), partitionCols = Seq("day"),
+        allowMissingColumns = true)
+    }
+    assert(e2.getMessage.contains("cannot evolve untouched partitions"),
+      e2.getMessage)
+  }
+
   test("mergePartitioned rewrites only affected partitions — untouched " +
     "partition files stay byte-identical") {
     val dir = java.nio.file.Files.createTempDirectory("mergespec4")
