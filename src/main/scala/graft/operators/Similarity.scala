@@ -230,17 +230,26 @@ object Similarity {
     * probe jobs in r11; this replaces auto mode's exact `count()`, the
     * one remaining pre-plan job in the ANN family). `rowCount` is exact
     * when the plan carries it (limits, CBO/ANALYZE); otherwise rows are
-    * `sizeInBytes` over an assumed embedding-row width (arrays floored at
-    * 512 B — scalar `defaultSize` would undercount a vector 64×). The
-    * estimate only feeds [[autoCentroids]]' clamped √, so even a 4×
-    * width error moves nlist 2× — inside the heuristic's tolerance, and
-    * callers with a known corpus pass `numCentroids` explicitly. */
+    * `sizeInBytes` over an assumed embedding-row width: each array
+    * column counts `spark.graft.ann.assumedVectorBytes` (default 512 —
+    * ~64 doubles / ~128 floats; scalar `defaultSize` would undercount a
+    * vector 64×). The estimate only feeds [[autoCentroids]]' clamped √,
+    * so a 4× width error moves nlist 2× — inside the heuristic's
+    * tolerance. HIGH-DIM caveat (r13): at 1536–3072 dims a row is
+    * 12–24 KB and the 512 B default overestimates rows 25–50× → nlist
+    * ~5–7× high (still bounded by the 4096 clamp). For such corpora set
+    * the conf to the real row width (dims × 8 for doubles), or pass
+    * `numCentroids` explicitly — auto mode is a convenience default,
+    * not a substitute for known geometry. */
   private[operators] def approxRowCount(df: DataFrame): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
     stats.rowCount.map(_.toLong).getOrElse {
+      val vectorBytes = scala.util.Try(df.sparkSession.conf
+        .get("spark.graft.ann.assumedVectorBytes", "512").toInt)
+        .getOrElse(512).max(1)
       val width = df.schema.map { f =>
         f.dataType match {
-          case _: org.apache.spark.sql.types.ArrayType => 512
+          case _: org.apache.spark.sql.types.ArrayType => vectorBytes
           case dt => dt.defaultSize
         }
       }.sum.max(1)
@@ -457,12 +466,55 @@ object Similarity {
           s"appendToIvfIndex($schema/$name): batch re-ingests ids whose " +
             s"embeddings moved clusters [$shown${if (sample.length == 5) ", …" else ""}] — " +
             "the stale rows would survive in partitions this merge never " +
-            "rewrites. Re-train the index (ivfBuild + writeIvfIndex), or " +
-            "pass checkMoved = false only for provably append-only feeds")
+            "rewrites. Use reassignIvfIndex (bounded rewrite of the old + " +
+            "new cluster partitions), re-train via ivfBuild + " +
+            "writeIvfIndex if the corpus drifted, or pass checkMoved = " +
+            "false only for provably append-only feeds")
       }
     }
     repo.mergePartitioned(assigned, schema, s"${name}_ivf",
       keys = Seq("id", "cluster"), partitionCols = Seq("cluster"))
+  }
+
+  /** Re-ingest a batch whose embeddings may have MOVED clusters — the
+    * remedy [[appendToIvfIndex]]'s moved-id guard points at, short of a
+    * full re-train (r13). Centroids stay frozen (the index geometry is
+    * unchanged — a drifted CORPUS still re-trains via [[ivfBuild]]);
+    * what changes is membership: each batch id lands exactly once, in
+    * the cluster its new embedding assigns to, and its stale row is
+    * deleted from the old cluster partition.
+    *
+    * Scale shape — a bounded rewrite, not a rebuild: the detection join
+    * ((id, cluster) both sides — column-pruned thin scans, nothing
+    * vector-sized moves) yields the old clusters of moved ids; those
+    * partitions plus the batch's new clusters (≤ 2·nlist values,
+    * collected driver-side) form the rewrite scope handed to the repo's
+    * manifest-recorded partition swap. Untouched cluster partitions are
+    * never read or rewritten (byte-identical on disk — spec-verified),
+    * and every crash point recovers exactly like [[appendToIvfIndex]]'s.
+    * The safety obligation of merging on `id` alone is met by
+    * construction: a matched current row lives either in the batch row's
+    * new cluster (unmoved) or in a detected old cluster (moved) — both
+    * in scope. */
+  def reassignIvfIndex(
+      repo: graft.sources.PqRepo,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      schema: String,
+      name: String): Unit = {
+    val index = readIvfIndex(repo, schema, name)
+    val assigned = assignClusters(
+      batch.select(col(idCol).as("id"), col(vecCol).as("v")), index.centroids)
+    val oldClusters = index.assigned.select(col("id"), col("cluster"))
+      .join(assigned.select(col("id"), col("cluster").as("__new")), Seq("id"))
+      .filter(col("cluster") =!= col("__new"))
+      .select(col("cluster"))
+    val affected = assigned.select(col("cluster"))
+      .unionByName(oldClusters).distinct().collect() // bounded: ≤ 2·nlist
+    repo.mergeIntoPartitions(assigned, schema, s"${name}_ivf",
+      keys = Seq("id"), partitionCols = Seq("cluster"),
+      affected = affected.toSeq)
   }
 
   /** Incrementally append/upsert a batch into a persisted quantized
@@ -519,6 +571,59 @@ object Similarity {
       .sortBy(_._1)
       .toSeq
     IvfIndex(cents, repo.table(schema, s"${name}_ivf"))
+  }
+
+  /** Sampled recall@k observability result — the ANN sibling of
+    * Packing's MixStats / Dedup's ComponentsStats: `recall` =
+    * `hits / possible`, where `possible = nQueries × k` truth entries
+    * (fewer when the corpus is smaller than k+1). */
+  final case class RecallStats(
+      nQueries: Long, k: Int, hits: Long, possible: Long, recall: Double)
+
+  /** Estimate an index's recall@k in PRODUCTION, where the spec-pinned
+    * fixed-corpus recalls (partial nprobe, LSH multi-table, quantized
+    * partial depth) are invisible (r13): a deterministic pseudo-random
+    * query sample (`xxhash64` order — the [[ivfBuild]] seeding pattern:
+    * TakeOrdered of `sampleQueries` rows, no count pass, no RNG
+    * nondeterminism across runs) gets brute-force ground truth
+    * ([[bruteForceTopK]] — ONE broadcast-sample pass over the corpus,
+    * the only full scan here) joined against whatever `search` returns
+    * for those same queries. One bounded action computes hits, possible,
+    * and the estimate.
+    *
+    * `search` receives the sampled query rows (corpus schema) and
+    * returns any frame with `query_id`/`cand_id` columns — pass the
+    * index path under observation, e.g.
+    * `q => ivfSearch(index, q, id, vec, k, nprobe)`. Extra candidates
+    * beyond rank k are NOT penalized (recall, not precision); duplicate
+    * (query, cand) rows are collapsed. Cosine ties at the k-th rank may
+    * legitimately cost a few hundredths — this is an estimator, not an
+    * oracle. */
+  def recallEstimate(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      sampleQueries: Int)(
+      search: DataFrame => DataFrame): RecallStats = {
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleQueries)
+    val truth = bruteForceTopK(corpus, sample, idCol, vecCol, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = search(sample)
+      .select(col("query_id"), col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("__hit", lit(1L))
+    val row = truth
+      .join(approx, Seq("query_id", "cand_id"), "left")
+      .agg(count(lit(1)).as("possible"), sum(col("__hit")).as("hits"),
+        countDistinct(col("query_id")).as("nq"))
+      .head()
+    val possible = row.getLong(0)
+    val hits = if (row.isNullAt(1)) 0L else row.getLong(1)
+    RecallStats(row.getLong(2), k, hits, possible,
+      if (possible == 0) 1.0 else hits.toDouble / possible)
   }
 
   /** Embedding-cosine near-duplicate REMOVAL: hyperplane-LSH candidate

@@ -194,6 +194,123 @@ class IndexPersistSpec extends SparkSpec {
       .assigned.count() == emb.count() + 1)
   }
 
+  test("reassignIvfIndex: moved ids land once in their new cluster, " +
+    "untouched partitions stay byte-identical, search ≡ same-centroid rebuild") {
+    val repo = PqRepo(spark, Files.createTempDirectory("idx_rsn").toString)
+    val built = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      numCentroids = 8, kmeansIters = 1)
+    Similarity.writeIvfIndex(repo, built, "ann", "r")
+
+    // a batch of three shapes: a MOVED id (re-ingested with an embedding
+    // that assigns elsewhere), an UNMOVED re-ingest, and a NEW id
+    val rows = built.assigned.select("id", "cluster").limit(400).collect()
+    val (idMoved, cOld) = (rows.head.getLong(0), rows.head.getInt(1))
+    val donor = rows.find(_.getInt(1) != cOld).get
+    val idUnmoved = rows.find(r =>
+      r.getLong(0) != idMoved && r.getLong(0) != donor.getLong(0))
+      .get.getLong(0)
+    val newId = 1000000L
+    val batch = emb.filter(col("vec_id") === donor.getLong(0))
+      .select(lit(idMoved).as("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === idUnmoved))
+      .unionByName(emb.filter(col("vec_id") === donor.getLong(0))
+        .select(lit(newId).as("vec_id"), col("embedding")))
+
+    // the rewrite scope: clusters the batch assigns into + the moved
+    // id's old cluster — everything else must stay byte-identical
+    val cNew = donor.getInt(1)
+    val cUnmoved = rows.find(_.getLong(0) == idUnmoved).get.getInt(1)
+    val inScope = Set(cOld, cNew, cUnmoved)
+    val tableDir = new java.io.File(repo.tablePath("ann", "r_ivf").toUri.getPath)
+    val before = fileFingerprints(tableDir)
+
+    Similarity.reassignIvfIndex(repo, batch, "vec_id", "embedding", "ann", "r")
+
+    val untouched = (fp: Map[String, (Long, Long)]) =>
+      fp.filterNot { case (p, _) => inScope.exists(c => p.contains(s"/cluster=$c/")) }
+    assert(untouched(before) == untouched(fileFingerprints(tableDir)),
+      "partitions outside the old/new cluster scope must not be rewritten")
+
+    val after = Similarity.readIvfIndex(repo, "ann", "r")
+    // exactly one row per id, and the moved id sits in its NEW cluster
+    assert(after.assigned.count() == emb.count() + 1)
+    assert(after.assigned.groupBy("id").count()
+      .filter(col("count") > 1).count() == 0)
+    val movedRow = after.assigned.filter(col("id") === idMoved).collect()
+    assert(movedRow.length == 1 && movedRow.head.getAs[Int]("cluster") == cNew,
+      s"moved id must sit in cluster $cNew, got ${movedRow.toSeq}")
+
+    // search over the reassigned index ≡ an index rebuilt over the
+    // updated corpus with the SAME (frozen) centroids — assignByJoin is
+    // the specced-identical assignment twin, visible to this package
+    val updatedCorpus = emb
+      .filter(col("vec_id") =!= idMoved)
+      .unionByName(batch.filter(col("vec_id").isin(idMoved, newId)))
+    val rebuilt = Similarity.IvfIndex(built.centroids,
+      Similarity.assignByJoin(
+        updatedCorpus.select(col("vec_id").as("id"), col("embedding").as("v")),
+        built.centroids))
+    val queries = emb.filter(col("vec_id") < 5)
+    val a = topSet(Similarity.ivfSearch(after, queries,
+      "vec_id", "embedding", k = 4, nprobe = 8))
+    val b = topSet(Similarity.ivfSearch(rebuilt, queries,
+      "vec_id", "embedding", k = 4, nprobe = 8))
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("recallEstimate: exact paths read 1.0; partial probe matches an " +
+    "independently computed sample recall and tracks the full-corpus recall") {
+    val built = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      numCentroids = 8, kmeansIters = 1)
+    val k = 4
+
+    // probing every cluster IS brute force → the estimator must read 1.0
+    val exact = Similarity.recallEstimate(emb, "vec_id", "embedding", k,
+      sampleQueries = 50)(q =>
+      Similarity.ivfSearch(built, q, "vec_id", "embedding", k, nprobe = 8))
+    assert(exact.recall == 1.0 && exact.nQueries == 50 &&
+      exact.hits == exact.possible, exact.toString)
+
+    // partial probe: cross-check against a from-scratch recall over the
+    // SAME deterministic sample (independent set arithmetic). 200 of the
+    // 500 vectors: at k=4 that is 800 Bernoulli trials — enough for the
+    // ±0.05 tracking assertion below (n=50 measured 0.078 off)
+    val est = Similarity.recallEstimate(emb, "vec_id", "embedding", k,
+      sampleQueries = 200)(q =>
+      Similarity.ivfSearch(built, q, "vec_id", "embedding", k, nprobe = 2))
+    val sample = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(200)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, sample,
+      "vec_id", "embedding", k))
+    val got = pairs(Similarity.ivfSearch(built, sample,
+      "vec_id", "embedding", k, nprobe = 2))
+    val direct = truth.intersect(got).size.toDouble / truth.size
+    assert(math.abs(est.recall - direct) < 1e-9,
+      s"estimator ${est.recall} != direct $direct on the same sample")
+
+    // and the sampled estimate tracks the FULL query-set recall — the
+    // production question it exists to answer (±0.05, deterministic here)
+    val fullTruth = pairs(Similarity.bruteForceTopK(emb, emb,
+      "vec_id", "embedding", k))
+    val fullGot = pairs(Similarity.ivfSearch(built, emb,
+      "vec_id", "embedding", k, nprobe = 2))
+    val full = fullTruth.intersect(fullGot).size.toDouble / fullTruth.size
+    assert(math.abs(est.recall - full) <= 0.05,
+      s"sampled ${est.recall} vs full-corpus $full")
+
+    // quantized path: full rerank depth is exact; a shallow coarse cut
+    // still recalls most of the truth but is measurably below it
+    val qFull = Similarity.recallEstimate(emb, "vec_id", "embedding", k,
+      sampleQueries = 50)(q => Similarity.quantizedTopK(emb, q,
+      "vec_id", "embedding", k, rerankDepth = Int.MaxValue))
+    assert(qFull.recall == 1.0, qFull.toString)
+    val qPart = Similarity.recallEstimate(emb, "vec_id", "embedding", k,
+      sampleQueries = 50)(q => Similarity.quantizedTopK(emb, q,
+      "vec_id", "embedding", k, rerankDepth = 8))
+    assert(qPart.recall >= 0.8 && qPart.recall <= 1.0, qPart.toString)
+  }
+
   test("bucket-scoped appends converge to the same index as a full rebuild") {
     val repo = PqRepo(spark, Files.createTempDirectory("idx_q8cv").toString)
     // random-ish disjoint batches by id residue, plus an overlapping

@@ -101,6 +101,24 @@ class IvfScaleSpec extends SparkSpec {
     assert(Similarity.autoCentroids(Long.MaxValue >> 8) == 4096)
   }
 
+  test("approxRowCount scales its array-width assumption via " +
+    "spark.graft.ann.assumedVectorBytes (the high-dim corpus knob)") {
+    // a parquet-backed frame has no exact rowCount: the estimate divides
+    // sizeInBytes by the assumed width, so 8x the width => ~1/8 the rows
+    val frame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val conf = "spark.graft.ann.assumedVectorBytes"
+    val atDefault = Similarity.approxRowCount(frame)
+    try {
+      spark.conf.set(conf, "4096")
+      val atHighDim = Similarity.approxRowCount(frame)
+      assert(atHighDim < atDefault,
+        s"wider assumed vectors must lower the estimate: $atHighDim !< $atDefault")
+      assert(atDefault.toDouble / atHighDim > 4,
+        s"8x width should cut the estimate severalfold: $atDefault / $atHighDim")
+    } finally spark.conf.unset(conf)
+  }
+
   test("numCentroids = 0 auto mode: nprobe-all search stays exact") {
     val corpus = emb.limit(400)
     val queries = emb.filter(col("vec_id") < 5)

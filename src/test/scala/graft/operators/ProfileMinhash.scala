@@ -5,7 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Scratch stage profiler for dedup_minhash (r12 tuning — not part of the
   * shipped surface). Times each pipeline stage of the registered query in
-  * isolation at a given corpus dir. */
+  * isolation at a given corpus dir.
+  *
+  * HEAP: `spark.driver.memory` is a no-op in an already-running local-mode
+  * JVM, so the launcher must size the heap itself — run via
+  * `SPARK_DRIVER_MEM=16g sbt "Test/runMain graft.operators.ProfileMinhash <dir>"`
+  * (build.sbt threads that env var into `-Xmx`); the committed 100×
+  * profiling artifacts were produced exactly this way. At the 100× corpus
+  * the 8g default GCLocker-OOMs on repeated reps. */
 object ProfileMinhash {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sfbig")
@@ -13,7 +20,6 @@ object ProfileMinhash {
       .appName("profile-minhash")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
