@@ -16,12 +16,29 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStream {
 
-  /** Open an unbounded read over a parquet events directory. */
-  def readEvents(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "16")
-      .parquet(path)
+  /** Open an unbounded read over a parquet events directory, with
+    * ingestion RATE CONTROL (r13): `maxFilesPerTrigger` and/or
+    * `maxBytesPerTrigger` bound each micro-batch, which is what keeps a
+    * 100 TB backfill from materializing as one giant batch — state-store
+    * checkpoints land incrementally, executor memory stays bounded, and
+    * a failure loses one bounded trigger instead of the whole replay.
+    * `None` disables a knob; when both are set the file source treats
+    * bytes as a soft cap per Spark's admission rules. The operators
+    * downstream are trigger-count-agnostic (multi-batch equivalence is
+    * spec-pinned in RateControlSpec). */
+  def readEvents(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int] = Some(16),
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    val base = spark.readStream.schema(schema)
+    val withFiles = maxFilesPerTrigger
+      .fold(base)(n => base.option("maxFilesPerTrigger", n.toString))
+    val withBytes = maxBytesPerTrigger
+      .fold(withFiles)(b => withFiles.option("maxBytesPerTrigger", b.toString))
+    withBytes.parquet(path)
+  }
 
   /** Watermarked hourly counts/sums per event type. */
   def hourlyCounts(events: DataFrame): DataFrame =
