@@ -143,7 +143,11 @@ object Bench {
         s""","$label":[${fmt1(t)}$vsB]"""
       }.getOrElse("")
     val bigS = bigSection("big20x", big)
-    val b100S = bigSection("b100", big100Total)
+    // an absent 100x corpus is stated, not silently omitted (r13): the
+    // driver artifact must say why the scale section is missing
+    val b100S =
+      if (big100Total.isDefined) bigSection("b100", big100Total)
+      else ""","b100":"skip""""
     s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","qunit":"cs","qord":"name","qv":$qv,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S,"sf":"$sfName"}"""
   }
 
@@ -335,13 +339,25 @@ object Bench {
       }
     val bigResults: Seq[(String, (Double, Double))] =
       if (!bigReady) Nil else timeHeadline(bigDir, 5, "big20x")
-    // 100x section, opt-in via SPARK_GRAFT_BIG100X_DIR (tools/scale_up.py
-    // at factor 100): the scale-validation artifact — each headline query
-    // at 5x the 20x corpus, expected within ~linear of its 20x time.
-    // min-of-3: the queries are 5x longer, and the 20x set already pins
-    // the repetition statistics.
-    val big100Dir = sys.env.get("SPARK_GRAFT_BIG100X_DIR")
-      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+    // 100x section (default-on since r13 — the verdict's evidence-gap
+    // fix): each headline query at 5x the 20x corpus, expected within
+    // ~linear of its 20x time. The corpus is built once per machine at
+    // /tmp/graft_big100x (tools/scale_up.py factor 100, ~3 min,
+    // override via SPARK_GRAFT_BIG100X_DIR); when neither the dir nor a
+    // build is possible the summary line carries an explicit "b100"
+    // skip marker instead of silently omitting the section. min-of-3:
+    // the queries are 5x longer, and the 20x set already pins the
+    // repetition statistics.
+    val big100Default = sys.env.getOrElse(
+      "SPARK_GRAFT_BIG100X_DIR", "/tmp/graft_big100x")
+    val big100Ready: Boolean =
+      new java.io.File(s"$big100Default/documents.parquet").exists() || {
+        try {
+          val cmd = Array("python3", "tools/scale_up.py", sfDir, big100Default, "100")
+          new ProcessBuilder(cmd: _*).inheritIO().start().waitFor() == 0
+        } catch { case _: Throwable => false }
+      }
+    val big100Dir = Some(big100Default).filter(_ => big100Ready)
     val big100Results: Seq[(String, (Double, Double))] =
       big100Dir.map(timeHeadline(_, 3, "big100x")).getOrElse(Nil)
     val duckdbBig: Map[String, Double] =
