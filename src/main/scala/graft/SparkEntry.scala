@@ -1046,6 +1046,14 @@ object SparkEntry {
     operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
       .withColumnRenamed("id", "doc_id")
 
+  /** SURVEY 43b (r13): the vocabulary-coverage quality gate — per-doc
+    * total vs out-of-vocabulary token occurrences against the corpus's
+    * deterministic top-200 vocabulary. All-integer outputs. */
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    operators.TfIdf.vocabularyCoverage(t(s, dir, "documents"),
+      "doc_id", "text", vocabSize = 200)
+      .withColumnRenamed("id", "doc_id")
+
   private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(when(col("lang") === "en", pmod(col("doc_id"), lit(10)) < 5)
@@ -1409,6 +1417,7 @@ object SparkEntry {
       "q_repetition" -> (qRepetition _),
       "contamination" -> (contaminationQ _),
       "tfidf_topk" -> (tfidfTopK _),
+      "vocab_coverage" -> (vocabCoverage _),
       "q_stratified_sample" -> (qStratifiedSample _),
       "fuzzy_join" -> (fuzzyJoinQ _),
       "q_interval_join" -> (qIntervalJoin _),
@@ -1992,6 +2001,21 @@ object SparkEntry {
             CAST(row_number() OVER (PARTITION BY doc_id
                  ORDER BY tf * (1000000 // df) DESC, term ASC) AS BIGINT) AS rank
           FROM tf JOIN df USING (term) QUALIFY rank <= 3""",
+    "vocab_coverage" ->
+      // top-200 vocabulary by occurrence count (ties: count desc, term
+      // asc — deterministic in both engines); per-doc occurrence counts
+      // are integers, so the compare is bit-exact; tokenless docs emit
+      // no row on either side
+      raw"""WITH terms AS (SELECT doc_id, unnest(${wsTokensSql("lower(text)")}) AS term
+                           FROM documents),
+          cnt AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+          vocab AS (SELECT term, 1 AS v FROM cnt
+                    ORDER BY c DESC, term ASC LIMIT 200)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(coalesce(sum(CASE WHEN v.v IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS oov_tokens
+          FROM terms LEFT JOIN vocab v USING (term)
+          GROUP BY doc_id""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CASE WHEN lang = 'en' THEN doc_id % 10 < 5

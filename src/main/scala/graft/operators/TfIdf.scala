@@ -76,4 +76,62 @@ object TfIdf {
       .select(col("id"), col("term"), col("tf"), col("df"), col("score"),
         col("rank"))
   }
+
+  /** Vocabulary-coverage (OOV-rate) quality filter (r13) — the
+    * "does this document look like the corpus" gate a curation pipeline
+    * runs before spending tokenizer/training budget: documents whose
+    * token mass falls mostly OUTSIDE the corpus's top-`vocabSize`
+    * vocabulary are boilerplate, foreign-language bleed-through, or
+    * binary junk. All-integer outputs (token counts, not log-probs — a
+    * real log-prob sum is ordering- and libm-dependent across engines,
+    * the same trap [[topTerms]]' integer idf avoids), so the result is
+    * bit-exact cross-engine.
+    *
+    * Output: (id, n_tokens, oov_tokens) — one row per document that has
+    * at least one token; the OOV RATE is `oov_tokens / n_tokens`,
+    * left to the caller so the stored columns stay integers.
+    *
+    * Scale shape: per-document tf comes from the fused [[graft.functions
+    * .expressions.TokenCounts]] kernel (a within-row map — the corpus
+    * text never shuffles); corpus term counts are one vocabulary-sized
+    * exchange with map-side partial aggregation; the top-`vocabSize`
+    * cut is a TakeOrdered (no full sort) whose result broadcasts into
+    * the coverage join; the final per-document aggregation exchanges
+    * only (id, two longs). A web-scale vocabulary that outgrows a
+    * broadcast switches the join shuffled via `broadcastVocab = false`,
+    * the [[topTerms]] `broadcastDf` lever. Ties at the vocabulary
+    * boundary are broken (count desc, term asc), so the vocab — and
+    * with it every count — is fully deterministic. */
+  def vocabularyCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 1000,
+      broadcastVocab: Boolean = true
+  ): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val tf = Dedup.fanOut(
+      docs.select(col(idCol).as("id"), lower(col(textCol)).as("t")),
+      col("id"))
+      .select(col("id"),
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.TokenCounts(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("t")))))
+          .as(Seq("term", "tf")))
+
+    val vocab = tf.groupBy("term").agg(sum(col("tf")).as("__c"))
+      .orderBy(col("__c").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("__v"))
+
+    val joined =
+      if (broadcastVocab) tf.join(broadcast(vocab), Seq("term"), "left")
+      else tf.join(vocab.hint("shuffle_hash"), Seq("term"), "left")
+
+    joined
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("__v").isNull, col("tf")).otherwise(lit(0L)))
+          .as("oov_tokens"))
+  }
 }

@@ -229,6 +229,54 @@ class TfIdfSpec extends SparkSpec {
   }
 }
 
+class VocabCoverageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabularyCoverage counts OOV token occurrences against the " +
+    "deterministic top-N vocabulary") {
+    val docs = Seq(
+      (1L, "the the the cat"),   // "the" x3 dominates the corpus
+      (2L, "the dog dog"),
+      (3L, "zebra quokka"),      // fully OOV at vocabSize=2
+      (4L, "   ")                // tokenless: no output row
+    ).toDF("doc_id", "text")
+    // counts: the=4, dog=2, cat=1, zebra=1, quokka=1 -> vocab(2) = {the, dog}
+    val out = TfIdf.vocabularyCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"))).toMap
+    assert(out == Map(1L -> (4L, 1L), 2L -> (3L, 0L), 3L -> (2L, 2L)))
+  }
+
+  test("vocabulary boundary ties break by term (count desc, term asc)") {
+    // beta and alpha tie at 2 occurrences; vocabSize=2 must take
+    // {alpha, gamma}? no: gamma=3 wins, then the alpha/beta tie -> alpha
+    val docs = Seq((1L, "gamma gamma gamma alpha alpha beta beta"))
+      .toDF("doc_id", "text")
+    val out = TfIdf.vocabularyCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .head()
+    assert(out.getAs[Long]("n_tokens") == 7L)
+    assert(out.getAs[Long]("oov_tokens") == 2L) // beta's two occurrences
+  }
+
+  test("shuffle-join fallback matches broadcast mode; broadcast plan audited") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(200)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"))).toSet
+    val viaBroadcast = TfIdf.vocabularyCoverage(docs, "doc_id", "text", 100)
+    val viaShuffle = TfIdf.vocabularyCoverage(docs, "doc_id", "text", 100,
+      broadcastVocab = false)
+    assert(canon(viaBroadcast) == canon(viaShuffle))
+    assert(canon(viaBroadcast).nonEmpty)
+    val bPlan = viaBroadcast.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    val sPlan = viaShuffle.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("BroadcastHashJoin"), sPlan)
+  }
+}
+
 class AsOfToleranceSpec extends SparkSpec {
   import spark.implicits._
 
