@@ -1046,6 +1046,24 @@ object SparkEntry {
     operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
       .withColumnRenamed("id", "doc_id")
 
+  /** SURVEY 47a (r13): FineWeb-style corpus-wide exact paragraph dedup.
+    * Planted structure: each built document is three newline-joined
+    * paragraphs (its own text + the texts of docs id%97 and id%13), so
+    * low-id paragraphs repeat across ~n/97 and ~n/13 documents and
+    * doc 0 duplicates within itself; every paragraph keeps exactly its
+    * first (doc_id, idx) occurrence. */
+  private def dedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val b = d.select(col("doc_id").as("__kb"), col("text").as("__tb"))
+    val c = d.select(col("doc_id").as("__kc"), col("text").as("__tc"))
+    val built = d
+      .join(b, pmod(col("doc_id"), lit(97)) === col("__kb"))
+      .join(c, pmod(col("doc_id"), lit(13)) === col("__kc"))
+      .select(col("doc_id"),
+        concat_ws("\n", col("text"), col("__tb"), col("__tc")).as("text"))
+    Dedup.dropDuplicateParagraphs(built, "doc_id", "text")
+  }
+
   /** SURVEY 43b (r13): the vocabulary-coverage quality gate — per-doc
     * total vs out-of-vocabulary token occurrences against the corpus's
     * deterministic top-200 vocabulary. All-integer outputs. */
@@ -1418,6 +1436,7 @@ object SparkEntry {
       "contamination" -> (contaminationQ _),
       "tfidf_topk" -> (tfidfTopK _),
       "vocab_coverage" -> (vocabCoverage _),
+      "dedup_paragraph" -> (dedupParagraph _),
       "q_stratified_sample" -> (qStratifiedSample _),
       "fuzzy_join" -> (fuzzyJoinQ _),
       "q_interval_join" -> (qIntervalJoin _),
@@ -2001,6 +2020,28 @@ object SparkEntry {
             CAST(row_number() OVER (PARTITION BY doc_id
                  ORDER BY tf * (1000000 // df) DESC, term ASC) AS BIGINT) AS rank
           FROM tf JOIN df USING (term) QUALIFY rank <= 3""",
+    "dedup_paragraph" ->
+      // keep-first paragraph semantics replayed relationally: rank every
+      // non-empty paragraph occurrence by (doc_id, idx) within its exact-
+      // text group, keep rank 1, rebuild each doc's text in idx order
+      // (fully-deduplicated docs come back as '')
+      """WITH built AS (
+           SELECT a.doc_id, a.text || chr(10) || b.text || chr(10) || c.text AS text
+           FROM documents a
+           JOIN documents b ON b.doc_id = a.doc_id % 97
+           JOIN documents c ON c.doc_id = a.doc_id % 13),
+         paras AS (
+           SELECT doc_id, generate_subscripts(sp, 1) - 1 AS idx, unnest(sp) AS p
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM built)),
+         kept AS (
+           SELECT doc_id, idx FROM paras WHERE len(p) > 0
+           QUALIFY row_number() OVER (PARTITION BY p ORDER BY doc_id, idx) = 1),
+         rebuilt AS (
+           SELECT p.doc_id, string_agg(p.p, chr(10) ORDER BY p.idx) AS text
+           FROM paras p JOIN kept k ON k.doc_id = p.doc_id AND k.idx = p.idx
+           GROUP BY p.doc_id)
+         SELECT b.doc_id, coalesce(r.text, '') AS text
+         FROM built b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id""",
     "vocab_coverage" ->
       // top-200 vocabulary by occurrence count (ties: count desc, term
       // asc — deterministic in both engines); per-doc occurrence counts

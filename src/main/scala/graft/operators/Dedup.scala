@@ -1335,4 +1335,62 @@ object Dedup {
         count(lit(1)).as("n_spans"),
         sum(when(col("__shared").isNotNull, 1L).otherwise(0L)).as("n_shared"))
   }
+
+  /** Corpus-wide exact PARAGRAPH dedup (r13) — the FineWeb/RefinedWeb
+    * line-dedup stage: every paragraph keeps exactly its FIRST occurrence
+    * (global (id, idx) order) and every later copy is removed from its
+    * document's text; boilerplate (headers, nav, license blocks) that
+    * repeats across documents without making whole documents equal is
+    * exactly what document-level dedup misses. Empty paragraphs
+    * (consecutive separators) are dropped. Returns (idCol, textCol) with
+    * the rebuilt text — every input row survives (a fully-boilerplate
+    * document comes back as the empty string for downstream length
+    * filters to kill).
+    *
+    * Scale shape: paragraphs leave their document only as the 128-bit
+    * surrogate key (two independent `xxhash64`s — the fused-minhash
+    * collapse pattern; a collision needs 2⁻¹²⁸) plus (id, idx). The
+    * winner per paragraph group is `min(struct(id, idx))` — a map-side
+    * combinable aggregate, NOT a window: a paragraph duplicated a
+    * million times partial-aggregates to one row per map task instead of
+    * sorting a million-row window partition (skew-proof by
+    * construction). The per-doc keep-list aggregation exchanges
+    * (id, int) pairs. The rebuild joins the keep-lists back onto the
+    * ORIGINAL scan and re-derives the kept paragraphs in place with an
+    * indexed array filter over `split(text)` — while the keep-lists fit
+    * a broadcast the text never crosses the wire at all (plan-audited),
+    * and past that the text rides exactly ONE doc-keyed exchange: the
+    * unavoidable cost of rewriting the corpus. */
+  def dropDuplicateParagraphs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    graft.InternalCols.requireAbsent(docs, "Dedup.dropDuplicateParagraphs",
+      "__id", "__idx", "__p", "__k", "__keep")
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), quoted)).as(Seq("__idx", "__p")))
+      .filter(length(col("__p")) > 0)
+    val keyed = paras.select(col("__id"), col("__idx"),
+      struct(xxhash64(col("__p")),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("__p"))).as("__k"))
+    val winners = keyed
+      .groupBy("__k")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__w"))
+      .select(col("__w.__id").as("__id"), col("__w.__idx").as("__idx"))
+    val keepLists = winners
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__idx"))).as("__keep"))
+    docs
+      .join(keepLists, docs(idCol) === keepLists("__id"), "left")
+      .select(docs(idCol),
+        coalesce(
+          array_join(
+            filter(split(docs(textCol), quoted),
+              (p, i) => array_contains(col("__keep"), i)),
+            sep),
+          lit("")).as(textCol))
+  }
 }

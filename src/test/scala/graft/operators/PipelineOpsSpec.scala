@@ -229,6 +229,53 @@ class TfIdfSpec extends SparkSpec {
   }
 }
 
+class ParagraphDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dropDuplicateParagraphs keeps first occurrences globally, dedups " +
+    "within docs, drops empties, and empties fully-boilerplate docs") {
+    val docs = Seq(
+      (1L, "alpha\nshared\nalpha"),  // within-doc dup: second alpha goes
+      (2L, "shared\nbeta"),          // shared already seen in doc 1
+      (3L, "shared\nalpha"),         // fully boilerplate -> ""
+      (4L, "gamma\n\n\ngamma")       // empties dropped, one gamma kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha\nshared",
+      2L -> "beta",
+      3L -> "",
+      4L -> "gamma"), out.toString)
+  }
+
+  test("paragraph ranking shuffles are text-free (keep-lists broadcast " +
+    "regime: text never crosses the wire)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.concat_ws("\n",
+          org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.col("text")).as("text"))
+    val out = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+    out.write.format("noop").mode("overwrite").save() // settle AQE
+    val root = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exs = root.collect { case e: ShuffleExchangeExec => e }
+    assert(exs.nonEmpty, "expected the winner/keep-list exchanges")
+    val textful = exs.filter(_.output.exists(_.dataType == StringType))
+    assert(textful.isEmpty,
+      s"paragraph text must not ride a shuffle in the broadcast regime:\n$textful")
+    // and the rebuild really deduplicated: each doc's duplicated self-text
+    // collapses to at most one surviving copy corpus-wide
+    assert(out.count() == docs.count())
+  }
+}
+
 class VocabCoverageSpec extends SparkSpec {
   import spark.implicits._
 
