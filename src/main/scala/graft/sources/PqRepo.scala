@@ -164,6 +164,56 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     }
   }
 
+  /** All on-disk versions of a table, oldest first: archived snapshots
+    * (stamped `<table>_<yyyyMMdd'T'HHmmss'Z'>.parquet` by [[archive]])
+    * plus the active table (stamp parsed from its embedded
+    * `last_modified`, None when absent/unparseable). The plumbing for
+    * [[tableAsOf]]; also useful on its own for retention audits. */
+  def versions(
+      schema: String,
+      table: String,
+      archiveDir: String = "archive"): Seq[(Option[String], Boolean, Path)] = {
+    val dir = archivePath(schema, archiveDir)
+    val f = fs(dir)
+    val stampRe = raw"^${java.util.regex.Pattern.quote(table)}_(\d{8}T\d{6}Z)\.parquet$$".r
+    val archived: Seq[(Option[String], Boolean, Path)] =
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq.flatMap { s =>
+        s.getPath.getName match {
+          case stampRe(stamp) => Some((Some(stamp), false, s.getPath))
+          case _              => None
+        }
+      }
+    val active = tablePath(schema, table)
+    val current: Seq[(Option[String], Boolean, Path)] =
+      if (!fs(active).exists(active)) Nil
+      else Seq((lastModified(schema, table).flatMap(Modified.parseFileSafe),
+        true, active))
+    // the file-stamp format sorts lexicographically by time; the active
+    // table (the newest version by construction) goes last
+    archived.sortBy(_._1) ++ current
+  }
+
+  /** TIME-TRAVEL read (r13): the table as it was at `asOf` (a
+    * `yyyyMMdd'T'HHmmss'Z'` stamp, the [[archive]] file format) — the
+    * newest version whose stamp is ≤ asOf, which is an archived snapshot
+    * or the active table itself. Versions without a parseable stamp
+    * (`unknown_modified` archives, an active table with no
+    * last_modified) never match — time travel needs a timeline. Returns
+    * None when no version existed at `asOf`. Read-only: unlike
+    * [[restore]] nothing moves on disk, so a backfill can reproduce last
+    * month's input while today's loads keep landing. */
+  def tableAsOf(
+      schema: String,
+      table: String,
+      asOf: String,
+      archiveDir: String = "archive"): Option[DataFrame] =
+    versions(schema, table, archiveDir)
+      .collect { case (Some(stamp), _, path) if stamp <= asOf => (stamp, path) }
+      .sortBy(_._1)
+      .lastOption
+      .map { case (_, path) => spark.read.parquet(path.toString) }
+
   /** Like [[write]] but skips entirely when the frame is empty, mirroring
     * the reference's "No rows returned; no parquet file created"
     * (files/parquet.py:713). Costs one cheap `isEmpty` probe. */

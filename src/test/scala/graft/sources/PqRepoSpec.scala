@@ -246,6 +246,48 @@ class CompactionSpec extends graft.SparkSpec {
   }
 }
 
+/** r13: read-only time travel over the archive — reproduce last month's
+  * input while today's loads keep landing. */
+class TableAsOfSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("tableAsOf reads the newest version at or before the stamp; " +
+    "versions lists the timeline") {
+    val repo = PqRepo(spark, java.nio.file.Files
+      .createTempDirectory("graft_asof").toString)
+    def v(n: Int) = spark.range(n).toDF("id")
+    // three generations: two archived + the active table
+    repo.write(v(10), "s", "t", modified = Some("a (Updated 2024-05-01)"))
+    repo.archive("s", "t")
+    repo.write(v(20), "s", "t", modified = Some("b (Updated 2024-06-01)"))
+    repo.archive("s", "t")
+    repo.write(v(30), "s", "t", modified = Some("c (Updated 2024-07-01)"))
+
+    val vs = repo.versions("s", "t")
+    assert(vs.length == 3 && vs.last._2, vs.toString) // active is last
+    assert(vs.map(_._1).forall(_.isDefined))
+    assert(vs.map(_._1) == vs.map(_._1).sorted, "oldest first")
+
+    // (Updated d) parses to 02:00 America/New_York = 06:00/07:00 UTC
+    def count(asOf: String) = repo.tableAsOf("s", "t", asOf).map(_.count())
+    assert(count("20240401T000000Z").isEmpty) // before any version
+    assert(count("20240512T000000Z").contains(10L))
+    assert(count("20240615T000000Z").contains(20L))
+    assert(count("20991231T000000Z").contains(30L)) // active is newest
+    // exact boundary: the May version's own stamp matches itself (<=)
+    val mayStamp = vs.head._1.get
+    assert(count(mayStamp).contains(10L))
+
+    // an unknown_modified archive is excluded from the timeline
+    repo.write(v(40), "s", "u") // no modified stamp
+    repo.archive("s", "u")
+    repo.write(v(50), "s", "u", modified = Some("z (Updated 2024-08-01)"))
+    assert(repo.tableAsOf("s", "u", "20240101T000000Z").isEmpty)
+    assert(repo.tableAsOf("s", "u", "20991231T000000Z").map(_.count())
+      .contains(50L))
+  }
+}
+
 /** r13: maintenance must not destroy the layouts the sorted/z-order
   * writers exist to create — compact re-applies the layout spec stamped
   * in the meta sidecar. */
