@@ -1350,11 +1350,22 @@ object Dedup {
     * Scale shape: paragraphs leave their document only as the 128-bit
     * surrogate key (two independent `xxhash64`s — the fused-minhash
     * collapse pattern; a collision needs 2⁻¹²⁸) plus (id, idx). The
-    * winner per paragraph group is `min(struct(id, idx))` — a map-side
-    * combinable aggregate, NOT a window: a paragraph duplicated a
-    * million times partial-aggregates to one row per map task instead of
-    * sorting a million-row window partition (skew-proof by
-    * construction). The per-doc keep-list aggregation exchanges
+    * winner per paragraph group is a map-side combinable aggregate, NOT
+    * a window: a paragraph duplicated a million times partial-aggregates
+    * to one row per map task instead of sorting a million-row window
+    * partition (skew-proof by construction). For integral ids the winner
+    * is `min` over ONE packed BIGINT — `(id + 2⁴²) << 20 | idx`, order-
+    * identical to (id, idx) — because `min(struct(...))` is not hash-
+    * aggregable in Spark and planned as a SortAggregate that sorted
+    * every paragraph in the corpus twice (r13 verdict); the packed form
+    * plans as HashAggregate (plan-audited in the spec). Bounds are
+    * enforced per-row, fail-loud: |id| < 2⁴² and idx < 2²⁰ (a million
+    * paragraphs per document); non-integral ids keep the generic struct
+    * winner. Ids must be NON-NULL: a null id used to be able to WIN a
+    * group (null struct fields sort first in min) while the `===`
+    * rebuild join could never hand its keep-list back, silently deleting
+    * that paragraph corpus-wide — now any null id among the winners'
+    * inputs raises instead. The per-doc keep-list aggregation exchanges
     * (id, int) pairs. The rebuild joins the keep-lists back onto the
     * ORIGINAL scan and re-derives the kept paragraphs in place with an
     * indexed array filter over `split(text)` — while the keep-lists fit
@@ -1376,10 +1387,44 @@ object Dedup {
     val keyed = paras.select(col("__id"), col("__idx"),
       struct(xxhash64(col("__p")),
         xxhash64(lit(0x9E3779B97F4A7C15L), col("__p"))).as("__k"))
-    val winners = keyed
-      .groupBy("__k")
-      .agg(min(struct(col("__id"), col("__idx"))).as("__w"))
-      .select(col("__w.__id").as("__id"), col("__w.__idx").as("__idx"))
+    val idType = docs.schema(idCol).dataType
+    val integralId = idType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val idOffset = 1L << 42
+    val winners =
+      if (integralId) {
+        // raise_error branches coerce (NullType) into the packed LONG; the
+        // guard is evaluated per row in the same projection as the pack,
+        // so out-of-bound / null ids cannot silently corrupt winner order
+        val packed = when(
+          col("__id").isNotNull &&
+            col("__id").cast("long").between(-idOffset, idOffset - 1) &&
+            col("__idx") < (1 << 20),
+          shiftleft(col("__id").cast("long") + idOffset, 20)
+            .bitwiseOR(col("__idx").cast("long")))
+          .otherwise(raise_error(concat(
+            lit("dropDuplicateParagraphs: id must be non-null with |id| < 2^42 " +
+              "and paragraph index < 2^20; got id="),
+            coalesce(col("__id").cast("string"), lit("null")),
+            lit(" idx="), col("__idx").cast("string"))))
+        keyed
+          .groupBy("__k")
+          .agg(min(packed).as("__w"))
+          .select(
+            (shiftright(col("__w"), 20) - idOffset).cast(idType).as("__id"),
+            col("__w").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("__idx"))
+      } else {
+        val guardedIdx = when(col("__id").isNotNull, col("__idx"))
+          .otherwise(raise_error(
+            lit("dropDuplicateParagraphs: id column must be non-null")))
+        keyed
+          .groupBy("__k")
+          .agg(min(struct(col("__id"), guardedIdx.as("__idx"))).as("__w"))
+          .select(col("__w.__id").as("__id"), col("__w.__idx").as("__idx"))
+      }
     val keepLists = winners
       .groupBy("__id")
       .agg(sort_array(collect_list(col("__idx"))).as("__keep"))

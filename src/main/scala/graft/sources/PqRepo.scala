@@ -561,6 +561,16 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     val dest = tablePath(schema, table)
     val f = fs(dest)
     if (affected.isEmpty) return dest
+    // heal any crashed earlier promote or merge BEFORE reading current
+    // state or touching tmp/manifest: a mid-swap table has partitions
+    // parked as reader-invisible `_old_` sidecars, and clobbering the tmp
+    // layout + manifest below would permanently lose a partition whose
+    // merged data still lived only in tmp. mergePartitioned runs these at
+    // entry too (both are fast no-ops on a clean table), but direct
+    // engine callers — reassignIvfIndex — previously skipped them,
+    // contradicting its every-crash-point-recovers contract.
+    recoverWrite(schema, table)
+    recoverMergePartitioned(schema, table)
     val touchFilter = affected.map { row =>
       partitionCols.zipWithIndex
         .map { case (c, i) => col(c) <=> lit(row.get(i)) }

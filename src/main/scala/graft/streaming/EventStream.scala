@@ -22,18 +22,32 @@ object EventStream {
     * 100 TB backfill from materializing as one giant batch — state-store
     * checkpoints land incrementally, executor memory stays bounded, and
     * a failure loses one bounded trigger instead of the whole replay.
-    * `None` disables a knob; when both are set the file source treats
-    * bytes as a soft cap per Spark's admission rules. The operators
-    * downstream are trigger-count-agnostic (multi-batch equivalence is
-    * spec-pinned in RateControlSpec). */
+    * `None` disables a knob. Spark's file source accepts AT MOST ONE of
+    * the two (`FileStreamOptions` throws "Options 'maxFilesPerTrigger'
+    * and 'maxBytesPerTrigger' can't be both set at the same time" — the
+    * both-set soft-cap behavior belongs to Delta's source, not this one),
+    * so when the caller bounds by bytes the files DEFAULT yields; an
+    * explicitly non-default files value plus bytes is rejected loudly
+    * instead of picking a winner. The operators downstream are
+    * trigger-count-agnostic (multi-batch equivalence is spec-pinned in
+    * RateControlSpec). */
   def readEvents(
       spark: SparkSession,
       path: String,
       schema: StructType,
       maxFilesPerTrigger: Option[Int] = Some(16),
       maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    val effectiveFiles =
+      if (maxBytesPerTrigger.isEmpty) maxFilesPerTrigger
+      else {
+        require(maxFilesPerTrigger.isEmpty || maxFilesPerTrigger.contains(16),
+          "Spark's file source takes maxFilesPerTrigger OR " +
+            "maxBytesPerTrigger, never both — pass maxFilesPerTrigger = " +
+            "None when bounding a trigger by bytes")
+        None
+      }
     val base = spark.readStream.schema(schema)
-    val withFiles = maxFilesPerTrigger
+    val withFiles = effectiveFiles
       .fold(base)(n => base.option("maxFilesPerTrigger", n.toString))
     val withBytes = maxBytesPerTrigger
       .fold(withFiles)(b => withFiles.option("maxBytesPerTrigger", b.toString))

@@ -274,6 +274,53 @@ class ParagraphDedupSpec extends SparkSpec {
     // collapses to at most one surviving copy corpus-wide
     assert(out.count() == docs.count())
   }
+
+  test("integral-id winner aggregate plans as HashAggregate, never " +
+    "SortAggregate (r13 verdict: min(struct) sorted every paragraph twice)") {
+    val docs = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      s"packed-BIGINT winner must hash-aggregate:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("string ids take the generic struct-winner path and still dedup") {
+    val docs = Seq(
+      ("a", "x\nshared"), ("b", "shared\ny")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "x\nshared", "b" -> "y"), out.toString)
+  }
+
+  test("null ids and out-of-bound ids fail loudly instead of silently " +
+    "deleting a winning paragraph corpus-wide") {
+    val nullLong = Seq((Some(1L), "p\nq"), (None: Option[Long], "p"))
+      .toDF("doc_id", "text")
+    intercept[Exception] {
+      Dedup.dropDuplicateParagraphs(nullLong, "doc_id", "text").collect()
+    }
+    val nullStr = Seq((Some("a"), "p"), (None: Option[String], "p"))
+      .toDF("doc_id", "text")
+    intercept[Exception] {
+      Dedup.dropDuplicateParagraphs(nullStr, "doc_id", "text").collect()
+    }
+    val hugeId = Seq((1L << 50, "p\nq")).toDF("doc_id", "text")
+    intercept[Exception] {
+      Dedup.dropDuplicateParagraphs(hugeId, "doc_id", "text").collect()
+    }
+  }
+
+  test("packed winner preserves (id, idx) order across negative ids") {
+    val docs = Seq(
+      (-5L, "shared\nonly_neg"),   // lowest id wins "shared"
+      (3L, "shared\nother")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(-5L -> "shared\nonly_neg", 3L -> "other"), out.toString)
+  }
 }
 
 class VocabCoverageSpec extends SparkSpec {
