@@ -670,6 +670,25 @@ object SparkEntry {
       TextFunctions.wsTokenCount(col("text")).cast("bigint").as("n_ws"),
       TextFunctions.bpeTokenCount(col("text")).cast("bigint").as("n_bpe"))
 
+  /** SURVEY §2.3 `bpe_token_count` (NEW r14): REAL byte-level BPE — the
+    * greedy merge-rank loop over the planted chain-structured merge table
+    * ([[graft.functions.Bpe.PlantedMerges]]), letters pretokenizer. The
+    * oracle REPLAYS the merge loop relationally: rank-ordered `replace`
+    * over a delimiter-wrapped symbol string (equivalent to the dynamic
+    * min-rank loop because the planted chain never feeds a lower-ranked
+    * pair — `BpeEncoder.chainStructured`, spec-asserted). Output pins
+    * BOTH segmentation (n_tokens) and token identity (id_sum: single
+    * byte → byte value, merge r → 256+r). */
+  private def bpeTokenCountQ(s: SparkSession, dir: String): DataFrame = {
+    val enc = graft.functions.Bpe.planted
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Bpe.encode(col("text"), enc).as("__ids"))
+      .select(col("doc_id"),
+        size(col("__ids")).cast("bigint").as("n_tokens"),
+        aggregate(col("__ids"), lit(0L), (a, x) => a + x).as("id_sum"))
+  }
+
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
@@ -1411,6 +1430,7 @@ object SparkEntry {
       "chunk_documents" -> (chunkDocuments _),
       "dedup_exact" -> (dedupExact _),
       "token_count" -> (tokenCount _),
+      "bpe_token_count" -> (bpeTokenCountQ _),
       "text_quality" -> (textQuality _),
       "lang_id" -> (langIdQ _),
       "doc_fingerprint" -> (docFingerprint _),
@@ -1468,6 +1488,26 @@ object SparkEntry {
 
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** SQL replay of the planted BPE merge loop over one letter-run `wd`:
+    * wrap each char as a chr(31)-delimited symbol, then apply every merge
+    * in RANK order as a plain `replace` of adjacent wrapped symbols.
+    * Generated from [[graft.functions.Bpe.PlantedMerges]] — the encoder
+    * and the oracle share one merge table by construction. */
+  private val bpeReplaySql: String = {
+    val wrapped = raw"regexp_replace(wd, '(.)', chr(31) || '\1' || chr(31), 'g')"
+    graft.functions.Bpe.PlantedMerges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      s"replace($acc, chr(31)||'$a'||chr(31)||chr(31)||'$b'||chr(31), chr(31)||'$a$b'||chr(31))"
+    }
+  }
+
+  /** Symbol → token id: single byte = its code, merge r = 256 + r. */
+  private val bpeIdCaseSql: String = {
+    val whens = graft.functions.Bpe.PlantedMerges.zipWithIndex
+      .map { case ((a, b), r) => s"WHEN '$a$b' THEN ${256 + r}" }
+      .mkString(" ")
+    s"CASE sym $whens ELSE ascii(sym) END"
+  }
 
   private val langScoresSql: String =
     TextFunctions.LangProfiles.map { case (l, words) =>
@@ -1935,6 +1975,35 @@ object SparkEntry {
           CAST(len(${wsTokensSql("text")}) AS BIGINT) AS n_ws,
           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe
           FROM documents""",
+    "bpe_token_count" ->
+      // relational REPLAY of the BPE merge loop: each letter-run is
+      // wrapped into chr(31)-delimited symbols, then the planted merges
+      // apply as rank-ordered replaces (== the dynamic greedy loop for a
+      // chain-structured table); non-letter bytes are one token each.
+      // Both SQL fragments are GENERATED from Bpe.PlantedMerges so the
+      // oracle cannot drift from the encoder's merge table.
+      raw"""WITH w AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS wd
+            FROM documents),
+          enc AS (SELECT doc_id, $bpeReplaySql AS s FROM w),
+          syms AS (SELECT doc_id,
+                     unnest(string_split(trim(s, chr(31)), chr(31)||chr(31))) AS sym
+                   FROM enc),
+          wp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum($bpeIdCaseSql) AS BIGINT) AS ids
+                 FROM syms GROUP BY doc_id),
+          ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+                 FROM documents),
+          op AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN regexp_matches(c, '^[A-Za-z]$$') THEN 0 ELSE 1 END) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN regexp_matches(c, '^[A-Za-z]$$') THEN 0 ELSE ascii(c) END) AS BIGINT) AS ids
+                 FROM ch GROUP BY doc_id)
+          SELECT d.doc_id,
+            CAST(coalesce(wp.n, 0) + coalesce(op.n, 0) AS BIGINT) AS n_tokens,
+            CAST(coalesce(wp.ids, 0) + coalesce(op.ids, 0) AS BIGINT) AS id_sum
+          FROM documents d
+          LEFT JOIN wp ON wp.doc_id = d.doc_id
+          LEFT JOIN op ON op.doc_id = d.doc_id""",
     "text_quality" ->
       s"SELECT doc_id, round($qualitySql, 6) AS quality FROM documents",
     "lang_id" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -91,33 +91,46 @@ object TfIdf {
     * at least one token; the OOV RATE is `oov_tokens / n_tokens`,
     * left to the caller so the stored columns stay integers.
     *
-    * Scale shape: per-document tf comes from the fused [[graft.functions
-    * .expressions.TokenCounts]] kernel (a within-row map — the corpus
-    * text never shuffles); corpus term counts are one vocabulary-sized
-    * exchange with map-side partial aggregation; the top-`vocabSize`
-    * cut is a TakeOrdered (no full sort) whose result broadcasts into
-    * the coverage join; the final per-document aggregation exchanges
-    * only (id, two longs). A web-scale vocabulary that outgrows a
-    * broadcast switches the join shuffled via `broadcastVocab = false`,
-    * the [[topTerms]] `broadcastDf` lever. Ties at the vocabulary
-    * boundary are broken (count desc, term asc), so the vocab — and
-    * with it every count — is fully deterministic. */
+    * Scale shape: per-document tf comes from ONE execution of the
+    * tokenizer kernel — the tf frame is materialized once
+    * ([[Dedup.materializeOnce]]) before fanning into the vocabulary and
+    * coverage branches, because the r13 two-branch plan re-executed the
+    * kernel per branch (ReusedExchange shared the shuffle but not the
+    * tokenize, and at 100 TB tokenization is the dominant CPU). Corpus
+    * term counts are one vocabulary-sized exchange with map-side partial
+    * aggregation; the top-`vocabSize` cut is a TakeOrdered (no full
+    * sort) whose result broadcasts into the coverage join; the final
+    * per-document aggregation exchanges only (id, two longs). A
+    * web-scale vocabulary that outgrows a broadcast switches the join
+    * shuffled via `broadcastVocab = false`, the [[topTerms]]
+    * `broadcastDf` lever. Ties at the vocabulary boundary are broken
+    * (count desc, term asc), so the vocab — and with it every count —
+    * is fully deterministic.
+    *
+    * `termCounter` swaps the tokenizer: default is the lowercased
+    * whitespace [[graft.functions.expressions.TokenCounts]] kernel;
+    * pass `c => Bpe.tokenCountsMap(c, encoder)` to budget coverage in
+    * BPE tokenizer tokens (the r14 counter — training pipelines budget
+    * in tokenizer tokens, which differ 2×+ from whitespace tokens on
+    * code and non-English text). */
   def vocabularyCoverage(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       vocabSize: Int = 1000,
-      broadcastVocab: Boolean = true
+      broadcastVocab: Boolean = true,
+      termCounter: Option[Column => Column] = None
   ): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
-    val tf = Dedup.fanOut(
-      docs.select(col(idCol).as("id"), lower(col(textCol)).as("t")),
+    val counter: Column => Column = termCounter.getOrElse(c =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.TokenCounts(
+          org.apache.spark.sql.graft.ColumnBridge.expression(lower(c)))))
+    val tf = Dedup.materializeOnce(Dedup.fanOut(
+      docs.select(col(idCol).as("id"), col(textCol).as("t")),
       col("id"))
       .select(col("id"),
-        explode(org.apache.spark.sql.graft.ColumnBridge.column(
-          graft.functions.expressions.TokenCounts(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("t")))))
-          .as(Seq("term", "tf")))
+        explode(counter(col("t"))).as(Seq("term", "tf"))))
 
     val vocab = tf.groupBy("term").agg(sum(col("tf")).as("__c"))
       .orderBy(col("__c").desc, col("term").asc)

@@ -369,6 +369,62 @@ class VocabCoverageSpec extends SparkSpec {
     val sPlan = viaShuffle.queryExecution.executedPlan.toString
     assert(!sPlan.contains("BroadcastHashJoin"), sPlan)
   }
+
+  test("tokenizer kernel runs ONCE: tf is materialized before the " +
+    "vocab/coverage branches (r14 one-pass shape)") {
+    val docs = Seq((1L, "the the cat"), (2L, "the dog")).toDF("doc_id", "text")
+    val out = TfIdf.vocabularyCoverage(docs, "doc_id", "text", vocabSize = 1)
+    out.collect()
+    // after materializeOnce the executed plan consumes the checkpointed
+    // tf rows — the tokenize expression appears in NEITHER branch
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_token_counts"),
+      s"tokenizer must not re-execute per branch:\n$plan")
+  }
+
+  test("vocabularyCoverage accepts the BPE counter (budgets in tokenizer " +
+    "tokens, merged tokens land in the vocabulary)") {
+    val enc = graft.functions.Bpe.planted
+    val docs = Seq(
+      (1L, "the the the"),   // 'the' merges to one token x3
+      (2L, "the qqq")        // q|q|q all OOV at vocabSize=1
+    ).toDF("doc_id", "text")
+    val out = TfIdf.vocabularyCoverage(docs, "doc_id", "text", vocabSize = 1,
+      termCounter = Some(c => graft.functions.Bpe.tokenCountsMap(c, enc)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val byId = out
+    // doc 1: tokens the,_,the,_,the -> 5 tokens; vocab(1) by count = ' '
+    // (3 occurrences across corpus? doc1 has 2 spaces, doc2 has 1 -> ' 'x3
+    // vs 'the'x4 -> vocab = {the}); doc1 oov = 2 spaces
+    assert(byId(1L) == (5L, 2L), byId.toString)
+    // doc 2: the,_,q,q,q -> 5 tokens, oov = space + 3 q's = 4
+    assert(byId(2L) == (5L, 4L), byId.toString)
+  }
+}
+
+class BpePackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences budgets in BPE tokens when fed the BPE counter " +
+    "(the r14 tokenizer-parameterized packing path)") {
+    val enc = graft.functions.Bpe.planted
+    val docs = Seq(
+      (1L, "the thing"),      // the=1 + ' '=1 + th|ing=2 -> 4 tokens
+      (2L, "and"),            // 1 token
+      (3L, "nation nation")   // n|a|ti|on x2 + ' ' -> 9 tokens
+    ).toDF("doc_id", "text")
+    val counted = docs.select(col("doc_id"),
+      graft.functions.Bpe.tokenCount(col("text"), enc).as("n_bpe"))
+    val got = counted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 2L -> 1L, 3L -> 9L), got.toString)
+    val packed = Packing.packSequences(counted, "doc_id", "n_bpe",
+      budget = 5L, numShards = 1,
+      shardExpr = Some(lit(0))) // one shard: in-shard order is id order
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // fold in id order with budget 5: doc1(4) -> bin0 fill4; doc2(1) ->
+    // bin0 fill5; doc3(9) > budget -> quarantine bin -1
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> -1L), packed.toString)
+  }
 }
 
 class AsOfToleranceSpec extends SparkSpec {
