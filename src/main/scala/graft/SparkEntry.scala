@@ -1083,6 +1083,27 @@ object SparkEntry {
     Dedup.dropDuplicateParagraphs(built, "doc_id", "text")
   }
 
+  /** SURVEY 47b (r14) `dedup_spans`: Lee et al. duplicate-SPAN removal —
+    * a 10-token boilerplate run is planted MID-document (after the 10th
+    * token, straddling any natural paragraph boundary — exactly what
+    * `dedup_paragraph` cannot see); `dropSharedSpans` keeps only each
+    * shared 8-token span's first occurrence and rebuilds the text. The
+    * oracle replays keep-first loser ranges relationally. */
+  private def dedupSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val boilers = array(
+      lit("terms of service apply to all content on this site"),
+      lit("click here to subscribe to our free daily newsletter updates"),
+      lit("all rights reserved unauthorized reproduction is strictly prohibited on site"))
+    val toks = TextFunctions.wsTokens(col("text"))
+    val built = d.select(col("doc_id"),
+      concat_ws(" ", concat(
+        slice(toks, lit(1), lit(10)),
+        split(element_at(boilers, (pmod(col("doc_id"), lit(3)) + 1).cast("int")), " "),
+        slice(toks, lit(11), greatest(size(toks) - 10, lit(0))))).as("text"))
+    Dedup.dropSharedSpans(built, "doc_id", "text", k = 8)
+  }
+
   /** SURVEY 43b (r13): the vocabulary-coverage quality gate — per-doc
     * total vs out-of-vocabulary token occurrences against the corpus's
     * deterministic top-200 vocabulary. All-integer outputs. */
@@ -1457,6 +1478,7 @@ object SparkEntry {
       "tfidf_topk" -> (tfidfTopK _),
       "vocab_coverage" -> (vocabCoverage _),
       "dedup_paragraph" -> (dedupParagraph _),
+      "dedup_spans" -> (dedupSpans _),
       "q_stratified_sample" -> (qStratifiedSample _),
       "fuzzy_join" -> (fuzzyJoinQ _),
       "q_interval_join" -> (qIntervalJoin _),
@@ -2111,6 +2133,43 @@ object SparkEntry {
            GROUP BY p.doc_id)
          SELECT b.doc_id, coalesce(r.text, '') AS text
          FROM built b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id""",
+    "dedup_spans" ->
+      // keep-first SPAN semantics replayed relationally: every 8-token
+      // window ranked by (doc_id, start) within its exact-text group;
+      // rank>1 occurrences mark their token range removed; text rebuilt
+      // from surviving tokens in order (whitespace-normalized join)
+      raw"""WITH d AS (SELECT doc_id, ${wsTokensSql("text")} AS tk FROM documents),
+          built AS (
+            SELECT doc_id, array_to_string(list_concat(list_concat(
+                list_slice(tk, 1, 10),
+                string_split(CASE doc_id % 3
+                  WHEN 0 THEN 'terms of service apply to all content on this site'
+                  WHEN 1 THEN 'click here to subscribe to our free daily newsletter updates'
+                  ELSE 'all rights reserved unauthorized reproduction is strictly prohibited on site'
+                END, ' ')),
+                list_slice(tk, 11, len(tk))), ' ') AS text
+            FROM d),
+          tk2 AS (SELECT doc_id, ${wsTokensSql("text")} AS toks FROM built),
+          occ AS (
+            SELECT doc_id,
+              unnest(range(0, greatest(len(toks) - 8, -1) + 1)) AS start,
+              unnest(list_transform(range(0, greatest(len(toks) - 8, -1) + 1),
+                i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))) AS span
+            FROM tk2),
+          losers AS (
+            SELECT doc_id, start FROM occ
+            QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, start) > 1),
+          toku AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS idx,
+                     unnest(toks) AS tok FROM tk2),
+          keep AS (
+            SELECT t.doc_id, t.idx, t.tok FROM toku t
+            WHERE NOT EXISTS (SELECT 1 FROM losers l
+              WHERE l.doc_id = t.doc_id
+                AND t.idx >= l.start AND t.idx < l.start + 8)),
+          rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+                      FROM keep GROUP BY doc_id)
+          SELECT b.doc_id, coalesce(r.text, '') AS text
+          FROM built b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id""",
     "vocab_coverage" ->
       // top-200 vocabulary by occurrence count (ties: count desc, term
       // asc — deterministic in both engines); per-doc occurrence counts

@@ -1387,44 +1387,8 @@ object Dedup {
     val keyed = paras.select(col("__id"), col("__idx"),
       struct(xxhash64(col("__p")),
         xxhash64(lit(0x9E3779B97F4A7C15L), col("__p"))).as("__k"))
-    val idType = docs.schema(idCol).dataType
-    val integralId = idType match {
-      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
-           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
-    val idOffset = 1L << 42
-    val winners =
-      if (integralId) {
-        // raise_error branches coerce (NullType) into the packed LONG; the
-        // guard is evaluated per row in the same projection as the pack,
-        // so out-of-bound / null ids cannot silently corrupt winner order
-        val packed = when(
-          col("__id").isNotNull &&
-            col("__id").cast("long").between(-idOffset, idOffset - 1) &&
-            col("__idx") < (1 << 20),
-          shiftleft(col("__id").cast("long") + idOffset, 20)
-            .bitwiseOR(col("__idx").cast("long")))
-          .otherwise(raise_error(concat(
-            lit("dropDuplicateParagraphs: id must be non-null with |id| < 2^42 " +
-              "and paragraph index < 2^20; got id="),
-            coalesce(col("__id").cast("string"), lit("null")),
-            lit(" idx="), col("__idx").cast("string"))))
-        keyed
-          .groupBy("__k")
-          .agg(min(packed).as("__w"))
-          .select(
-            (shiftright(col("__w"), 20) - idOffset).cast(idType).as("__id"),
-            col("__w").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("__idx"))
-      } else {
-        val guardedIdx = when(col("__id").isNotNull, col("__idx"))
-          .otherwise(raise_error(
-            lit("dropDuplicateParagraphs: id column must be non-null")))
-        keyed
-          .groupBy("__k")
-          .agg(min(struct(col("__id"), guardedIdx.as("__idx"))).as("__w"))
-          .select(col("__w.__id").as("__id"), col("__w.__idx").as("__idx"))
-      }
+    val winners = keepFirstByKey(keyed, docs.schema(idCol).dataType,
+      "dropDuplicateParagraphs").drop("__k")
     val keepLists = winners
       .groupBy("__id")
       .agg(sort_array(collect_list(col("__idx"))).as("__keep"))
@@ -1437,5 +1401,137 @@ object Dedup {
               (p, i) => array_contains(col("__keep"), i)),
             sep),
           lit("")).as(textCol))
+  }
+
+  /** Keep-first winner per key group — the shared engine of
+    * [[dropDuplicateParagraphs]] and [[dropSharedSpans]]. Input columns
+    * `(__k, __id, __idx)`; output one `(__k, __id, __idx)` row per key:
+    * the occurrence with the globally smallest (id, idx).
+    *
+    * For integral ids the winner is `min` over ONE packed BIGINT —
+    * `(id + 2⁴²) << 20 | idx`, order-identical to (id, idx) — because
+    * `min(struct(...))` is not hash-aggregable in Spark and planned as a
+    * SortAggregate that sorted every occurrence in the corpus twice (r13
+    * verdict); the packed form plans as HashAggregate (plan-audited).
+    * Bounds fail loudly per-row: |id| < 2⁴² and idx < 2²⁰. Ids must be
+    * NON-NULL (a null id could WIN a group — null struct fields sort
+    * first — while the `===` rebuild join downstream could never hand
+    * the keep-list back, silently deleting content corpus-wide).
+    * Non-integral ids keep the generic struct winner with the same
+    * null guard. */
+  private[operators] def keepFirstByKey(
+      keyed: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      op: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val idOffset = 1L << 42
+    if (integralId) {
+      // raise_error branches coerce (NullType) into the packed LONG; the
+      // guard is evaluated per row in the same projection as the pack,
+      // so out-of-bound / null ids cannot silently corrupt winner order
+      val packed = when(
+        col("__id").isNotNull &&
+          col("__id").cast("long").between(-idOffset, idOffset - 1) &&
+          col("__idx") < (1 << 20),
+        shiftleft(col("__id").cast("long") + idOffset, 20)
+          .bitwiseOR(col("__idx").cast("long")))
+        .otherwise(raise_error(concat(
+          lit(s"$op: id must be non-null with |id| < 2^42 " +
+            "and occurrence index < 2^20; got id="),
+          coalesce(col("__id").cast("string"), lit("null")),
+          lit(" idx="), col("__idx").cast("string"))))
+      keyed
+        .groupBy("__k")
+        .agg(min(packed).as("__w"))
+        .select(col("__k"),
+          (shiftright(col("__w"), 20) - idOffset).cast(idType).as("__id"),
+          col("__w").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("__idx"))
+    } else {
+      val guardedIdx = when(col("__id").isNotNull, col("__idx"))
+        .otherwise(raise_error(lit(s"$op: id column must be non-null")))
+      keyed
+        .groupBy("__k")
+        .agg(min(struct(col("__id"), guardedIdx.as("__idx"))).as("__w"))
+        .select(col("__k"), col("__w.__id").as("__id"),
+          col("__w.__idx").as("__idx"))
+    }
+  }
+
+  /** Corpus-wide duplicate-SPAN removal (r14) — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr) transform: any k-token span whose exact text occurs
+    * more than once in the corpus keeps only its FIRST occurrence
+    * (global (id, token index) order); every token covered by a
+    * non-winner occurrence of a shared span is removed and the document
+    * text is rebuilt from the surviving tokens. Unlike
+    * [[dropDuplicateParagraphs]] this catches repeated template/
+    * boilerplate runs that do NOT align to paragraph boundaries —
+    * straddling spans are exactly what the paragraph stage misses.
+    *
+    * Semantics (relationally exact, oracle-replayable): token `t` of
+    * document `d` is removed iff some shared-span occurrence that is not
+    * its span's keep-first winner covers `t`. Overlapping duplicated
+    * windows union into removed regions. Output is (idCol, textCol) with
+    * the rebuilt text — whitespace-NORMALIZED (tokens joined by single
+    * spaces; tokenization is the `wsTokens` whitespace set), every input
+    * row survives, a fully-templated document comes back as "".
+    *
+    * Scale shape: the only corpus-sized shuffles carry the 128-bit span
+    * surrogate key (two independent xxhash64s) plus (id, start) — span
+    * TEXT never leaves the map side. The winner per span group is the
+    * [[keepFirstByKey]] packed-BIGINT HashAggregate (skew-proof: a
+    * boilerplate span repeated a million times partial-aggregates per
+    * map task). Losers come from re-joining occurrences to winners on
+    * the SAME key partitioning (the winner aggregation's exchange is
+    * reused). Per-doc removal lists exchange (id, int array); the text
+    * rides at most the one doc-keyed rebuild join. */
+  def dropSharedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    graft.InternalCols.requireAbsent(docs, "Dedup.dropSharedSpans",
+      "__id", "__idx", "__k", "__toks", "__span", "__rm", "__wid", "__widx")
+    val toks = graft.functions.TextFunctions.wsTokens(col(textCol))
+    // all k-token windows with their 0-based start index; docs shorter
+    // than k tokens contribute no spans (sequence() would run BACKWARD
+    // for size-k < 0, so the short side is an explicit empty array)
+    val occ = docs
+      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .select(col("__id"), posexplode(
+        when(size(col("__toks")) < k,
+          array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("__toks")) - k),
+            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+        .as(Seq("__idx", "__span")))
+      .select(col("__id"), col("__idx"),
+        struct(xxhash64(col("__span")),
+          xxhash64(lit(0x9E3779B97F4A7C15L), col("__span"))).as("__k"))
+    val winners = keepFirstByKey(occ, docs.schema(idCol).dataType,
+      "dropSharedSpans")
+      .withColumnRenamed("__id", "__wid").withColumnRenamed("__idx", "__widx")
+    // a loser is any occurrence that is not its key's winner — singleton
+    // spans' only occurrence IS the winner, so only shared spans remove
+    val losers = occ.join(winners, Seq("__k"))
+      .filter(!(col("__id") === col("__wid") && col("__idx") === col("__widx")))
+      .select(col("__id"), col("__idx"))
+    val rmLists = losers
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__idx"))).as("__rm"))
+    docs
+      .join(rmLists, docs(idCol) === rmLists("__id"), "left")
+      .select(docs(idCol),
+        concat_ws(" ",
+          filter(graft.functions.TextFunctions.wsTokens(docs(textCol)),
+            (_, i) => !exists(coalesce(col("__rm"),
+              array().cast("array<int>")),
+              s => i >= s && i < s + k)))
+          .as(textCol))
   }
 }

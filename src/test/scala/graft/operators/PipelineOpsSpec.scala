@@ -312,6 +312,45 @@ class ParagraphDedupSpec extends SparkSpec {
     }
   }
 
+  test("dropSharedSpans removes non-winner occurrences of shared k-token " +
+    "spans, straddling line boundaries, unioning overlaps") {
+    val docs = Seq(
+      (1L, "a1 a2 B1 B2 B3 B4 B5 B6 B7 B8 c1 c2"), // first occurrence wins
+      (2L, "x1 B1 B2 B3 B4 B5 B6 B7 B8 x2"),       // loser: B-run removed
+      (3L, "u1\tu2"),                               // untouched (normalized)
+      (5L, "B1 B2 B3 B4 B5 B6 B7 B8 q B1 B2 B3 B4 B5 B6 B7 B8"), // both lose
+      (6L, "pre B1 B2 B3\nB4 B5 B6 B7 B8 post")     // straddles a newline
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropSharedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "a1 a2 B1 B2 B3 B4 B5 B6 B7 B8 c1 c2",
+      2L -> "x1 x2",
+      3L -> "u1 u2",
+      5L -> "q",
+      6L -> "pre post"), out.toString)
+  }
+
+  test("dropSharedSpans: span text never shuffles, winner hash-aggregates") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = Dedup.dropSharedSpans(docs, "doc_id", "text", k = 8)
+    out.write.format("noop").mode("overwrite").save()
+    val root = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exs = root.collect { case e: ShuffleExchangeExec => e }
+    assert(exs.nonEmpty)
+    val textful = exs.filter(_.output.exists(_.dataType == StringType))
+    assert(textful.isEmpty,
+      s"span/doc text must not ride a shuffle in the broadcast regime:\n$textful")
+    assert(!root.toString.contains("SortAggregate"), root.toString)
+  }
+
   test("packed winner preserves (id, idx) order across negative ids") {
     val docs = Seq(
       (-5L, "shared\nonly_neg"),   // lowest id wins "shared"
