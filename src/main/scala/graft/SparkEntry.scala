@@ -1253,8 +1253,26 @@ object SparkEntry {
       operators.Mixing.SourceSpec("s2", slice(2), 2))
     operators.Mixing.mixSources(srcs, "doc_id", numShards = 7,
       granularity = 1000L,
-      sampleExpr = (_, id) => Some(pmod(id, lit(1000))),
-      shardExpr = (_, id) => Some(pmod(id + 3, lit(7))))
+      sampleExpr = (_, _, id) => Some(pmod(id, lit(1000))),
+      shardExpr = (_, _, id) => Some(pmod(id + 3, lit(7))))
+  }
+
+  /** SURVEY 50a (r14) `mix_epochs`: epoch-aware UP-sampling — the
+    * high-value source repeats 3× (each copy with its own deterministic
+    * per-copy sample key) instead of the rest of the corpus
+    * down-sampling to one pass of it. Bounds recompute bit-for-bit in
+    * the oracle from effective counts n·e. */
+  private def mixEpochsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id")
+    val srcs = Seq(
+      operators.Mixing.SourceSpec("e0",
+        d.filter(pmod(col("doc_id"), lit(5)) === 0), weight = 3, epochs = 3),
+      operators.Mixing.SourceSpec("e1",
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0), weight = 1, epochs = 1))
+    operators.Mixing.mixSources(srcs, "doc_id", numShards = 5,
+      granularity = 1000L,
+      sampleExpr = (_, e, id) => Some(pmod(id + e * 37, lit(1000))),
+      shardExpr = (_, e, id) => Some(pmod(id + e, lit(5))))
   }
 
   /** SURVEY 12d `q_zorder`: the Morton-curve values behind
@@ -1495,6 +1513,7 @@ object SparkEntry {
       "pack_sequences" -> (packSequencesQ _),
       "pack_stats" -> (packStatsQ _),
       "mix_sources" -> (mixSourcesQ _),
+      "mix_epochs" -> (mixEpochsQ _),
       "embed_index_topk" -> (embedIndexTopK _),
       "embed_ivf_index" -> (embedIvfIndexQ _),
       "embed_ivf_append" -> (embedIvfAppend _),
@@ -2466,9 +2485,37 @@ object SparkEntry {
                                    // ((SELECT w FROM b) * j.n)) END AS bound
            FROM j)
          SELECT 's' || CAST(src.s AS VARCHAR) AS source, src.doc_id,
+           CAST(0 AS INT) AS epoch,
            CAST((src.doc_id + 3) % 7 AS INT) AS shard
          FROM src JOIN bounds ON src.s = bounds.s
          WHERE src.doc_id % 1000 < bounds.bound""",
+    "mix_epochs" ->
+      // effective counts n·e drive bottleneck + bounds (W = 3·1 = 3);
+      // the epochs-3 source is the bottleneck and keeps all three copies,
+      // the big source thins to bound/1000 of one pass — recomputed here
+      // bit-for-bit from the same corpus
+      """WITH src AS (
+           SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS s
+           FROM documents),
+         n AS (SELECT s, count(*) AS n FROM src GROUP BY s),
+         w AS (SELECT * FROM (VALUES (0, 3, 3), (1, 1, 1)) AS t(s, w, e)),
+         j AS (SELECT n.s, n.n * w.e AS ne, w.w, w.e FROM n JOIN w USING (s)),
+         b AS (SELECT s, ne, w FROM j ORDER BY ne * (3 // w), s LIMIT 1),
+         bounds AS (
+           SELECT j.s, j.e,
+             CASE WHEN j.s = (SELECT s FROM b) THEN 1000
+                  ELSE least(1000, (1000 * (SELECT ne FROM b) * j.w)
+                                   // ((SELECT w FROM b) * j.ne)) END AS bound
+           FROM j),
+         copies AS (
+           SELECT src.doc_id, src.s, bounds.bound,
+             unnest(range(0, bounds.e)) AS epoch
+           FROM src JOIN bounds ON src.s = bounds.s)
+         SELECT 'e' || CAST(s AS VARCHAR) AS source, doc_id,
+           CAST(epoch AS INT) AS epoch,
+           CAST((doc_id + epoch) % 5 AS INT) AS shard
+         FROM copies
+         WHERE (doc_id + epoch * 37) % 1000 < bound""",
     // the persisted-index searches run with coarse-cut-disabled /
     // nprobe-all parameters, so both reduce to exact brute-force top-5 —
     // the same oracle embed_ivf_ann / embed_quantized_topk carry

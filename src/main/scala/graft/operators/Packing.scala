@@ -137,8 +137,18 @@ object Mixing {
     * frame, and an INTEGER weight — target ratios are weight parts
     * (5:3:2), kept integral so the per-source keep bounds are exact
     * integer arithmetic, replicable bit-for-bit by a SQL oracle (double
-    * ratios would make the bound engine-dependent in the last ulp). */
-  final case class SourceSpec(tag: String, df: DataFrame, weight: Int)
+    * ratios would make the bound engine-dependent in the last ulp).
+    *
+    * `epochs` (r14) is the UP-sampling lever real token-budget mixes
+    * need: a high-value source may repeat up to `epochs` times
+    * (Wikipedia ×3) instead of every other source down-sampling to one
+    * pass of the bottleneck. The source behaves exactly like a corpus of
+    * `n · epochs` rows in the bound arithmetic; physically each copy
+    * `c ∈ [0, epochs)` is emitted with an `epoch` column and its own
+    * deterministic per-copy sample key (tag, epoch, id) — copy `c` of a
+    * row is the same row on every cluster layout and re-run. */
+  final case class SourceSpec(tag: String, df: DataFrame, weight: Int,
+      epochs: Int = 1)
 
   /** Deterministic weighted mix: sample each source down so the output
     * composition matches `weights` as closely as the bottleneck source
@@ -156,17 +166,18 @@ object Mixing {
     * the only jobs this operator runs before the main plan) is the
     * integer input both engines agree on.
     *
-    * `sampleExpr`/`shardExpr` default to seeded xxhash64 of (tag, id);
-    * pass modulo expressions for a SQL-twin oracle. Output:
-    * (source string, idCol, shard int). */
+    * `sampleExpr`/`shardExpr` default to seeded xxhash64 of
+    * (tag, epoch, id); pass modulo expressions of (tag, epoch, id) for a
+    * SQL-twin oracle. Output: (source string, idCol, epoch int,
+    * shard int). */
   def mixSources(
       sources: Seq[SourceSpec],
       idCol: String,
       numShards: Int,
       granularity: Long = 1L << 20,
       seed: Long = 42L,
-      sampleExpr: (String, Column) => Option[Column] = (_, _) => None,
-      shardExpr: (String, Column) => Option[Column] = (_, _) => None
+      sampleExpr: (String, Int, Column) => Option[Column] = (_, _, _) => None,
+      shardExpr: (String, Int, Column) => Option[Column] = (_, _, _) => None
   ): DataFrame =
     mixSourcesWithStats(sources, idCol, numShards, granularity, seed,
       sampleExpr, shardExpr)._1
@@ -182,6 +193,7 @@ object Mixing {
       tag: String,
       n: Long,
       weight: Int,
+      epochs: Int,
       bottleneck: Boolean,
       bound: Long,
       granularity: Long,
@@ -198,13 +210,17 @@ object Mixing {
       numShards: Int,
       granularity: Long = 1L << 20,
       seed: Long = 42L,
-      sampleExpr: (String, Column) => Option[Column] = (_, _) => None,
-      shardExpr: (String, Column) => Option[Column] = (_, _) => None
+      sampleExpr: (String, Int, Column) => Option[Column] = (_, _, _) => None,
+      shardExpr: (String, Int, Column) => Option[Column] = (_, _, _) => None
   ): (DataFrame, Seq[MixStats]) = {
     require(sources.nonEmpty, "at least one source")
     require(sources.map(_.tag).distinct.size == sources.size,
       "source tags must be distinct (counts and bounds are keyed by tag)")
     require(sources.forall(_.weight > 0), "weights must be positive")
+    require(sources.forall(_.epochs >= 1), "epochs must be >= 1")
+    require(sources.forall(_.epochs <= 1000),
+      "epochs > 1000 is almost certainly a misconfiguration (each epoch " +
+        "is a full physical pass over the source)")
     require(numShards > 0 && granularity > 0, "positive shards/granularity")
 
     val counts = sources.map(s => s.tag -> s.df.count()).toMap
@@ -216,42 +232,46 @@ object Mixing {
       s"mixSources: empty source(s) ${empty.mkString(", ")} make the " +
         "target ratios unsatisfiable — drop them or fix the upstream feed")
     val wProduct = sources.map(s => BigInt(s.weight)).product
-    // bottleneck: smallest n_j/w_j via exact integer keys n_j * (W/w_j)
-    val bottleneck = sources.minBy { s =>
-      (BigInt(counts(s.tag)) * (wProduct / s.weight), s.tag)
-    }
-    val nB = BigInt(counts(bottleneck.tag))
+    // EFFECTIVE counts n_j · e_j enter all ratio arithmetic: an epochs-3
+    // source is exactly a corpus three times its size to the bound math
+    def eff(s: SourceSpec): BigInt = BigInt(counts(s.tag)) * s.epochs
+    // bottleneck: smallest n'_j/w_j via exact integer keys n'_j * (W/w_j)
+    val bottleneck = sources.minBy { s => (eff(s) * (wProduct / s.weight), s.tag) }
+    val nB = eff(bottleneck)
     val wB = BigInt(bottleneck.weight)
 
     val bounds = sources.map { s =>
-      val n = BigInt(counts(s.tag))
       val bound =
         if (s.tag == bottleneck.tag) granularity
-        else (BigInt(granularity) * nB * s.weight / (wB * n))
+        else (BigInt(granularity) * nB * s.weight / (wB * eff(s)))
           .min(BigInt(granularity)).toLong
       s.tag -> bound
     }.toMap
-    val tagged = sources.map { s =>
-      val id = col(idCol)
-      val sample = sampleExpr(s.tag, id).getOrElse(
-        pmod(xxhash64(lit(seed), lit(s.tag), id), lit(granularity)))
-      val shard = shardExpr(s.tag, id).getOrElse(
-        pmod(xxhash64(lit(seed + 1), lit(s.tag), id), lit(numShards)))
-      s.df
-        .filter(sample < lit(bounds(s.tag)))
-        .select(lit(s.tag).as("source"), id.as(idCol),
-          shard.cast("int").as("shard"))
+    val tagged = sources.flatMap { s =>
+      (0 until s.epochs).map { e =>
+        val id = col(idCol)
+        // per-COPY sample key: copy e of a row survives or not purely as
+        // a function of (tag, e, id) — layout- and re-run-independent
+        val sample = sampleExpr(s.tag, e, id).getOrElse(
+          pmod(xxhash64(lit(seed), lit(s.tag), lit(e), id), lit(granularity)))
+        val shard = shardExpr(s.tag, e, id).getOrElse(
+          pmod(xxhash64(lit(seed + 1), lit(s.tag), lit(e), id), lit(numShards)))
+        s.df
+          .filter(sample < lit(bounds(s.tag)))
+          .select(lit(s.tag).as("source"), id.as(idCol),
+            lit(e).as("epoch"), shard.cast("int").as("shard"))
+      }
     }
 
     val wSum = sources.map(_.weight.toDouble).sum
     val keptEst = sources.map { s =>
-      // bottleneck: bound == granularity ⇒ exactly n; others: expected
-      // surviving rows of a uniform hash over `granularity` slices
-      s.tag -> (BigInt(counts(s.tag)) * bounds(s.tag) / granularity).toLong
+      // bottleneck: bound == granularity ⇒ exactly n·e; others: expected
+      // surviving rows of a uniform hash over `granularity` slices per copy
+      s.tag -> (eff(s) * bounds(s.tag) / granularity).toLong
     }.toMap
     val keptSum = keptEst.values.map(_.toDouble).sum.max(1.0)
     val stats = sources.map { s =>
-      MixStats(s.tag, counts(s.tag), s.weight,
+      MixStats(s.tag, counts(s.tag), s.weight, s.epochs,
         bottleneck = s.tag == bottleneck.tag,
         bound = bounds(s.tag), granularity = granularity,
         keptEstimate = keptEst(s.tag),
