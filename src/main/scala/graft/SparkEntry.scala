@@ -2507,10 +2507,16 @@ object SparkEntry {
                   ELSE least(1000, (1000 * (SELECT ne FROM b) * j.w)
                                    // ((SELECT w FROM b) * j.ne)) END AS bound
            FROM j),
+         -- unnest(range(...)) in a correlated SELECT list hits a DuckDB
+         -- INTERNAL binder error ("Failed to bind column reference epoch")
+         -- that fatally invalidates the connection; hoist the epoch
+         -- generator into its own CTE (max epochs is a query constant, 3)
+         -- and join on epoch < e instead
+         ep AS (SELECT unnest(range(0, 3)) AS epoch),
          copies AS (
-           SELECT src.doc_id, src.s, bounds.bound,
-             unnest(range(0, bounds.e)) AS epoch
-           FROM src JOIN bounds ON src.s = bounds.s)
+           SELECT src.doc_id, src.s, bounds.bound, ep.epoch
+           FROM src JOIN bounds ON src.s = bounds.s
+           JOIN ep ON ep.epoch < bounds.e)
          SELECT 'e' || CAST(s AS VARCHAR) AS source, doc_id,
            CAST(epoch AS INT) AS epoch,
            CAST((doc_id + epoch) % 5 AS INT) AS shard

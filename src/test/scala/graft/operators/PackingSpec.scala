@@ -131,7 +131,7 @@ class PackingSpec extends SparkSpec {
     // the reported keptEstimate must equal the materialized counts
     val (df, stats) = Mixing.mixSourcesWithStats(srcs, "id", numShards = 4,
       granularity = g,
-      sampleExpr = (_, id) => Some(pmod(id / 3, lit(g))))
+      sampleExpr = (_, _, id) => Some(pmod(id / 3, lit(g))))
     val byTag = stats.map(s => s.tag -> s).toMap
     assert(byTag("a").bottleneck && !byTag("b").bottleneck && !byTag("c").bottleneck)
     assert(stats.forall(_.n == 1000))
@@ -146,6 +146,34 @@ class PackingSpec extends SparkSpec {
     assert(math.abs(shares("a") - 0.5) < 1e-9 &&
       math.abs(shares("b") - 0.3) < 1e-9 && math.abs(shares("c") - 0.2) < 1e-9,
       shares.toString)
+  }
+
+  test("mixSources epochs: up-sampled copies are deterministic across layouts and shard counts") {
+    val d = spark.range(0, 2000).toDF("id")
+    def srcs(big: org.apache.spark.sql.DataFrame) = Seq(
+      Mixing.SourceSpec("wiki", d.filter($"id" < 400), 3, epochs = 3),
+      Mixing.SourceSpec("web", big, 2))
+    val base = d.filter($"id" >= 400)
+    // copy e of a row survives purely as f(tag, e, id): the kept
+    // (source, id, epoch) set must be identical under a different input
+    // partitioning AND a different shard count
+    val a = Mixing.mixSources(srcs(base), "id", numShards = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Mixing.mixSources(srcs(base.repartition(13)), "id", numShards = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+    // epochs enter the bound math as n·e: wiki has 400·3=1200 effective
+    // rows at weight 3 (key 400), web 1600 at weight 2 (key 800) -> wiki
+    // is the bottleneck and keeps ALL 1200 copies; web targets
+    // floor(g·1200·2/(3·1600)) = g/2 of its rows
+    val wiki = a.filter(_._1 == "wiki")
+    assert(wiki.size == 1200, wiki.size.toString)
+    assert(wiki.map(_._3) == Set(0, 1, 2))
+    // every id appears in every epoch for the bottleneck
+    assert(wiki.groupBy(_._3).values.forall(_.size == 400))
+    val web = a.filter(_._1 == "web")
+    assert(web.forall(_._3 == 0))
+    assert(math.abs(web.size - 800) < 80, web.size.toString)
   }
 
   test("mixSources fails loudly on an empty source instead of shipping zero rows") {
@@ -167,7 +195,7 @@ class PackingSpec extends SparkSpec {
     // bottleneck x (n/w = 200): y keeps floor(g*200*1/(1*1000)) = g/5
     val out = Mixing.mixSources(srcs, "id", numShards = 2,
       granularity = 1000L,
-      sampleExpr = (_, id) => Some(pmod(id, lit(1000))))
+      sampleExpr = (_, _, id) => Some(pmod(id, lit(1000))))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.count(_._1 == "x") == 200)
     // id in [200, 1200): id % 1000 < 200 -> ids 200..199? i.e. 1000..1199

@@ -75,14 +75,22 @@ def pack_oracle_rows(con):
     return ["doc_id", "shard", "bin", "n_tokens"], rows
 
 
-def main(sfdir, outdir, json_out=None, py_pack=False):
-    report = {}
+def fresh_con(sfdir):
+    """One DuckDB connection PER QUERY. A shared connection lets one
+    fatally-failing oracle (e.g. an INTERNAL binder error) invalidate the
+    database and cascade 'database has been invalidated' into every later
+    query — r14 turned 1 real failure into 72 reds this way. Views over
+    parquet are free to recreate."""
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return con
 
+
+def main(sfdir, outdir, json_out=None, py_pack=False):
+    report = {}
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
     failures = 0
     for name in sorted(oracle):
@@ -94,8 +102,9 @@ def main(sfdir, outdir, json_out=None, py_pack=False):
                             "oracle_rows": 0, "err": "missing spark output"}
             failures += 1
             continue
-        sq = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+        con = fresh_con(sfdir)
         try:
+            sq = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
             scols, srows = canon(sq.fetchall(), sq.columns, name)
             if name == "pack_sequences" and py_pack:
                 pcols, prows = pack_oracle_rows(con)
@@ -109,6 +118,18 @@ def main(sfdir, outdir, json_out=None, py_pack=False):
                             "hash_match": False, "spark_rows": 0,
                             "oracle_rows": 0, "err": f"unhashable: {e}"}
             failures += 1
+            con.close()
+            continue
+        except duckdb.Error as e:
+            # a broken oracle is ONE red row, never an aborted run: record
+            # the error and move on with a fresh connection next iteration
+            print(f"{name:22s} ORACLE ERROR {type(e).__name__}: {e}")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"{type(e).__name__}: {e}"}
+            failures += 1
+            con.close()
             continue
         report[name] = {"rows_match": len(srows) == len(orows),
                         "schema_match": scols == ocols,
@@ -129,11 +150,14 @@ def main(sfdir, outdir, json_out=None, py_pack=False):
             failures += 1
         else:
             print(f"{name:22s} OK rows={len(srows)}")
+        con.close()
     # rows-only entries (no oracle)
+    con = duckdb.connect()
     for d in sorted(Path(outdir).iterdir()):
         if d.is_dir() and d.name not in oracle:
             n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
             print(f"{d.name:22s} rows-only rows={n}" + (" (EMPTY!)" if n == 0 else ""))
+    con.close()
     print("FAILURES:", failures)
     if json_out:
         Path(json_out).write_text(json.dumps(report, indent=2, sort_keys=True))
