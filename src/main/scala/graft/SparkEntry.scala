@@ -678,10 +678,32 @@ object SparkEntry {
     * min-rank loop because the planted chain never feeds a lower-ranked
     * pair — `BpeEncoder.chainStructured`, spec-asserted). Output pins
     * BOTH segmentation (n_tokens) and token identity (id_sum: single
-    * byte → byte value, merge r → 256+r). */
+    * byte → byte value, merge r → 256+r).
+    *
+    * ASCII corpus guard (r15): the Spark encoder is per-UTF-8-BYTE while
+    * the oracle's non-letter arm is per-CHARACTER with `ascii(c)` — the
+    * two agree exactly on ASCII and silently diverge on any multi-byte
+    * character ('é' → 2 tokens summing 364 vs 1 token of 233). The guard
+    * makes a non-ASCII corpus fail LOUDLY on the Spark side instead of
+    * hash-mismatching (or worse, a future corpus passing by luck); the
+    * library encoder itself ([[graft.functions.Bpe.encode]]) has no such
+    * restriction. Known oracle cap: the encoder slices letter runs
+    * longer than `Bpe.MaxWordLen` (1024) into independent segments (no
+    * merges across the boundary) while the SQL replay merges over the
+    * full run — oracle corpora must keep letter runs under the cap (the
+    * sf corpora max out far below it; a guard like the ASCII one would
+    * need a length probe, not worth it for a generator-bounded
+    * corpus). */
   private def bpeTokenCountQ(s: SparkSession, dir: String): DataFrame = {
     val enc = graft.functions.Bpe.planted
     t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("text").rlike("[^\\x00-\\x7F]"),
+          raise_error(concat(
+            lit("bpe_token_count oracle assumes an ASCII corpus; doc "),
+            col("doc_id").cast("string"),
+            lit(" contains non-ASCII characters"))).cast("string"))
+          .otherwise(col("text")).as("text"))
       .select(col("doc_id"),
         graft.functions.Bpe.encode(col("text"), enc).as("__ids"))
       .select(col("doc_id"),

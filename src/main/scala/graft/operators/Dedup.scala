@@ -1371,7 +1371,14 @@ object Dedup {
     * indexed array filter over `split(text)` — while the keep-lists fit
     * a broadcast the text never crosses the wire at all (plan-audited),
     * and past that the text rides exactly ONE doc-keyed exchange: the
-    * unavoidable cost of rewriting the corpus. */
+    * unavoidable cost of rewriting the corpus.
+    *
+    * PRECONDITION: `idCol` must be unique. A duplicated id collides
+    * paragraph indices across rows and the rebuild join cross-applies
+    * one row's keep-list to the other, silently keeping/deleting wrong
+    * paragraphs ([[dropSharedSpans]] guards this with an id-count check;
+    * here the precondition is documented — add the same guard upstream
+    * if your id space is not trusted). */
   def dropDuplicateParagraphs(
       docs: DataFrame,
       idCol: String,
@@ -1488,7 +1495,14 @@ object Dedup {
     * map task). Losers come from re-joining occurrences to winners on
     * the SAME key partitioning (the winner aggregation's exchange is
     * reused). Per-doc removal lists exchange (id, int array); the text
-    * rides at most the one doc-keyed rebuild join. */
+    * rides at most the one doc-keyed rebuild join. The rebuild itself is
+    * linear per document: sorted removal starts fold into disjoint
+    * intervals and the kept text concatenates the gap slices (r15 — the
+    * per-token removal-list scan was O(tokens × removals)).
+    *
+    * Ids must be UNIQUE (fail-loud guarded): a duplicated id collides
+    * occurrence indices across rows and would cross-apply removal
+    * lists in the rebuild join. */
   def dropSharedSpans(
       docs: DataFrame,
       idCol: String,
@@ -1524,14 +1538,60 @@ object Dedup {
     val rmLists = losers
       .groupBy("__id")
       .agg(sort_array(collect_list(col("__idx"))).as("__rm"))
+    // ids must be UNIQUE: duplicate ids make occurrence indices collide
+    // across rows and the rebuild join would cross-apply one row's
+    // removal list to the other, silently deleting wrong tokens. The
+    // guard costs one id-only map-side-combined exchange (8 B keys) and
+    // raises naming the id; routing the rebuild join through the guarded
+    // distinct-id frame keeps Catalyst from pruning the check away.
+    val idType = docs.schema(idCol).dataType
+    val rmFull = docs
+      .select(col(idCol).as("__id0"))
+      .groupBy("__id0").agg(count(lit(1)).as("__c"))
+      .select(when(col("__c") === 1L, col("__id0"))
+        .otherwise(raise_error(concat(
+          lit("Dedup.dropSharedSpans: duplicate id "),
+          coalesce(col("__id0").cast("string"), lit("NULL")),
+          lit(" — ids must be unique (occurrence indices collide and " +
+            "removal lists would cross-apply)")))).as("__id"))
+      .join(rmLists, Seq("__id"), "left")
+    // Rebuild in O(tokens + removals) per doc: the sorted removal STARTS
+    // fold once into disjoint [s, e) intervals (each start covers k
+    // tokens; overlapping/adjacent windows merge), and the kept text is
+    // the concatenation of the GAP slices between them — each token is
+    // copied at most once. The previous per-token
+    // `!exists(__rm, s => i >= s && i < s + k)` scanned the whole removal
+    // list per token — O(tokens × removals), quadratic exactly on the
+    // boilerplate-heavy documents this operator exists for.
+    val ivsOf = (rm: Column) => aggregate(
+      coalesce(rm, array().cast("array<int>")),
+      array().cast("array<struct<s:int,e:int>>"),
+      (acc, s) => {
+        // get() (0-based) returns null past the end — element_at(-1)
+        // THROWS on the empty accumulator under ANSI mode
+        val last = get(acc, size(acc) - 1)
+        when(size(acc) > 0 && s <= last.getField("e"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"),
+              greatest(last.getField("e"), s + lit(k)).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(s.as("s"), (s + lit(k)).as("e")))))
+      })
     docs
-      .join(rmLists, docs(idCol) === rmLists("__id"), "left")
+      .join(rmFull, docs(idCol) === rmFull("__id"), "left")
+      // stage intervals and the re-tokenized text as ATTRIBUTES so the
+      // gap-start/gap-end lambdas don't re-run the fold (the quantize
+      // staging pattern — CollapseProject keeps multi-use non-cheap
+      // expressions staged)
       .select(docs(idCol),
-        concat_ws(" ",
-          filter(graft.functions.TextFunctions.wsTokens(docs(textCol)),
-            (_, i) => !exists(coalesce(col("__rm"),
-              array().cast("array<int>")),
-              s => i >= s && i < s + k)))
+        graft.functions.TextFunctions.wsTokens(docs(textCol)).as("__toks"),
+        ivsOf(col("__rm")).as("__ivs"))
+      .select(col(idCol),
+        concat_ws(" ", flatten(zip_with(
+          concat(array(lit(0)), transform(col("__ivs"), v => v.getField("e"))),
+          concat(transform(col("__ivs"), v => v.getField("s")),
+            array(size(col("__toks")))),
+          (gs, ge) => slice(col("__toks"), gs + 1, greatest(ge - gs, lit(0))))))
           .as(textCol))
   }
 }

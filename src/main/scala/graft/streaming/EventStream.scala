@@ -26,21 +26,23 @@ object EventStream {
     * the two (`FileStreamOptions` throws "Options 'maxFilesPerTrigger'
     * and 'maxBytesPerTrigger' can't be both set at the same time" — the
     * both-set soft-cap behavior belongs to Delta's source, not this one),
-    * so when the caller bounds by bytes the files DEFAULT yields; an
-    * explicitly non-default files value plus bytes is rejected loudly
-    * instead of picking a winner. The operators downstream are
+    * so the files knob DEFAULTS to None and the 16-file fallback applies
+    * only when NEITHER knob is set — ANY explicitly passed files value
+    * alongside bytes is rejected loudly (r15: with a `Some(16)` default
+    * an explicit 16 was indistinguishable from "unset" and silently
+    * dropped while any other value raised). The operators downstream are
     * trigger-count-agnostic (multi-batch equivalence is spec-pinned in
     * RateControlSpec). */
   def readEvents(
       spark: SparkSession,
       path: String,
       schema: StructType,
-      maxFilesPerTrigger: Option[Int] = Some(16),
+      maxFilesPerTrigger: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val effectiveFiles =
-      if (maxBytesPerTrigger.isEmpty) maxFilesPerTrigger
+      if (maxBytesPerTrigger.isEmpty) maxFilesPerTrigger.orElse(Some(16))
       else {
-        require(maxFilesPerTrigger.isEmpty || maxFilesPerTrigger.contains(16),
+        require(maxFilesPerTrigger.isEmpty,
           "Spark's file source takes maxFilesPerTrigger OR " +
             "maxBytesPerTrigger, never both — pass maxFilesPerTrigger = " +
             "None when bounding a trigger by bytes")

@@ -351,6 +351,70 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(!root.toString.contains("SortAggregate"), root.toString)
   }
 
+  test("dropSharedSpans interval rebuild ≡ independent per-token reference " +
+    "on a boilerplate-heavy corpus (dense overlapping removals)") {
+    val k = 4
+    // independent driver-side reference of the FULL semantics: token i of
+    // doc d is removed iff covered by a non-winner occurrence of a span
+    // whose text occurs more than once corpus-wide; winner = min (id, start)
+    def reference(docs: Seq[(Long, String)]): Map[Long, String] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val occ = for {
+        (id, ts) <- toks.toSeq
+        s <- 0 to (ts.length - k) if ts.length >= k
+      } yield (ts.slice(s, s + k).mkString(" "), id, s)
+      val losers = occ.groupBy(_._1).values.flatMap { g =>
+        val w = g.minBy(x => (x._2, x._3))
+        g.filterNot(_ == w)
+      }
+      val rm = losers.groupBy(_._2)
+        .map { case (id, xs) => id -> xs.map(_._3).toSet }
+      docs.map { case (id, _) =>
+        val ts = toks(id)
+        val r = rm.getOrElse(id, Set.empty[Int])
+        id -> ts.zipWithIndex
+          .collect { case (t, i) if !r.exists(s => i >= s && i < s + k) => t }
+          .mkString(" ")
+      }.toMap
+    }
+    // 40 docs interleaving template slices (varied offsets/lengths) with
+    // unique tokens: many shared spans, overlapping and adjacent removal
+    // windows, some docs mostly boilerplate
+    val tmpl = (0 until 12).map(i => s"T$i")
+    val docs = (0L until 40L).map { id =>
+      val parts = (0 until 4).flatMap { j =>
+        val off = ((id + j) % 8).toInt
+        val len = k + ((id * 7 + j) % 5).toInt
+        tmpl.slice(off, math.min(off + len, tmpl.length)) :+ s"u${id}_$j"
+      }
+      (id, parts.mkString(" "))
+    }
+    val expected = reference(docs)
+    val out = Dedup.dropSharedSpans(docs.toDF("doc_id", "text"),
+      "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == expected,
+      out.toSeq.sortBy(_._1).zip(expected.toSeq.sortBy(_._1))
+        .filter(p => p._1 != p._2).take(3).toString)
+  }
+
+  test("dropSharedSpans fails loudly on duplicate ids instead of " +
+    "cross-applying removal lists") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (1L, "a b c d e f g h x"),
+      (2L, "p q r s t u v w")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.dropSharedSpans(docs, "doc_id", "text", k = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("duplicate id")),
+      e.toString)
+  }
+
   test("packed winner preserves (id, idx) order across negative ids") {
     val docs = Seq(
       (-5L, "shared\nonly_neg"),   // lowest id wins "shared"

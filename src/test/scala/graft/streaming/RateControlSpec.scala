@@ -102,4 +102,14 @@ class RateControlSpec extends SparkSpec {
     assert(batches >= 4, s"expected >=4 data batches under a byte budget, got $batches")
     assert(spark.table(name).count() > 0)
   }
+
+  test("ANY explicit maxFilesPerTrigger alongside maxBytesPerTrigger is " +
+    "rejected — 16 no longer aliases the unset default") {
+    val schema = org.apache.spark.sql.Encoders.product[TsEvent].schema
+    val e = intercept[IllegalArgumentException] {
+      EventStream.readEvents(spark, "/tmp/unused", schema,
+        maxFilesPerTrigger = Some(16), maxBytesPerTrigger = Some(1L))
+    }
+    assert(e.getMessage.contains("never both"), e.getMessage)
+  }
 }
