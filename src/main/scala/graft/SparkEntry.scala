@@ -883,6 +883,46 @@ object SparkEntry {
         col("rank").cast("bigint").as("rank"))
   }
 
+  /** SURVEY 34j `pq_topk` (r15): product-quantization ADC top-k — the
+    * 16–64× embedding-storage cut beyond scalar int8's 4× (Jégou et al.
+    * 2011): m codebook indices replace d floats, the coarse pass scores
+    * candidates via a per-query lookup table (m lookups per pair), exact
+    * rerank on the candidates only. rerank-all makes the coarse cut a
+    * no-op → ≡ brute force (the established oracle hook); partial-depth
+    * recall is spec-verified. */
+  private def pqTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 4, sampleRows = 1024)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", books, k = 5, rerankDepth = Int.MaxValue)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
+  /** SURVEY 34k `ivfpq_topk` (r15): IVF-PQ over a PERSISTED index — the
+    * full 100 TB ANN memory story: (id, cluster, codes) partitioned by
+    * cluster (probes prune to nprobe partition directories AND read
+    * m-byte codes, never floats) + centroid/codebook side tables; the
+    * float corpus is touched only by the candidate-restricted exact
+    * rerank. nprobe-all × rerank-all ≡ brute force — the composed
+    * oracle hook. */
+  private def ivfPqTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val repo = PqRepo(s, Files.createTempDirectory("graft_ivfpq").toString)
+    val built = Similarity.ivfBuild(e, "vec_id", "embedding",
+      numCentroids = 16, kmeansIters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 4, sampleRows = 1024)
+    Similarity.writeIvfPqIndex(repo, built, books, "ann", "emb")
+    val (cents, books2, coded) = Similarity.readIvfPqIndex(repo, "ann", "emb")
+    Similarity.ivfPqSearch(cents, books2, coded, e,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nprobe = 16, rerankDepth = Int.MaxValue)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   /** SURVEY 34h `embed_ivf_append`: incremental ingest into a persisted
     * IVF index — the index builds on part of the corpus, the rest arrives
     * as a batch through the partition-scoped merge (only touched cluster
@@ -1538,6 +1578,8 @@ object SparkEntry {
       "mix_epochs" -> (mixEpochsQ _),
       "embed_index_topk" -> (embedIndexTopK _),
       "embed_ivf_index" -> (embedIvfIndexQ _),
+      "pq_topk" -> (pqTopKQ _),
+      "ivfpq_topk" -> (ivfPqTopKQ _),
       "embed_ivf_append" -> (embedIvfAppend _),
       "embed_q8_append" -> (embedQ8Append _)
     )
@@ -2549,6 +2591,10 @@ object SparkEntry {
     // the same oracle embed_ivf_ann / embed_quantized_topk carry
     "embed_index_topk" -> bruteTop5Sql,
     "embed_ivf_index" -> bruteTop5Sql,
+    // PQ rerank-all (and IVF-PQ nprobe-all × rerank-all) reduce to exact
+    // brute-force top-5 — the same composed-no-op oracle pattern
+    "pq_topk" -> bruteTop5Sql,
+    "ivfpq_topk" -> bruteTop5Sql,
     "embed_ivf_append" -> bruteTop5Sql,
     "embed_q8_append" -> bruteTop5Sql
   )

@@ -82,6 +82,23 @@ object VectorFunctions {
   def nearestCentroids(v: Column, centroids: Seq[(Int, Seq[Double])], k: Int): Column =
     toCol(graft.functions.expressions.NearestCentroids(toExpr(v), centroids, k))
 
+  /** PQ codes (array<int>, one argmin-L2 codeword index per subspace) —
+    * the 16–64× embedding-storage cut; codebooks ride the expression as a
+    * codegen reference object ([[graft.functions.expressions.PqEncode]]).
+    * `books` is m × ksub × dsub. */
+  def pqEncode(v: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    toCol(graft.functions.expressions.PqEncode(toExpr(v), books))
+
+  /** Per-query ADC lookup table (flat array<double> of m·ksub subspace
+    * dots) — computed once per query row, below the candidate join. */
+  def pqLut(v: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    toCol(graft.functions.expressions.PqLut(toExpr(v), books))
+
+  /** ADC score of (query LUT, candidate codes): rank-equivalent to
+    * cosine(query, PQ-reconstruction) — m table lookups per pair. */
+  def pqAdcScore(lut: Column, codes: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    toCol(graft.functions.expressions.PqAdcScore(toExpr(lut), toExpr(codes), books))
+
   /** Composed-Column LSH bucket — the spec baseline for the native kernel. */
   private[graft] def lshBucketComposed(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>

@@ -31,7 +31,7 @@ object VectorKernels {
   final val KShort = 4
   final val KByte = 5
 
-  @inline private def readD(a: ArrayData, i: Int, kind: Int): Double =
+  @inline private[expressions] def readD(a: ArrayData, i: Int, kind: Int): Double =
     kind match {
       case KFloat  => a.getFloat(i).toDouble
       case KDouble => a.getDouble(i)

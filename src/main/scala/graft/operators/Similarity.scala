@@ -856,4 +856,280 @@ object Similarity {
 
     equalPairs.unionByName(crossPairs)
   }
+
+  // ===== product quantization (IVF-PQ) ======================================
+  //
+  // Scalar int8 ([[quantize]]) cuts embedding storage 4×; product
+  // quantization (Jégou et al. 2011) cuts it 16–64×: a d-dim vector
+  // becomes m codebook indices (m bytes at ksub ≤ 256) and search scores
+  // candidates through a per-query lookup table (ADC) — the standard
+  // memory story for a 100 TB embedding corpus. Composes with the IVF
+  // layout: the persisted IVF-PQ index partitions (id, cluster, codes)
+  // by cluster, so a probe reads only its nprobe partitions AND only
+  // m bytes per row — the float corpus is touched exclusively by the
+  // candidate-restricted exact rerank.
+
+  /** Trained PQ codebooks: `books(s)(c)` is subspace `s`'s codeword `c`
+    * (dsub doubles). Rectangular by construction of [[pqTrain]]. */
+  final case class PqCodebooks(books: Seq[Seq[Seq[Double]]]) {
+    def m: Int = books.size
+    def ksub: Int = if (books.isEmpty) 0 else books.head.size
+    def dsub: Int = if (books.isEmpty || books.head.isEmpty) 0
+      else books.head.head.size
+    def dim: Int = m * dsub
+  }
+
+  /** Train PQ codebooks on a DETERMINISTIC bounded sample of the corpus
+    * — the standard PQ practice (FAISS trains codebooks on a subsample;
+    * k-means over ksub centroids saturates long before corpus scale) and
+    * the established bounded-pull pattern ([[ivfBuild]]'s seed collect,
+    * the BPE merge table): `sampleRows × dim` doubles ride to the
+    * driver, the corpus itself is never collected. The sample is the
+    * first `sampleRows` rows in `xxhash64(id)` order
+    * (TakeOrderedAndProject — no count pass, layout-independent), so
+    * training is bit-reproducible across runs and cluster layouts.
+    *
+    * Per subspace: seeds are the first ksub DISTINCT subvectors in
+    * sample order (fewer distinct values → a smaller codebook, never a
+    * duplicate codeword), refined by `kmeansIters` Lloyd iterations
+    * (argmin-L2 assignment with lowest-code tie-break, mean update,
+    * empty cluster keeps its codeword) — all driver-side on the bounded
+    * sample, deterministic.
+    *
+    * `dim` must divide by `m` (contiguous equal subspaces); a mixed-dim
+    * sample fails loudly — codebooks over inconsistent geometry would
+    * encode garbage silently. */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int = 256,
+      kmeansIters: Int = 8,
+      sampleRows: Int = 4096): PqCodebooks = {
+    require(m > 0, s"m must be positive, got $m")
+    require(ksub > 1, s"ksub must be > 1, got $ksub")
+    require(sampleRows >= ksub,
+      s"sampleRows ($sampleRows) must be >= ksub ($ksub)")
+    val sample = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleRows)
+      .collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample.head.length
+    require(sample.forall(_.length == dim),
+      s"pqTrain: mixed vector dimensions in the training sample " +
+        s"(expected $dim) — codebooks over inconsistent geometry would " +
+        "silently encode garbage")
+    require(dim % m == 0,
+      s"pqTrain: dim $dim is not divisible by m=$m subspaces")
+    val dsub = dim / m
+
+    val books = (0 until m).map { s =>
+      val off = s * dsub
+      val data = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + dsub))
+      // first-ksub DISTINCT seeding in sample order
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+      val it = data.iterator
+      while (seen.size < ksub && it.hasNext) seen += it.next().toSeq
+      var cents = seen.toArray.map(_.toArray)
+      for (_ <- 1 to kmeansIters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        data.foreach { x =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var dist = 0.0
+            var j = 0
+            while (j < dsub) {
+              val dlt = x(j) - cents(c)(j); dist += dlt * dlt; j += 1
+            }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += x(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents.map(_.toSeq).toSeq
+    }
+    PqCodebooks(books)
+  }
+
+  /** PQ-encode the corpus: (idCol, codes array<int> of length m). One
+    * shuffle-free kernel projection ([[VectorFunctions.pqEncode]]) —
+    * the codebooks ride the expression, nothing joins. */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: PqCodebooks): DataFrame =
+    corpus.select(col(idCol),
+      VectorFunctions.pqEncode(col(vecCol), books.books).as("codes"))
+
+  /** PQ ADC top-k with exact rerank — the [[quantizedTopK]] shape over
+    * 16–64×-smaller storage: the coarse pass scans only the m-byte codes
+    * (per query: one LUT projection, then m table lookups per
+    * candidate), keeps the best `rerankDepth` per query, and the exact
+    * pass reranks only those candidates' float vectors.
+    * `rerankDepth >= corpus size` ≡ [[bruteForceTopK]] — the oracle
+    * hook. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: PqCodebooks,
+      k: Int,
+      rerankDepth: Int
+  ): DataFrame = pqTopKIndexed(
+    pqEncode(corpus, idCol, vecCol, books), corpus, queries, idCol, vecCol,
+    books, k, rerankDepth)
+
+  /** [[pqTopK]] over a PREBUILT (id, codes) frame — the persisted-index
+    * search path ([[readPqIndex]]): the coarse pass never re-encodes or
+    * touches the float corpus. */
+  def pqTopKIndexed(
+      coded: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: PqCodebooks,
+      k: Int,
+      rerankDepth: Int
+  ): DataFrame = {
+    // LUT below the join: m·ksub dots once per QUERY, not per pair
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorFunctions.pqLut(col(vecCol), books.books).as("__lut")))
+    val cands = q.crossJoin(
+        coded.select(col(idCol).as("cand_id"), col("codes")))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        VectorFunctions.pqAdcScore(col("__lut"), col("codes"), books.books)
+          .as("coarse"))
+      .groupBy("query_id")
+      .agg(VectorFunctions.boundedTopK(
+        col("coarse"), col("cand_id"), rerankDepth).as("__top"))
+      .select(col("query_id"), explode(col("__top.id")).as("cand_id"))
+
+    val exact = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .join(broadcast(cands), "cand_id")
+      .join(q.select(col("query_id"), col("qv")), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+
+    rankTopK(exact, "cos", k)
+  }
+
+  /** Codebooks as data: (subspace, code, cw array<double>) — the side
+    * table a persisted PQ index stores its geometry in. */
+  private def booksToDF(
+      spark: org.apache.spark.sql.SparkSession,
+      books: PqCodebooks): DataFrame = {
+    import spark.implicits._
+    books.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cw, c) => (s, c, cw) }
+    }.toDF("subspace", "code", "cw")
+  }
+
+  private def booksFromDF(df: DataFrame): PqCodebooks =
+    PqCodebooks(df.collect() // codebook-sized: m × ksub × dsub doubles
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq))
+
+  /** Persist an IVF-PQ index: (id, cluster, codes) PARTITIONED BY
+    * cluster — a probe prunes to its nprobe partitions at the scan AND
+    * reads m-byte codes instead of d-float vectors — plus centroid and
+    * codebook side tables (`<name>_ivfpq{,_centroids,_books}`), all
+    * through the repo's atomic tmp+promote. The float corpus is NOT part
+    * of the index: the exact rerank joins it by candidate id. */
+  def writeIvfPqIndex(
+      repo: graft.sources.PqRepo,
+      index: IvfIndex,
+      books: PqCodebooks,
+      schema: String,
+      name: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val coded = index.assigned.select(col("id"), col("cluster"),
+      VectorFunctions.pqEncode(col("v"), books.books).as("codes"))
+    repo.writePartitioned(coded, schema, s"${name}_ivfpq", Seq("cluster"))
+    repo.write(index.centroids.toDF("cid", "cv"), schema,
+      s"${name}_ivfpq_centroids")
+    repo.write(booksToDF(spark, books), schema, s"${name}_ivfpq_books")
+  }
+
+  /** Reload a persisted IVF-PQ index: (centroids, codebooks, lazy coded
+    * scan). Centroid + codebook pulls are index-geometry-sized; the
+    * coded corpus stays a cluster-partitioned lazy scan. */
+  def readIvfPqIndex(
+      repo: graft.sources.PqRepo,
+      schema: String,
+      name: String): (Seq[(Int, Seq[Double])], PqCodebooks, DataFrame) = {
+    val cents = repo.table(schema, s"${name}_ivfpq_centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1)
+      .toSeq
+    val books = booksFromDF(repo.table(schema, s"${name}_ivfpq_books"))
+    (cents, books, repo.table(schema, s"${name}_ivfpq"))
+  }
+
+  /** IVF-PQ search over a persisted index: each query probes its
+    * `nprobe` nearest clusters (the partition-pruned equi-join of
+    * [[ivfSearch]]), ADC-scores ONLY the probed clusters' codes
+    * (m lookups per candidate; the scan reads id/cluster/codes — no
+    * floats), keeps `rerankDepth` candidates, then reranks exactly on
+    * the float corpus. `nprobe >= numCentroids` AND
+    * `rerankDepth >= corpus` ≡ [[bruteForceTopK]] — the composed oracle
+    * hook ([[ivfSearch]]'s nprobe-all × [[quantizedTopK]]'s
+    * rerank-all). */
+  def ivfPqSearch(
+      centroids: Seq[(Int, Seq[Double])],
+      books: PqCodebooks,
+      coded: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      rerankDepth: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorFunctions.pqLut(col(vecCol), books.books).as("__lut"))
+    val probes = q.select(col("query_id"), col("__lut"),
+      explode(VectorFunctions.nearestCentroids(
+        col("qv"), centroids, nprobe)).as("cluster"))
+
+    val cands = broadcast(probes)
+      .join(coded, Seq("cluster"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        VectorFunctions.pqAdcScore(col("__lut"), col("codes"), books.books)
+          .as("coarse"))
+      .groupBy("query_id")
+      .agg(VectorFunctions.boundedTopK(
+        col("coarse"), col("cand_id"), rerankDepth).as("__top"))
+      .select(col("query_id"), explode(col("__top.id")).as("cand_id"))
+
+    val exact = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .join(broadcast(cands), "cand_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+
+    rankTopK(exact, "cos", k)
+  }
 }

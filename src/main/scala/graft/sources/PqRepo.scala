@@ -214,6 +214,56 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       .lastOption
       .map { case (_, path) => spark.read.parquet(path.toString) }
 
+  /** Resolution detail behind [[repoAsOf]]: for each table the newest
+    * version whose stamp is ≤ asOf — (table, stamp, isActive, path), or
+    * no entry when none existed. One directory listing per table, no
+    * data reads. */
+  def resolveAsOf(
+      schema: String,
+      tables: Seq[String],
+      asOf: String,
+      archiveDir: String = "archive"): Seq[(String, String, Boolean, Path)] =
+    tables.flatMap { t =>
+      versions(schema, t, archiveDir)
+        .collect { case (Some(stamp), active, path) if stamp <= asOf =>
+          (t, stamp, active, path)
+        }
+        .sortBy(_._2)
+        .lastOption
+    }
+
+  /** Consistent MULTI-table snapshot (r15): every requested table as it
+    * was at `asOf`, resolved from ONE timeline point — the reproducible-
+    * backfill primitive [[tableAsOf]] covers per-table ("re-run last
+    * month's pipeline against last month's inputs" needs ALL inputs from
+    * the same instant, not a per-table mix). All-or-nothing: any table
+    * with no version at `asOf` fails LOUDLY naming it — a partial
+    * snapshot that silently drops a table is exactly the corruption a
+    * consistent read exists to prevent. Read-only, like [[tableAsOf]]:
+    * nothing moves on disk, today's loads keep landing. Resolution is
+    * [[resolveAsOf]] (exposed for audit trails: which stamp each table
+    * resolved to). */
+  def repoAsOf(
+      schema: String,
+      tables: Seq[String],
+      asOf: String,
+      archiveDir: String = "archive"): Map[String, DataFrame] = {
+    require(tables.nonEmpty, "repoAsOf: at least one table")
+    require(tables.distinct.size == tables.size,
+      s"repoAsOf: duplicate table names in ${tables.mkString(", ")}")
+    val resolved = resolveAsOf(schema, tables, asOf, archiveDir)
+    val missing = tables.toSet -- resolved.map(_._1).toSet
+    if (missing.nonEmpty)
+      throw new NoSuchElementException(
+        s"repoAsOf($schema @ $asOf): no version at or before the stamp " +
+          s"for ${missing.toSeq.sorted.mkString(", ")} — a partial " +
+          "snapshot would silently mix timeline points; archive these " +
+          "tables with parseable stamps or pick a later asOf")
+    resolved.map { case (t, _, _, path) =>
+      t -> spark.read.parquet(path.toString)
+    }.toMap
+  }
+
   /** Like [[write]] but skips entirely when the frame is empty, mirroring
     * the reference's "No rows returned; no parquet file created"
     * (files/parquet.py:713). Costs one cheap `isEmpty` probe. */

@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import graft.sources.PqRepo
+
+/** Product quantization (r15): codebook training, the encode/LUT/ADC
+  * kernels, the flat ADC search, and the persisted IVF-PQ index. */
+class PqSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+
+  private def topSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+      r.getAs[Int]("rank"))).toSet
+
+  test("pqTrain: deterministic, rectangular, dim-divisibility enforced") {
+    val a = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 3, sampleRows = 256)
+    val b = Similarity.pqTrain(emb.repartition(7), "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 3, sampleRows = 256)
+    assert(a == b, "training must be layout-independent")
+    assert(a.m == 8 && a.ksub == 16 && a.dsub == 8 && a.dim == 64)
+    assert(a.books.forall(_.size == a.ksub))
+    assert(a.books.forall(_.forall(_.size == a.dsub)))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, "vec_id", "embedding", m = 7, ksub = 8)
+    }
+  }
+
+  test("PqEncode matches a driver-side argmin-L2 reference; " +
+    "mis-dimensioned vectors yield null codes") {
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 3, sampleRows = 256)
+    val rows = emb.limit(50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val got = Similarity.pqEncode(emb.limit(50), "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { case (id, v) =>
+      val expect = books.books.zipWithIndex.map { case (book, s) =>
+        val xs = v.slice(s * books.dsub, (s + 1) * books.dsub)
+        book.zipWithIndex.minBy { case (cw, c) =>
+          (xs.zip(cw).map { case (x, w) => (x - w) * (x - w) }.sum, c)
+        }._2
+      }
+      assert(got(id) == expect, s"id=$id")
+    }
+    // a vector of the wrong dimension encodes as null, not garbage
+    import spark.implicits._
+    val short = Seq((1L, Seq.fill(63)(0.5))).toDF("vec_id", "embedding")
+    val r = short.select(
+      VectorFunctions.pqEncode(col("embedding"), books.books)).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("ADC score via LUT ≡ cosine(query, reconstruction) rank order: " +
+    "rerank-all pqTopK reproduces brute force exactly") {
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 4, sampleRows = 1024)
+    val queries = emb.filter(col("vec_id") < 10)
+    val pq = topSet(Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      books, k = 5, rerankDepth = Int.MaxValue))
+    val brute = topSet(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5))
+    assert(pq == brute && pq.nonEmpty)
+  }
+
+  test("partial-depth pqTopK keeps high recall at a fraction of the scan") {
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 4, sampleRows = 1024)
+    val queries = emb.filter(col("vec_id") < 10)
+    val truth = topSet(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 5)).map(t => (t._1, t._2))
+    val partial = topSet(Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      books, k = 5, rerankDepth = 75)).map(t => (t._1, t._2))
+    val recall = partial.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("recallEstimate covers the PQ path: rerank-all reads 1.0, partial " +
+    "depth reads a real fraction") {
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 4, sampleRows = 1024)
+    val exact = Similarity.recallEstimate(emb, "vec_id", "embedding",
+      k = 5, sampleQueries = 8)(q => Similarity.pqTopK(emb, q,
+      "vec_id", "embedding", books, k = 5, rerankDepth = Int.MaxValue))
+    assert(exact.recall == 1.0, exact.toString)
+    val partial = Similarity.recallEstimate(emb, "vec_id", "embedding",
+      k = 5, sampleQueries = 8)(q => Similarity.pqTopK(emb, q,
+      "vec_id", "embedding", books, k = 5, rerankDepth = 20))
+    assert(partial.recall > 0.3 && partial.possible == exact.possible,
+      partial.toString)
+  }
+
+  test("persisted IVF-PQ index: codebooks/centroids roundtrip exactly, " +
+    "layout is cluster-partitioned, searches ≡ inline, " +
+    "nprobe-all × rerank-all ≡ brute force") {
+    val repo = PqRepo(spark, Files.createTempDirectory("idx_ivfpq").toString)
+    val built = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      numCentroids = 8, kmeansIters = 1)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 3, sampleRows = 256)
+    Similarity.writeIvfPqIndex(repo, built, books, "ann", "e")
+
+    val dirs = new java.io.File(
+      repo.tablePath("ann", "e_ivfpq").toUri.getPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster="))
+    assert(dirs.nonEmpty, dirs.mkString(","))
+
+    val (cents, books2, coded) = Similarity.readIvfPqIndex(repo, "ann", "e")
+    assert(cents == built.centroids)
+    assert(books2 == books, "codebooks must roundtrip exactly")
+    // the persisted coded scan carries no float vectors
+    assert(!coded.schema.fieldNames.contains("v"))
+
+    val queries = emb.filter(col("vec_id") < 5)
+    val full = topSet(Similarity.ivfPqSearch(cents, books2, coded, emb,
+      queries, "vec_id", "embedding", k = 4, nprobe = 8,
+      rerankDepth = Int.MaxValue))
+    val brute = topSet(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 4))
+    assert(full == brute && full.nonEmpty)
+
+    // partial probe agrees with an inline (unpersisted) run of the same
+    // geometry — persistence changes nothing but the storage
+    val inlineCoded = built.assigned.select(col("id"), col("cluster"),
+      VectorFunctions.pqEncode(col("v"), books.books).as("codes"))
+    val p1 = topSet(Similarity.ivfPqSearch(cents, books2, coded, emb,
+      queries, "vec_id", "embedding", k = 4, nprobe = 3, rerankDepth = 50))
+    val p2 = topSet(Similarity.ivfPqSearch(built.centroids, books,
+      inlineCoded, emb, queries, "vec_id", "embedding", k = 4, nprobe = 3,
+      rerankDepth = 50))
+    assert(p1 == p2 && p1.nonEmpty)
+  }
+}

@@ -286,6 +286,55 @@ class TableAsOfSpec extends graft.SparkSpec {
     assert(repo.tableAsOf("s", "u", "20991231T000000Z").map(_.count())
       .contains(50L))
   }
+
+  test("repoAsOf resolves a CONSISTENT multi-table snapshot from one " +
+    "timeline point; any unresolvable table fails all-or-nothing") {
+    val repo = PqRepo(spark, java.nio.file.Files
+      .createTempDirectory("graft_repoasof").toString)
+    def v(n: Int) = spark.range(n).toDF("id")
+    // three tables archived at STAGGERED stamps:
+    //  a: May(1)  -> Jun(2)           -> active Aug(3)
+    //  b: May(11)                     -> active Jul(12)
+    //  c:             Jun(21)         -> active Jul(22)
+    repo.write(v(1), "s", "a", modified = Some("x (Updated 2024-05-10)"))
+    repo.archive("s", "a")
+    repo.write(v(2), "s", "a", modified = Some("x (Updated 2024-06-10)"))
+    repo.archive("s", "a")
+    repo.write(v(3), "s", "a", modified = Some("x (Updated 2024-08-10)"))
+    repo.write(v(11), "s", "b", modified = Some("x (Updated 2024-05-20)"))
+    repo.archive("s", "b")
+    repo.write(v(12), "s", "b", modified = Some("x (Updated 2024-07-20)"))
+    repo.write(v(21), "s", "c", modified = Some("x (Updated 2024-06-20)"))
+    repo.archive("s", "c")
+    repo.write(v(22), "s", "c", modified = Some("x (Updated 2024-07-25)"))
+
+    def counts(asOf: String) =
+      repo.repoAsOf("s", Seq("a", "b", "c"), asOf)
+        .map { case (t, df) => t -> df.count() }
+
+    // end of June: a@Jun, b@May, c@Jun — one timeline point, mixed
+    // active/archived resolution
+    assert(counts("20240630T000000Z") ==
+      Map("a" -> 2L, "b" -> 11L, "c" -> 21L))
+    // far future: every table resolves to its active version
+    assert(counts("20991231T000000Z") ==
+      Map("a" -> 3L, "b" -> 12L, "c" -> 22L))
+    // resolveAsOf exposes the chosen stamps for audit
+    val res = repo.resolveAsOf("s", Seq("a", "b", "c"), "20240630T000000Z")
+    assert(res.map(_._1) == Seq("a", "b", "c"))
+    assert(res.forall(!_._3), "all June resolutions are archived versions")
+
+    // early June: c has NO version yet — all-or-nothing failure names it
+    val e = intercept[NoSuchElementException] {
+      repo.repoAsOf("s", Seq("a", "b", "c"), "20240601T000000Z")
+    }
+    assert(e.getMessage.contains("c") && !e.getMessage.contains("for a"),
+      e.getMessage)
+    // and the duplicate-name guard
+    intercept[IllegalArgumentException] {
+      repo.repoAsOf("s", Seq("a", "a"), "20991231T000000Z")
+    }
+  }
 }
 
 /** r13: maintenance must not destroy the layouts the sorted/z-order
