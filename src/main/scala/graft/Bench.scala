@@ -352,9 +352,14 @@ object Bench {
     // on the 20x corpus gives a ratio where the floor amortizes. The big
     // corpus is built once per machine (scale_up.py, driver-side python);
     // absent python / testdata, the section degrades to nothing.
+    // r15 adds dedup_spans (the r14 verdict's missing 100x timing) and
+    // pq_topk (the new ADC search) — their 20x/100x DuckDB baselines were
+    // extended in the same commit, so spark_min_total/vs_duckdb remain
+    // like-for-like; pre-r15 totals cover the original ten rows only.
     val headline = Seq("pipeline_curate", "dedup_drop", "q_interval_join",
       "dedup_minhash", "dedup_embed", "embed_ivf_ann", "dedup_simhash",
-      "multimodal_image", "tfidf_topk", "embed_lsh_ann")
+      "multimodal_image", "tfidf_topk", "embed_lsh_ann", "dedup_spans",
+      "pq_topk")
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_BIG_DIR", "/tmp/graft_big20x")
     val bigBuild = ensureScaled(sfDir, bigDir, 20)
     val bigReady: Boolean = bigBuild.isRight

@@ -27,7 +27,7 @@ object NgramKernels {
   import WsBytes.isSpace
 
   /** Returns packed token offsets: even slots start, odd slots end. */
-  private def tokenize(bytes: Array[Byte]): (Array[Int], Int) = {
+  private[expressions] def tokenizeBytes(bytes: Array[Byte]): (Array[Int], Int) = {
     val n = bytes.length
     var cap = 16
     var offs = new Array[Int](cap * 2)
@@ -115,7 +115,7 @@ object NgramKernels {
   /** Duplicate-gram fraction: 1 - distinct/total; 0.0 when total <= 0. */
   def dupFraction(s: UTF8String, n: Int): Double = {
     val bytes = s.getBytes
-    val (offs, tokens) = tokenize(bytes)
+    val (offs, tokens) = tokenizeBytes(bytes)
     val total = tokens - n + 1
     if (total <= 0) return 0.0
     val distinct = distinctGramIndices(bytes, offs, tokens, n).length
@@ -126,7 +126,7 @@ object NgramKernels {
     * `array_distinct` contract). Empty array when total <= 0. */
   def distinctNgrams(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
-    val (offs, tokens) = tokenize(bytes)
+    val (offs, tokens) = tokenizeBytes(bytes)
     val total = tokens - n + 1
     if (total <= 0) return new GenericArrayData(Array.empty[Any])
     val idx = distinctGramIndices(bytes, offs, tokens, n)
@@ -152,6 +152,81 @@ object NgramKernels {
     }
     new GenericArrayData(out)
   }
+}
+
+/** 128-bit hash pair for EVERY k-token window, in window order (r15) —
+  * the [[graft.operators.Dedup.dropSharedSpans]] occurrence kernel. The
+  * composed form built one space-joined string per window (slice +
+  * concat_ws: two allocations and an O(window bytes) copy+hash each —
+  * measured as the dominant cost of the 20× span-dedup occ stage);
+  * this hashes each token's bytes ONCE per seed and chains the window
+  * hash over the k token hashes with `XXH64.hashLong` — O(k) cheap long
+  * mixes per window, zero allocation beyond the output. Window equality
+  * is equal TOKEN SEQUENCES (each token hashed length-aware), exactly
+  * the space-joined string equality (tokens contain no whitespace, so
+  * joining is injective); two independent 64-bit chains put a collision
+  * at ~2⁻¹²⁸ — the established fused-minhash surrogate argument. */
+object WindowHashKernel {
+
+  def windowHashPairs(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (offs, tokens) = NgramKernels.tokenizeBytes(bytes)
+    val total = tokens - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val th1 = new Array[Long](tokens)
+    val th2 = new Array[Long](tokens)
+    var t = 0
+    while (t < tokens) {
+      val off = Platform.BYTE_ARRAY_OFFSET + offs(t * 2)
+      val len = offs(t * 2 + 1) - offs(t * 2)
+      th1(t) = XXH64.hashUnsafeBytes(bytes, off, len, 42L)
+      th2(t) = XXH64.hashUnsafeBytes(bytes, off, len, 0x9E3779B97F4A7C15L)
+      t += 1
+    }
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      var h1 = th1(i)
+      var h2 = th2(i)
+      var w = 1
+      while (w < n) {
+        h1 = XXH64.hashLong(th1(i + w), h1)
+        h2 = XXH64.hashLong(th2(i + w), h2)
+        w += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h1, h2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** window-hash pairs for all k-token windows — see
+  * [[WindowHashKernel.windowHashPairs]]. */
+case class WordWindowHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "n must be positive")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h1",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h2",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_word_window_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WindowHashKernel.windowHashPairs(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.WindowHashKernel.windowHashPairs($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** duplicate word-n-gram fraction — see [[NgramKernels.dupFraction]]. */

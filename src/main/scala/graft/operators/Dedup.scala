@@ -1510,23 +1510,21 @@ object Dedup {
       k: Int = 8): DataFrame = {
     require(k >= 2, s"span length k must be >= 2, got $k")
     graft.InternalCols.requireAbsent(docs, "Dedup.dropSharedSpans",
-      "__id", "__idx", "__k", "__toks", "__span", "__rm", "__wid", "__widx")
-    val toks = graft.functions.TextFunctions.wsTokens(col(textCol))
-    // all k-token windows with their 0-based start index; docs shorter
-    // than k tokens contribute no spans (sequence() would run BACKWARD
-    // for size-k < 0, so the short side is an explicit empty array)
+      "__id", "__idx", "__k", "__toks", "__wh", "__rm", "__wid", "__widx",
+      "__ivs_s", "__ivs_e", "__id0", "__c")
+    // all k-token windows with their 0-based start index, as 128-bit
+    // hash-pair surrogates straight off the text bytes
+    // ([[graft.functions.expressions.WordWindowHashes]] — r15: the
+    // composed slice+concat_ws+xxhash64 form built one string per
+    // window, the dominant cost of the 20× occ stage); docs shorter
+    // than k tokens contribute no spans (empty array)
     val occ = docs
-      .select(col(idCol).as("__id"), toks.as("__toks"))
-      .select(col("__id"), posexplode(
-        when(size(col("__toks")) < k,
-          array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0), size(col("__toks")) - k),
-            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
-        .as(Seq("__idx", "__span")))
-      .select(col("__id"), col("__idx"),
-        struct(xxhash64(col("__span")),
-          xxhash64(lit(0x9E3779B97F4A7C15L), col("__span"))).as("__k"))
+      .select(col(idCol).as("__id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.WordWindowHashes(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
+            k)).as("__wh"))
+      .select(col("__id"), posexplode(col("__wh")).as(Seq("__idx", "__k")))
     val winners = keepFirstByKey(occ, docs.schema(idCol).dataType,
       "dropSharedSpans")
       .withColumnRenamed("__id", "__wid").withColumnRenamed("__idx", "__widx")
@@ -1556,41 +1554,41 @@ object Dedup {
             "removal lists would cross-apply)")))).as("__id"))
       .join(rmLists, Seq("__id"), "left")
     // Rebuild in O(tokens + removals) per doc: the sorted removal STARTS
-    // fold once into disjoint [s, e) intervals (each start covers k
-    // tokens; overlapping/adjacent windows merge), and the kept text is
-    // the concatenation of the GAP slices between them — each token is
-    // copied at most once. The previous per-token
-    // `!exists(__rm, s => i >= s && i < s + k)` scanned the whole removal
-    // list per token — O(tokens × removals), quadratic exactly on the
-    // boilerplate-heavy documents this operator exists for.
-    val ivsOf = (rm: Column) => aggregate(
-      coalesce(rm, array().cast("array<int>")),
-      array().cast("array<struct<s:int,e:int>>"),
-      (acc, s) => {
-        // get() (0-based) returns null past the end — element_at(-1)
-        // THROWS on the empty accumulator under ANSI mode
-        val last = get(acc, size(acc) - 1)
-        when(size(acc) > 0 && s <= last.getField("e"),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(last.getField("s").as("s"),
-              greatest(last.getField("e"), s + lit(k)).as("e")))))
-          .otherwise(concat(acc,
-            array(struct(s.as("s"), (s + lit(k)).as("e")))))
-      })
+    // merge into disjoint [s, e) intervals and the kept text is the
+    // concatenation of the GAP slices between them — each token copied
+    // at most once. Because every window has the SAME length k, a merged
+    // run is exactly a maximal chain of consecutive starts each within k
+    // of its predecessor: run HEADS (interval starts) and run TAILS + k
+    // (interval ends) fall out of two shifted zip_withs in O(removals)
+    // with no accumulator — both an aggregate() interval fold (its
+    // per-element concat copies the array accumulator: O(removals²) per
+    // doc, measured 49 s on the 20× replica corpus where most docs are
+    // near-fully removed) and the original per-token
+    // `!exists(__rm, ...)` scan (O(tokens × removals)) are quadratic
+    // exactly on the boilerplate-heavy documents this operator exists
+    // for. Sentinels: a previous start of -k-1 makes the first element a
+    // run head; a next start of Int.MaxValue makes the last a run tail.
+    val rmArr = coalesce(col("__rm"), array().cast("array<int>"))
+    val rLen = greatest(size(rmArr) - 1, lit(0))
+    val prevs = concat(array(lit(-k - 1)), slice(rmArr, lit(1), rLen))
+    val nexts = concat(slice(rmArr, lit(2), rLen), array(lit(Int.MaxValue)))
+    val starts = filter(
+      zip_with(rmArr, prevs, (s, p) => when(s > p + k, s)), _.isNotNull)
+    val ends = filter(
+      zip_with(rmArr, nexts, (s, n) => when(n > s + k, s + k)), _.isNotNull)
     docs
       .join(rmFull, docs(idCol) === rmFull("__id"), "left")
-      // stage intervals and the re-tokenized text as ATTRIBUTES so the
-      // gap-start/gap-end lambdas don't re-run the fold (the quantize
-      // staging pattern — CollapseProject keeps multi-use non-cheap
-      // expressions staged)
+      // stage interval bounds and the re-tokenized text as ATTRIBUTES so
+      // the gap lambdas don't re-derive them (the quantize staging
+      // pattern — CollapseProject keeps multi-use non-cheap expressions
+      // staged)
       .select(docs(idCol),
         graft.functions.TextFunctions.wsTokens(docs(textCol)).as("__toks"),
-        ivsOf(col("__rm")).as("__ivs"))
+        starts.as("__ivs_s"), ends.as("__ivs_e"))
       .select(col(idCol),
         concat_ws(" ", flatten(zip_with(
-          concat(array(lit(0)), transform(col("__ivs"), v => v.getField("e"))),
-          concat(transform(col("__ivs"), v => v.getField("s")),
-            array(size(col("__toks")))),
+          concat(array(lit(0)), col("__ivs_e")),
+          concat(col("__ivs_s"), array(size(col("__toks")))),
           (gs, ge) => slice(col("__toks"), gs + 1, greatest(ge - gs, lit(0))))))
           .as(textCol))
   }

@@ -400,6 +400,44 @@ class ParagraphDedupSpec extends SparkSpec {
         .filter(p => p._1 != p._2).take(3).toString)
   }
 
+  test("WordWindowHashes surrogate groups windows EXACTLY like " +
+    "span-string equality (well-defined and injective on observed spans)") {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val k = 3
+    val docs = Seq(
+      (1L, "a b c a b c a b"),
+      (2L, " a  b\tc a b c x y "),   // odd whitespace, same spans as 1
+      (3L, "ab c ab c"),             // token-boundary trap: "ab c" != "a b c"
+      (4L, "a b c a b c a b"),       // exact dup of 1
+      (5L, "xy")                     // shorter than k
+    ).toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+      posexplode(when(
+        size(graft.functions.TextFunctions.wsTokens(col("text"))) < k,
+        array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0),
+            size(graft.functions.TextFunctions.wsTokens(col("text"))) - k),
+          i => concat_ws(" ", slice(
+            graft.functions.TextFunctions.wsTokens(col("text")), i + 1,
+            lit(k)))))).as(Seq("idx", "span")))
+      .join(docs.select(col("doc_id"),
+        toCol(graft.functions.expressions.WordWindowHashes(
+          toExpr(col("text")), k)).as("wh")), "doc_id")
+      .select(col("doc_id"), col("idx"), col("span"),
+        col("wh")(col("idx")).as("h"))
+      .collect()
+      .map(r => (r.getString(2), (r.getStruct(3).getLong(0),
+        r.getStruct(3).getLong(1))))
+    assert(both.nonEmpty)
+    // well-defined: equal spans -> equal hash pairs
+    both.groupBy(_._1).foreach { case (s, xs) =>
+      assert(xs.map(_._2).distinct.size == 1, s"span $s got multiple hashes")
+    }
+    // injective on observed values: distinct spans -> distinct pairs
+    assert(both.map(_._1).distinct.size == both.map(_._2).distinct.size)
+  }
+
   test("dropSharedSpans fails loudly on duplicate ids instead of " +
     "cross-applying removal lists") {
     val docs = Seq(
