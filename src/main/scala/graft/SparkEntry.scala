@@ -923,6 +923,32 @@ object SparkEntry {
         col("rank").cast("bigint").as("rank"))
   }
 
+  /** SURVEY 34l `ivfpq_append` (r15): incremental ingest into the
+    * persisted IVF-PQ index — builds on 80% of the corpus, the rest
+    * arrives as a batch encoded with the FROZEN centroids + codebooks
+    * through the partition-scoped merge, and the nprobe-all × rerank-all
+    * search over the merged index equals the full-corpus brute force —
+    * proving the appended codes are really searchable. */
+  private def ivfPqAppendQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val repo = PqRepo(s, Files.createTempDirectory("graft_ivfpqapp").toString)
+    val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val built = Similarity.ivfBuild(base, "vec_id", "embedding",
+      numCentroids = 16, kmeansIters = 1)
+    val books = Similarity.pqTrain(base, "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 4, sampleRows = 1024)
+    Similarity.writeIvfPqIndex(repo, built, books, "ann", "emb")
+    Similarity.appendToIvfPqIndex(repo, batch, "vec_id", "embedding",
+      "ann", "emb")
+    val (cents, books2, coded) = Similarity.readIvfPqIndex(repo, "ann", "emb")
+    Similarity.ivfPqSearch(cents, books2, coded, e,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nprobe = 16, rerankDepth = Int.MaxValue)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   /** SURVEY 34h `embed_ivf_append`: incremental ingest into a persisted
     * IVF index — the index builds on part of the corpus, the rest arrives
     * as a batch through the partition-scoped merge (only touched cluster
@@ -1173,6 +1199,24 @@ object SparkEntry {
     operators.TfIdf.vocabularyCoverage(t(s, dir, "documents"),
       "doc_id", "text", vocabSize = 200)
       .withColumnRenamed("id", "doc_id")
+
+  /** SURVEY 43c `corpus_drift` (r15): token-distribution drift between
+    * the even-id half of the corpus (reference) and the odd-id half
+    * (current batch) with a PLANTED burst token injected into part of
+    * the current side — the top rows must surface it. Exact integer
+    * (decimal) cross-multiplied share differences; the oracle recomputes
+    * them in HUGEINT and casts to the same DECIMAL(38,0). */
+  private def corpusDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val ref = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val cur = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 1,
+            lit(" zzdrift zzdrift")).otherwise(lit(""))).as("text"))
+    operators.TfIdf.tokenDrift(ref, cur, "doc_id", "text", topN = 50)
+      .select(col("term"), col("n_ref"), col("n_cur"), col("drift"))
+  }
 
   private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1557,6 +1601,7 @@ object SparkEntry {
       "contamination" -> (contaminationQ _),
       "tfidf_topk" -> (tfidfTopK _),
       "vocab_coverage" -> (vocabCoverage _),
+      "corpus_drift" -> (corpusDriftQ _),
       "dedup_paragraph" -> (dedupParagraph _),
       "dedup_spans" -> (dedupSpans _),
       "q_stratified_sample" -> (qStratifiedSample _),
@@ -1580,6 +1625,7 @@ object SparkEntry {
       "embed_ivf_index" -> (embedIvfIndexQ _),
       "pq_topk" -> (pqTopKQ _),
       "ivfpq_topk" -> (ivfPqTopKQ _),
+      "ivfpq_append" -> (ivfPqAppendQ _),
       "embed_ivf_append" -> (embedIvfAppend _),
       "embed_q8_append" -> (embedQ8Append _)
     )
@@ -2268,6 +2314,29 @@ object SparkEntry {
               AS BIGINT) AS oov_tokens
           FROM terms LEFT JOIN vocab v USING (term)
           GROUP BY doc_id""",
+    "corpus_drift" ->
+      // exact cross-multiplied share differences in HUGEINT, cast to the
+      // same DECIMAL(38,0) the Spark side emits; ties (drift desc, term
+      // asc) are deterministic in both engines
+      raw"""WITH ref AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS n_ref FROM (
+                SELECT unnest(${wsTokensSql("lower(text)")}) AS term
+                FROM documents WHERE doc_id % 2 = 0) GROUP BY term),
+            cur AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS n_cur FROM (
+                SELECT unnest(${wsTokensSql(
+                  "lower(text || CASE WHEN doc_id % 7 = 1 THEN ' zzdrift zzdrift' ELSE '' END)")}) AS term
+                FROM documents WHERE doc_id % 2 = 1) GROUP BY term),
+            tot AS (SELECT (SELECT coalesce(sum(n_ref), 0) FROM ref) AS tr,
+                           (SELECT coalesce(sum(n_cur), 0) FROM cur) AS tc)
+          SELECT term,
+            coalesce(n_ref, 0) AS n_ref,
+            coalesce(n_cur, 0) AS n_cur,
+            CAST(abs(CAST(coalesce(n_ref, 0) AS HUGEINT) * tot.tc
+                   - CAST(coalesce(n_cur, 0) AS HUGEINT) * tot.tr)
+              AS DECIMAL(38,0)) AS drift
+          FROM ref FULL OUTER JOIN cur USING (term), tot
+          ORDER BY drift DESC, term ASC LIMIT 50""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CASE WHEN lang = 'en' THEN doc_id % 10 < 5
@@ -2595,6 +2664,7 @@ object SparkEntry {
     // brute-force top-5 — the same composed-no-op oracle pattern
     "pq_topk" -> bruteTop5Sql,
     "ivfpq_topk" -> bruteTop5Sql,
+    "ivfpq_append" -> bruteTop5Sql,
     "embed_ivf_append" -> bruteTop5Sql,
     "embed_q8_append" -> bruteTop5Sql
   )

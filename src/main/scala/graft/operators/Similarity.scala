@@ -1087,6 +1087,53 @@ object Similarity {
     (cents, books, repo.table(schema, s"${name}_ivfpq"))
   }
 
+  /** Incrementally APPEND a batch to a persisted IVF-PQ index — the
+    * daily-embedding-batch primitive of [[appendToIvfIndex]] for the
+    * PQ layout: the batch assigns against the FROZEN centroids and
+    * encodes with the FROZEN codebooks (the index geometry is fixed
+    * between re-trains — a drifted corpus re-trains via [[ivfBuild]] +
+    * [[pqTrain]] + [[writeIvfPqIndex]]) and lands through the repo's
+    * partition-scoped merge on (id, cluster): only the cluster
+    * directories the batch touches rewrite, re-ingest is idempotent.
+    * `checkMoved` (default on) is [[appendToIvfIndex]]'s moved-cluster
+    * guard — a re-ingested id whose embedding moved clusters would
+    * leave its stale codes in an untouched partition; the thin
+    * (id, cluster) join detects it and aborts before disk. */
+  def appendToIvfPqIndex(
+      repo: graft.sources.PqRepo,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      schema: String,
+      name: String,
+      checkMoved: Boolean = true): Unit = {
+    val (cents, books, coded) = readIvfPqIndex(repo, schema, name)
+    val assigned = assignClusters(
+      batch.select(col(idCol).as("id"), col(vecCol).as("v")), cents)
+    if (checkMoved) {
+      val moved = coded.select(col("id"), col("cluster").as("__old"))
+        .join(assigned.select(col("id"), col("cluster")), Seq("id"))
+        .filter(col("__old") =!= col("cluster"))
+        .select(col("id"), col("__old"), col("cluster"))
+      val sample = moved.limit(5).collect() // bounded: ≤5 rows
+      if (sample.nonEmpty) {
+        val shown = sample.map(r =>
+          s"${r.get(0)}: ${r.get(1)} -> ${r.get(2)}").mkString(", ")
+        throw new IllegalStateException(
+          s"appendToIvfPqIndex($schema/$name): batch re-ingests ids whose " +
+            s"embeddings moved clusters [$shown${if (sample.length == 5) ", …" else ""}] — " +
+            "stale codes would survive in partitions this merge never " +
+            "rewrites. Re-train via ivfBuild + pqTrain + writeIvfPqIndex " +
+            "if the corpus drifted, or pass checkMoved = false only for " +
+            "provably append-only feeds")
+      }
+    }
+    val codedBatch = assigned.select(col("id"), col("cluster"),
+      VectorFunctions.pqEncode(col("v"), books.books).as("codes"))
+    repo.mergePartitioned(codedBatch, schema, s"${name}_ivfpq",
+      keys = Seq("id", "cluster"), partitionCols = Seq("cluster"))
+  }
+
   /** IVF-PQ search over a persisted index: each query probes its
     * `nprobe` nearest clusters (the partition-pruned equi-join of
     * [[ivfSearch]]), ADC-scores ONLY the probed clusters' codes

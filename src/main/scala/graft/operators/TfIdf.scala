@@ -147,4 +147,63 @@ object TfIdf {
         sum(when(col("__v").isNull, col("tf")).otherwise(lit(0L)))
           .as("oov_tokens"))
   }
+
+  /** Token-distribution DRIFT between a reference corpus and a current
+    * batch (r15) — the data-drift monitor a continuously-fed training
+    * pipeline runs before mixing a new crawl snapshot in: the tokens
+    * whose corpus share moved most flag topic/language/spam shifts or a
+    * broken upstream extractor, BEFORE they contaminate a mix.
+    *
+    * Per token: `drift = |n_ref · N_cur − n_cur · N_ref|` — the
+    * cross-multiplied share difference `|p_ref − p_cur|` scaled by the
+    * exact integer `N_ref · N_cur`, ranking identical to the real share
+    * difference with NO division: real-valued shares (or a KL term's
+    * log) differ in the last ulp across engines, the [[topTerms]]
+    * integer-idf lesson. Products run in DECIMAL(38,0) — a long × long
+    * product (≤ ~8.5e37) always fits 38 digits, so the arithmetic is
+    * exact and overflow-free at any corpus size where the counts
+    * themselves fit a long. Output: top-`topN` by (drift desc, term
+    * asc): (term, n_ref bigint, n_cur bigint, drift decimal(38,0)).
+    *
+    * Scale shape: per-corpus token counts are ONE vocabulary-sized
+    * map-side-combined exchange each, off the fused per-doc
+    * [[graft.functions.expressions.TokenCounts]] kernel — text never
+    * shuffles; each counts frame is materialized once so its scalar
+    * total doesn't re-run the tokenize; the totals broadcast via a
+    * 1-row cross join; the merge is a full-outer join of two
+    * vocabulary-sized frames on term; the top-N is a TakeOrdered, no
+    * full sort. Nothing corpus-sized crosses the wire. */
+  def tokenDrift(
+      reference: DataFrame,
+      current: DataFrame,
+      idCol: String,
+      textCol: String,
+      topN: Int = 100): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    def counts(df: DataFrame, as: String) = Dedup.materializeOnce(
+      Dedup.fanOut(
+        df.select(col(idCol).as("id"), lower(col(textCol)).as("t")),
+        col("id"))
+        .select(explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.TokenCounts(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("t")))))
+          .as(Seq("term", "tf")))
+        .groupBy("term").agg(sum(col("tf")).as(as)))
+    val r = counts(reference, "n_ref")
+    val c = counts(current, "n_cur")
+    val totals = broadcast(
+      r.agg(coalesce(sum(col("n_ref")), lit(0L)).as("__tr"))
+        .crossJoin(c.agg(coalesce(sum(col("n_cur")), lit(0L)).as("__tc"))))
+    val dec = "decimal(38,0)"
+    r.join(c, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .crossJoin(totals)
+      .select(col("term"), col("n_ref"), col("n_cur"),
+        abs(col("n_ref").cast(dec) * col("__tc").cast(dec) -
+          col("n_cur").cast(dec) * col("__tr").cast(dec)).as("drift"))
+      .orderBy(col("drift").desc, col("term").asc)
+      .limit(topN)
+  }
 }

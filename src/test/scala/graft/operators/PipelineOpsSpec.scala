@@ -201,6 +201,29 @@ class TfIdfSpec extends SparkSpec {
     assert(out == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
   }
 
+  test("tokenDrift: exact cross-multiplied share differences, planted " +
+    "burst tops the list, one-sided tokens survive the full-outer merge") {
+    // ref: 6 tokens (a×3, b×2, c×1); cur: 8 tokens (a×2, b×2, burst×3, d×1)
+    val ref = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val cur = Seq((3L, "a b burst burst"), (4L, "a b burst d")).toDF("doc_id", "text")
+    val out = TfIdf.tokenDrift(ref, cur, "doc_id", "text", topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toBigInteger.longValueExact()))
+    // drift = |n_ref·8 − n_cur·6|
+    val expect = Map(
+      "a" -> ((3L, 2L, math.abs(3 * 8 - 2 * 6).toLong)),  // 12
+      "b" -> ((2L, 2L, math.abs(2 * 8 - 2 * 6).toLong)),  // 4
+      "c" -> ((1L, 0L, 8L)),                              // ref-only
+      "burst" -> ((0L, 3L, 18L)),                         // planted burst
+      "d" -> ((0L, 1L, 6L)))
+    assert(out.map(x => x._1 -> ((x._2, x._3, x._4))).toMap == expect,
+      out.mkString(", "))
+    // ordering: drift desc, term asc
+    assert(out.map(_._1).toSeq == Seq("burst", "a", "c", "d", "b"))
+    // the planted burst token ranks first
+    assert(out.head._1 == "burst")
+  }
+
   test("rank is deterministic: score desc then term asc, k bound respected") {
     val docs = Seq((1L, "zz aa zz aa bb")).toDF("doc_id", "text")
     val out = TfIdf.topTerms(docs, "doc_id", "text", k = 2)

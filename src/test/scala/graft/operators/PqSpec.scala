@@ -136,4 +136,49 @@ class PqSpec extends SparkSpec {
       rerankDepth = 50))
     assert(p1 == p2 && p1.nonEmpty)
   }
+
+  test("appendToIvfPqIndex: batch encodes with frozen geometry, lands in " +
+    "its clusters, search covers it, re-append idempotent, moved id aborts") {
+    val repo = PqRepo(spark, Files.createTempDirectory("idx_ivfpq_app").toString)
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val built = Similarity.ivfBuild(base, "vec_id", "embedding",
+      numCentroids = 8, kmeansIters = 1)
+    val books = Similarity.pqTrain(base, "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 3, sampleRows = 256)
+    Similarity.writeIvfPqIndex(repo, built, books, "ann", "e")
+    Similarity.appendToIvfPqIndex(repo, batch, "vec_id", "embedding", "ann", "e")
+
+    val (cents, books2, coded) = Similarity.readIvfPqIndex(repo, "ann", "e")
+    assert(coded.count() == emb.count(), "appended rows must be in the index")
+    // the merged index serves the FULL corpus exactly at nprobe-all ×
+    // rerank-all — proving appended codes are really searchable
+    val queries = emb.filter(col("vec_id") < 5)
+    val full = topSet(Similarity.ivfPqSearch(cents, books2, coded, emb,
+      queries, "vec_id", "embedding", k = 4, nprobe = 8,
+      rerankDepth = Int.MaxValue))
+    val brute = topSet(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 4))
+    assert(full == brute && full.nonEmpty)
+
+    // idempotent re-append
+    Similarity.appendToIvfPqIndex(repo, batch, "vec_id", "embedding", "ann", "e")
+    assert(Similarity.readIvfPqIndex(repo, "ann", "e")._3.count() == emb.count())
+
+    // a re-ingested id whose embedding moved clusters aborts loudly
+    import spark.implicits._
+    val movedId = batch.select("vec_id").head().getLong(0)
+    val far = emb.filter(col("vec_id") =!= movedId)
+      .orderBy(col("vec_id").desc).select("embedding").head()
+      .getSeq[Float](0).map(x => -x)
+    val movedBatch = Seq((movedId, far)).toDF("vec_id", "embedding")
+    val before = Similarity.readIvfPqIndex(repo, "ann", "e")._3.count()
+    val e = intercept[IllegalStateException] {
+      Similarity.appendToIvfPqIndex(repo, movedBatch, "vec_id", "embedding",
+        "ann", "e")
+    }
+    assert(e.getMessage.contains("moved clusters"), e.getMessage)
+    assert(Similarity.readIvfPqIndex(repo, "ann", "e")._3.count() == before,
+      "index must be untouched after the abort")
+  }
 }
