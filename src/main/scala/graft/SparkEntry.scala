@@ -1218,6 +1218,27 @@ object SparkEntry {
       .select(col("term"), col("n_ref"), col("n_cur"), col("drift"))
   }
 
+  /** SURVEY 43d `heavy_hitters` (r15): per-language frequent tokens via
+    * the bounded Misra–Gries aggregate — k = 256 exceeds the corpus's
+    * distinct per-language vocabulary at every verification scale (130
+    * at 100×: replica suffixes widen it), so every counter is EXACT and the DuckDB
+    * oracle is the plain per-group count ranking (the no-op-parameter ⇒
+    * exact pattern); the sub-k sketch regime is spec-verified. */
+  private def heavyHittersQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tf = d.select(col("lang"),
+      explode(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.TokenCounts(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            lower(col("text"))))))
+        .as(Seq("term", "tf")))
+    tf.groupBy("lang")
+      .agg(TextFunctions.heavyHitters(col("term"), col("tf"), 256).as("__hh"))
+      .select(col("lang"), posexplode(col("__hh")).as(Seq("__pos", "__e")))
+      .select(col("lang"), (col("__pos") + 1).cast("bigint").as("rank"),
+        col("__e.term").as("term"), col("__e.count").as("cnt"))
+  }
+
   private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(when(col("lang") === "en", pmod(col("doc_id"), lit(10)) < 5)
@@ -1602,6 +1623,7 @@ object SparkEntry {
       "tfidf_topk" -> (tfidfTopK _),
       "vocab_coverage" -> (vocabCoverage _),
       "corpus_drift" -> (corpusDriftQ _),
+      "heavy_hitters" -> (heavyHittersQ _),
       "dedup_paragraph" -> (dedupParagraph _),
       "dedup_spans" -> (dedupSpans _),
       "q_stratified_sample" -> (qStratifiedSample _),
@@ -2337,6 +2359,21 @@ object SparkEntry {
               AS DECIMAL(38,0)) AS drift
           FROM ref FULL OUTER JOIN cur USING (term), tot
           ORDER BY drift DESC, term ASC LIMIT 50""",
+    "heavy_hitters" ->
+      // k = 256 exceeds the distinct vocabulary, so the MG counters are
+      // exact and the oracle is the plain per-group ranking; ties
+      // (count desc, term asc) deterministic in both engines
+      raw"""WITH terms AS (
+              SELECT lang, unnest(${wsTokensSql("lower(text)")}) AS term
+              FROM documents),
+            cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+                    FROM terms GROUP BY 1, 2)
+          SELECT lang,
+            CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank,
+            term, cnt
+          FROM cnt
+          QUALIFY rank <= 256""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CASE WHEN lang = 'en' THEN doc_id % 10 < 5

@@ -193,6 +193,22 @@ object TextFunctions {
         EmailRegex, "<EMAIL>"),
       PhoneRegex, "<PHONE>")
 
+  /** Per-group Misra–Gries frequent items (r15): at most `k` counters
+    * per group no matter the group size — each map task combines its
+    * partition into a bounded buffer before the exchange, so the token
+    * stream itself never shuffles (an exact `groupBy(term).count()` over
+    * a web-scale vocabulary does). Returns
+    * `array<struct<term, count>>` sorted (count desc, term asc); counts
+    * are lower bounds within totalWeight/(k+1) and EXACT when the group
+    * has ≤ k distinct terms — the oracle regime
+    * ([[graft.functions.expressions.MisraGries]]). */
+  def heavyHitters(term: Column, weight: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.MisraGries(
+        org.apache.spark.sql.graft.ColumnBridge.expression(term),
+        org.apache.spark.sql.graft.ColumnBridge.expression(weight), k)
+        .toAggregateExpression())
+
   /** Duplicate word-n-gram fraction — the Gopher-style repetition signal:
     * 1 - distinct/total over the document's n-grams (0.0 when fewer than
     * one n-gram). High values flag boilerplate/looping text. Integer
