@@ -1490,6 +1490,18 @@ object SparkEntry {
       TextFunctions.canonicalizeUrl(col("url")).as("canon"))
   }
 
+  /** SURVEY 40c `dedup_url` (r15): URL-level dedup — the crawl-frontier
+    * TRANSFORM over row 40b's canonical keys: of all documents sharing a
+    * canonical URL only the smallest doc_id survives (fetch each page
+    * once; dedup before any content is downloaded). Composes
+    * [[urlCanonicalize]]'s noisy-URL generation + canonical form with
+    * the keep-first [[Dedup.exact]]; the planted generator collides
+    * heavily (7 hosts × 50 paths × 5 surviving args). */
+  private def dedupUrlQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(urlCanonicalize(s, dir).select(col("doc_id"), col("canon")),
+      Seq("canon"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("canon"))
+
   /** SURVEY 23n `q_transitions`: per-user event-type transition counts
     * (the Markov matrix behind journey analysis): one window pass keyed on
     * the user (lag over ts, event_id tie-break), then a global rollup of
@@ -1636,6 +1648,7 @@ object SparkEntry {
       "q_funnel" -> (qFunnel _),
       "q_retention" -> (qRetention _),
       "url_canonicalize" -> (urlCanonicalize _),
+      "dedup_url" -> (dedupUrlQ _),
       "q_transitions" -> (qTransitions _),
       "source_minhash" -> (sourceMinhash _),
       "repo_merge" -> (repoMerge _),
@@ -1658,6 +1671,42 @@ object SparkEntry {
 
   private def wsTokensSql(e: String) =
     raw"list_filter(string_split_regex(trim($e), '\s+'), x -> len(x) > 0)"
+
+  /** Shared canonicalization replay: generated noisy URLs + the full
+    * canonical-form SQL — the `url_canonicalize` oracle, reused (wrapped
+    * in a keep-first QUALIFY) by `dedup_url`. */
+  private lazy val urlCanonSql: String =
+    raw"""WITH u AS (
+            SELECT doc_id,
+              (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'https' END)
+              || '://Example' || (doc_id % 7) || '.COM'
+              || (CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 3 = 2 THEN ':443' ELSE ':80' END) ELSE '' END)
+              || '/p/' || (doc_id % 50)
+              || '?utm_source=x&b=' || (doc_id % 5) || '&a=1'
+              || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+            FROM documents),
+          parts AS (
+            SELECT doc_id, url,
+              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+              lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+(:[0-9]+)', 1) AS port,
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+              regexp_extract(url, '(\?[^#]*)', 1) AS query
+            FROM u)
+          SELECT doc_id, url,
+            scheme || '://' || host
+            || (CASE WHEN port = '' OR (scheme = 'http' AND port = ':80')
+                       OR (scheme = 'https' AND port = ':443')
+                     THEN '' ELSE port END)
+            || (CASE WHEN path = '' THEN '/' ELSE path END)
+            || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS canon
+          FROM (
+            SELECT *, list_sort(list_filter(
+                string_split(regexp_replace(query, '^\?', ''), '&'),
+                p -> p <> '' AND NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid')
+                  OR starts_with(p, 'gclid') OR starts_with(p, 'msclkid')
+                  OR starts_with(p, 'mc_eid') OR starts_with(p, 'ref_')))) AS kept
+            FROM parts)"""
 
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ",", ")")
@@ -2460,38 +2509,13 @@ object SparkEntry {
            FROM events)
          WHERE prev_type IS NOT NULL
          GROUP BY 1, 2""",
-    "url_canonicalize" ->
-      raw"""WITH u AS (
-            SELECT doc_id,
-              (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'https' END)
-              || '://Example' || (doc_id % 7) || '.COM'
-              || (CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 3 = 2 THEN ':443' ELSE ':80' END) ELSE '' END)
-              || '/p/' || (doc_id % 50)
-              || '?utm_source=x&b=' || (doc_id % 5) || '&a=1'
-              || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
-            FROM documents),
-          parts AS (
-            SELECT doc_id, url,
-              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-              lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
-              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+(:[0-9]+)', 1) AS port,
-              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
-              regexp_extract(url, '(\?[^#]*)', 1) AS query
-            FROM u)
-          SELECT doc_id, url,
-            scheme || '://' || host
-            || (CASE WHEN port = '' OR (scheme = 'http' AND port = ':80')
-                       OR (scheme = 'https' AND port = ':443')
-                     THEN '' ELSE port END)
-            || (CASE WHEN path = '' THEN '/' ELSE path END)
-            || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS canon
-          FROM (
-            SELECT *, list_sort(list_filter(
-                string_split(regexp_replace(query, '^\?', ''), '&'),
-                p -> p <> '' AND NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid')
-                  OR starts_with(p, 'gclid') OR starts_with(p, 'msclkid')
-                  OR starts_with(p, 'mc_eid') OR starts_with(p, 'ref_')))) AS kept
-            FROM parts)""",
+    "url_canonicalize" -> urlCanonSql,
+    "dedup_url" ->
+      // keep-first per canonical URL over the shared canonicalization
+      // replay: min doc_id survives each canon group
+      s"""WITH c AS ($urlCanonSql)
+          SELECT doc_id, canon FROM c
+          QUALIFY row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1""",
     "q_funnel" ->
       """WITH s1 AS (
            SELECT user_id, min(ts) AS t FROM events
