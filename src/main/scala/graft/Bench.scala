@@ -99,6 +99,18 @@ object Bench {
     (fromEnv.iterator ++ walked).find(_.isFile)
   }
 
+  /** The scale-section query set: the most expensive DATA-BOUND queries,
+    * all over the tables tools/scale_up.py scales. The ORDER here is a
+    * published contract — the summary line's big20x/b100 per-query
+    * centisecond arrays follow it positionally (names would overflow the
+    * driver's stdout tail; bench_detail.json keeps the name→seconds map
+    * for humans). Append-only: inserting mid-list would silently
+    * misalign round-over-round comparisons of the positional arrays. */
+  val headline: Seq[String] = Seq("pipeline_curate", "dedup_drop",
+    "q_interval_join", "dedup_minhash", "dedup_embed", "embed_ivf_ann",
+    "dedup_simhash", "multimodal_image", "tfidf_topk", "embed_lsh_ann",
+    "dedup_spans", "pq_topk")
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -165,7 +177,9 @@ object Bench {
       big100Total: Option[(Double, Double, Double)],
       sfName: String,
       big100Calib: Option[Double] = None,
-      big100Skip: String = "skip"): String = {
+      big100Skip: String = "skip",
+      bigPerQuery: Seq[Double] = Nil,
+      big100PerQuery: Seq[Double] = Nil): String = {
     // `"qv"` carries the per-query values ONLY, in LEXICOGRAPHIC query-
     // name order (`"qord":"name"` marks it): the names themselves are
     // ~1100 chars of the 91-query registry and overflowed the driver
@@ -183,14 +197,22 @@ object Bench {
       if (math.max(calib._1, calib._2) > 1.5) ""","calib_bad":true""" else ""
     // scale sections render as [total_sec, vs_duckdb] arrays (the calib
     // field's shape): labeled-object form plus the compute-equivalent
-    // ratio overflowed the driver's tail budget at 86 queries, so the
-    // full per-query breakdown and veq live in bench_detail.json
-    def bigSection(label: String, s: Option[(Double, Double, Double)]): String =
-      s.map { case (t, v, _) =>
-        val vsB = if (v >= 0) "," + fmt2(v) else ""
-        s""","$label":[${fmt1(t)}$vsB]"""
-      }.getOrElse("")
-    val bigS = bigSection("big20x", big)
+    // ratio overflowed the driver's tail budget at 86 queries, so veq
+    // lives in bench_detail.json. Since r16 each present section carries
+    // a trailing NESTED array of per-query MIN centiseconds in the fixed
+    // [[headline]] order (names are redundant — bench_detail.json keeps
+    // the full name→seconds map): the round artifact itself can then
+    // attribute a scale-ratio move query-by-query (the r15 0.43→0.74
+    // big20x move was only explainable in aggregate). ~60 chars per
+    // section at 12 queries — inside the tail budget the worst-case
+    // spec pins. A failed query's −1 sentinel stays −1.
+    def perQ(qs: Seq[Double]): String =
+      if (qs.isEmpty) ""
+      else qs.map(fmtq).mkString(",[", ",", "]")
+    val bigS = big.map { case (t, v, _) =>
+      val vsB = if (v >= 0) "," + fmt2(v) else ""
+      s""","big20x":[${fmt1(t)}$vsB${perQ(bigPerQuery)}]"""
+    }.getOrElse("")
     // an absent 100x corpus is stated, not silently omitted (r13), and
     // the reason is DISTINCT (r14: "no-builder" vs "build-failed"). A
     // present section carries a third element: the calib load factor
@@ -200,7 +222,7 @@ object Bench {
       case Some((t, v, _)) =>
         val vsB = if (v >= 0) "," + fmt2(v) else ""
         val calB = big100Calib.map("," + fmt2(_)).getOrElse("")
-        s""","b100":[${fmt1(t)}$vsB$calB]"""
+        s""","b100":[${fmt1(t)}$vsB$calB${perQ(big100PerQuery)}]"""
       case None => s""","b100":"$big100Skip""""
     }
     s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","qunit":"cs","qord":"name","qv":$qv,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S,"sf":"$sfName"}"""
@@ -356,10 +378,6 @@ object Bench {
     // pq_topk (the new ADC search) — their 20x/100x DuckDB baselines were
     // extended in the same commit, so spark_min_total/vs_duckdb remain
     // like-for-like; pre-r15 totals cover the original ten rows only.
-    val headline = Seq("pipeline_curate", "dedup_drop", "q_interval_join",
-      "dedup_minhash", "dedup_embed", "embed_ivf_ann", "dedup_simhash",
-      "multimodal_image", "tfidf_topk", "embed_lsh_ann", "dedup_spans",
-      "pq_topk")
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_BIG_DIR", "/tmp/graft_big20x")
     val bigBuild = ensureScaled(sfDir, bigDir, 20)
     val bigReady: Boolean = bigBuild.isRight
@@ -509,7 +527,11 @@ object Bench {
       else None,
       sfName,
       big100CalibRatio,
-      big100Build.left.toOption.getOrElse("skip"))
+      big100Build.left.toOption.getOrElse("skip"),
+      // per-query scale minimums, in the same headline order the results
+      // were produced in (timeHeadline maps over `headline` directly)
+      bigPerQuery = bigResults.map(_._2._2),
+      big100PerQuery = big100Results.map(_._2._2))
     // the consumer keeps a bounded stdout tail (~2000 chars) and sbt
     // appends its own success line (~65 chars) after ours — flag the
     // overflow BEFORE it silently turns the recorded bench into parsed:null

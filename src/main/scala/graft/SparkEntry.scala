@@ -42,6 +42,34 @@ object SparkEntry {
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Per-invocation scratch directory, deleted on JVM exit. Registered
+    * queries that persist repo/index state (ivfpq_*, repo_*, bucketed
+    * layouts, stream checkpoints) create one per invocation; without the
+    * shutdown hook a 5-rep × 3-tier bench session leaks dozens of
+    * persisted index trees into /tmp across rounds. Deletion is
+    * recursive-at-exit, not deleteOnExit-per-file (which only removes
+    * empty dirs and would have to pre-register files not yet written). */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { p =>
+        try {
+          import java.nio.file.{Files => F}
+          if (F.exists(p)) {
+            F.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => { try F.deleteIfExists(q) catch { case _: Throwable => () } })
+          }
+        } catch { case _: Throwable => () }
+      }
+    }))
+  }
+  private def scratch(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   /** Exact integer cents from a 2-dp-valued double column. */
   private def cents(c: Column): Column = round(c * 100, 0).cast("bigint")
 
@@ -108,7 +136,7 @@ object SparkEntry {
   }
 
   private def schemaExport(s: SparkSession, dir: String): DataFrame = {
-    val repo = PqRepo(s, Files.createTempDirectory("graft_schema_export").toString)
+    val repo = PqRepo(s, scratch("graft_schema_export"))
     sources.SchemaExport.fromParquetDir(
       s, dir, Seq("region", "nation", "supplier"), repo, "tpch",
       modified = Some("x (Updated 2024-05-01)"))
@@ -122,7 +150,7 @@ object SparkEntry {
   }
 
   private def repoRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val repo = PqRepo(s, Files.createTempDirectory("graft_entry_repo").toString)
+    val repo = PqRepo(s, scratch("graft_entry_repo"))
     repo.write(t(s, dir, "nation"), "tpch", "nation",
       modified = Some("x (Updated 2024-05-01)"))
     repo.table("tpch", "nation")
@@ -421,7 +449,7 @@ object SparkEntry {
     // layouts: repeat executions measure the multi-format READ path, and
     // bench/verify runs don't leak a fresh staging per execution
     val staged = formatStagings.getOrElseUpdate(dir, {
-      val p = Files.createTempDirectory("graft_fmt").toString
+      val p = scratch("graft_fmt")
       d.write.mode("overwrite")
         .option("quoteAll", "true").option("escape", "\"")
         .csv(s"$p/csv")
@@ -440,6 +468,25 @@ object SparkEntry {
         .withColumnRenamed("n_chars", "n_chars_j"), "doc_id")
       .filter(col("lang") === col("lang_j") && col("n_chars") === col("n_chars_j"))
       .select("doc_id", "lang", "n_chars")
+  }
+
+  /** Batch twin of streaming MinHash-LSH near-dup (SURVEY 28i, r16):
+    * per-tumbling-window `Dedup.minhashPairs` with planted duplicate
+    * copies and a synthetic deterministic timestamp (documents carry
+    * none) spreading the corpus over 4 windows; the copy offset is
+    * divisible by 4, so each copy lands in its original's window.
+    * `StreamNearDup.pairsPerWindow`'s watermark-closed emission is
+    * MemoryStream-specced ≡ this twin (StreamNearDupSpec); threshold 1.0
+    * keeps the oracle in the identical-text regime (the dedup_minhash
+    * planted-pair pattern, windowed). */
+  private def streamNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val all = d.unionByName(dup).withColumn("ts",
+      timestamp_seconds(lit(1704067200L) + pmod(col("doc_id"), lit(4)) * 3600))
+    streaming.StreamNearDup.pairsBatch(all, "doc_id", "text", "ts",
+      windowSeconds = 3600, shingleK = 5, numHashes = 48, bands = 12,
+      threshold = 1.0, verified = true)
   }
 
   /** Batch twin of the streaming per-window top-k (SURVEY 28h): same
@@ -467,7 +514,7 @@ object SparkEntry {
   private[graft] def ensureBucketedLayout(s: SparkSession, dir: String): Unit = {
     val tag = s"b${math.abs(dir.hashCode)}"
     if (!s.catalog.tableExists(s"tpch_${tag}_lineitem_b")) {
-      val repo = PqRepo(s, Files.createTempDirectory("graft_bucketed").toString)
+      val repo = PqRepo(s, scratch("graft_bucketed"))
       repo.writeBucketed(
         t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
         s"tpch_$tag", "lineitem_b", Seq("l_orderkey"), 8)
@@ -498,7 +545,7 @@ object SparkEntry {
     * filters — static or runtime-injected — prune directories. */
   private def ensurePartitionedOrders(s: SparkSession, dir: String): String =
     partitionedLayouts.getOrElseUpdate(dir, {
-      val repo = PqRepo(s, Files.createTempDirectory("graft_part").toString)
+      val repo = PqRepo(s, scratch("graft_part"))
       repo.writePartitioned(
         t(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
@@ -571,7 +618,7 @@ object SparkEntry {
     // sentinel enters under a fixed name and is removed again before the
     // next run, so sentinels never accumulate across executions
     val (src, sentinelStash) = closedStagings.getOrElseUpdate(dir, {
-      val p = Files.createTempDirectory("graft_closed").toString
+      val p = scratch("graft_closed")
       val ev = t(s, dir, "events")
         .select(col("user_id").cast("long").as("user_id"),
           date_trunc("second", col("ts").cast("timestamp")).as("ts"))
@@ -586,7 +633,7 @@ object SparkEntry {
     })
     val sentinelDst = java.nio.file.Paths.get(src, "zz_sentinel.parquet")
     Files.deleteIfExists(sentinelDst)
-    val work = Files.createTempDirectory("graft_closed_run").toString
+    val work = scratch("graft_closed_run")
     val q = closedSessions(
       s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
         .as[TsEvent],
@@ -857,7 +904,7 @@ object SparkEntry {
     * ≡ brute force, so the persisted path shares the brute-force oracle. */
   private def embedIndexTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val repo = PqRepo(s, Files.createTempDirectory("graft_annidx").toString)
+    val repo = PqRepo(s, scratch("graft_annidx"))
     Similarity.writeQuantizedIndex(repo, e, "vec_id", "embedding", "ann", "emb")
     val coded = Similarity.readQuantizedIndex(repo, "ann", "emb")
     Similarity.quantizedTopKIndexed(coded, e, e.filter(col("vec_id") < 10),
@@ -872,7 +919,7 @@ object SparkEntry {
     * table; nprobe-all keeps the brute-force oracle. */
   private def embedIvfIndexQ(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val repo = PqRepo(s, Files.createTempDirectory("graft_ivfidx").toString)
+    val repo = PqRepo(s, scratch("graft_ivfidx"))
     val built = Similarity.ivfBuild(e, "vec_id", "embedding",
       numCentroids = 16, kmeansIters = 1)
     Similarity.writeIvfIndex(repo, built, "ann", "emb")
@@ -909,14 +956,40 @@ object SparkEntry {
     * oracle hook. */
   private def ivfPqTopKQ(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val repo = PqRepo(s, Files.createTempDirectory("graft_ivfpq").toString)
+    val repo = PqRepo(s, scratch("graft_ivfpq"))
     val built = Similarity.ivfBuild(e, "vec_id", "embedding",
       numCentroids = 16, kmeansIters = 1)
     val books = Similarity.pqTrain(e, "vec_id", "embedding",
       m = 8, ksub = 16, kmeansIters = 4, sampleRows = 1024)
     Similarity.writeIvfPqIndex(repo, built, books, "ann", "emb")
-    val (cents, books2, coded) = Similarity.readIvfPqIndex(repo, "ann", "emb")
-    Similarity.ivfPqSearch(cents, books2, coded, e,
+    val idx = Similarity.readIvfPqIndex(repo, "ann", "emb")
+    Similarity.ivfPqSearch(idx, e,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nprobe = 16, rerankDepth = Int.MaxValue)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
+  /** SURVEY 34m `ivfpq_residual` (r16): IVFADC proper (Jégou et al. 2011
+    * §IV-A) — codes quantize the RESIDUAL x − centroid[cluster] under
+    * codebooks trained on residuals, the layout flag persists in the
+    * index meta, and search shifts each query's LUT by ⟨q, centroid⟩ per
+    * probe. Recall dominance over raw-vector PQ at equal m is
+    * spec-verified (PqSpec); here the nprobe-all × rerank-all lifecycle
+    * over the persisted residual index ≡ brute force — the same
+    * composed oracle hook as `ivfpq_topk`, proving the residual
+    * encode/decode/meta plumbing end-to-end. */
+  private def ivfPqResidualQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val repo = PqRepo(s, scratch("graft_ivfpqres"))
+    val built = Similarity.ivfBuild(e, "vec_id", "embedding",
+      numCentroids = 16, kmeansIters = 1)
+    val books = Similarity.pqTrainResidual(built,
+      m = 8, ksub = 16, kmeansIters = 4, sampleRows = 1024)
+    Similarity.writeIvfPqIndex(repo, built, books, "ann", "emb",
+      residual = true)
+    val idx = Similarity.readIvfPqIndex(repo, "ann", "emb")
+    Similarity.ivfPqSearch(idx, e,
       e.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, nprobe = 16, rerankDepth = Int.MaxValue)
       .select(col("query_id"), col("cand_id"), col("cos"),
@@ -931,7 +1004,7 @@ object SparkEntry {
     * proving the appended codes are really searchable. */
   private def ivfPqAppendQ(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val repo = PqRepo(s, Files.createTempDirectory("graft_ivfpqapp").toString)
+    val repo = PqRepo(s, scratch("graft_ivfpqapp"))
     val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
     val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
     val built = Similarity.ivfBuild(base, "vec_id", "embedding",
@@ -941,8 +1014,8 @@ object SparkEntry {
     Similarity.writeIvfPqIndex(repo, built, books, "ann", "emb")
     Similarity.appendToIvfPqIndex(repo, batch, "vec_id", "embedding",
       "ann", "emb")
-    val (cents, books2, coded) = Similarity.readIvfPqIndex(repo, "ann", "emb")
-    Similarity.ivfPqSearch(cents, books2, coded, e,
+    val idx = Similarity.readIvfPqIndex(repo, "ann", "emb")
+    Similarity.ivfPqSearch(idx, e,
       e.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, nprobe = 16, rerankDepth = Int.MaxValue)
       .select(col("query_id"), col("cand_id"), col("cos"),
@@ -957,7 +1030,7 @@ object SparkEntry {
     * oracle proves the appended rows are really in the index. */
   private def embedIvfAppend(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val repo = PqRepo(s, Files.createTempDirectory("graft_ivfapp").toString)
+    val repo = PqRepo(s, scratch("graft_ivfapp"))
     // modulo split (id ranges differ per sf): 80% of the corpus builds
     // the index, every fifth vector arrives later as the ingest batch
     val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
@@ -982,7 +1055,7 @@ object SparkEntry {
     * brute-force oracle proves the appended codes are really served. */
   private def embedQ8Append(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val repo = PqRepo(s, Files.createTempDirectory("graft_q8app").toString)
+    val repo = PqRepo(s, scratch("graft_q8app"))
     val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
     val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
     // 8 buckets at test scale (the 20% batch touches them all anyway —
@@ -1215,7 +1288,12 @@ object SparkEntry {
           when(pmod(col("doc_id"), lit(7)) === 1,
             lit(" zzdrift zzdrift")).otherwise(lit(""))).as("text"))
     operators.TfIdf.tokenDrift(ref, cur, "doc_id", "text", topN = 50)
-      .select(col("term"), col("n_ref"), col("n_cur"), col("drift"))
+      // Registered output serializes `drift` as a STRING: DECIMAL(38,0)
+      // falls into a canonicalization gap in pandas-side comparators
+      // (the dedup_groups array-join lesson applied to decimals). The
+      // top-N selection above still orders on the exact decimal.
+      .select(col("term"), col("n_ref"), col("n_cur"),
+        col("drift").cast("string").as("drift"))
   }
 
   /** SURVEY 43d `heavy_hitters` (r15): per-language frequent tokens via
@@ -1233,10 +1311,83 @@ object SparkEntry {
             lower(col("text"))))))
         .as(Seq("term", "tf")))
     tf.groupBy("lang")
-      .agg(TextFunctions.heavyHitters(col("term"), col("tf"), 256).as("__hh"))
+      .agg(TextFunctions.heavyHitters(col("term"), col("tf"), 256).as("__hh"),
+        countDistinct(col("term")).as("__nd"))
+      // exact-regime guard: the oracle is valid ONLY while every
+      // language's distinct vocabulary fits the k = 256 counters. A
+      // scaled/changed corpus that crosses the bound must fail loudly
+      // and self-diagnose, not surface as a baffling hash mismatch
+      // (the sketch silently becomes a lower-bound subset). assert_true
+      // returns NULL on pass, so the filter keeps every row — it exists
+      // purely so the check cannot be pruned out of the plan.
+      .filter(assert_true(col("__nd") <= lit(256L),
+        concat(lit("heavy_hitters exact-regime violated: lang="),
+          col("lang"), lit(" distinct="), col("__nd"),
+          lit(" > k=256 — the MG counters are no longer exact"))).isNull)
       .select(col("lang"), posexplode(col("__hh")).as(Seq("__pos", "__e")))
       .select(col("lang"), (col("__pos") + 1).cast("bigint").as("rank"),
         col("__e.term").as("term"), col("__e.count").as("cnt"))
+  }
+
+  /** SURVEY 43e `heavy_hitters_approx` (r16): the APPROXIMATE Misra–Gries
+    * regime — k = 8, far below every language's distinct vocabulary at
+    * every scale tier — verified through the mergeable-summaries
+    * GUARANTEE rather than sketch equality (the retained set and counts
+    * are processing-order-dependent below k, so no exact oracle exists).
+    * The registered output is a deterministic per-language certificate:
+    * exact `n_distinct` (proves the regime: > k) and total weight `w`,
+    * `n_guaranteed` = terms with true·(k+1) > W (each GUARANTEED
+    * retained: total decrement mass ≤ W/(k+1), Misra & Gries 1982;
+    * Agarwal et al. 2012), and `n_missing` / `n_violations` — guaranteed
+    * terms absent from the sketch, and sketch counts outside
+    * [true − W/(k+1), true] — which the guarantee forces to ZERO. The
+    * DuckDB oracle recomputes the exact side and emits literal zeros:
+    * the driver's hash equality IS the inequality oracle. All bound
+    * comparisons are integer cross-multiplications — no division. */
+  private def heavyHittersApproxQ(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val d = t(s, dir, "documents")
+    val tf = d.select(col("lang"),
+      explode(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.TokenCounts(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            lower(col("text"))))))
+        .as(Seq("term", "tf")))
+    // exact truth: per-(lang, term) weights, per-lang totals. One
+    // vocabulary-sized exchange; `tot` is |langs| rows — broadcast.
+    val truth = tf.groupBy("lang", "term")
+      .agg(sum(col("tf")).as("true_cnt"))
+    val tot = truth.groupBy("lang").agg(
+      sum(col("true_cnt")).as("w"),
+      count(lit(1)).as("n_distinct"))
+    val sketch = tf.groupBy("lang")
+      .agg(TextFunctions.heavyHitters(col("term"), col("tf"), k).as("__hh"))
+      .select(col("lang"), explode(col("__hh")).as("__e"))
+      .select(col("lang"), col("__e.term").as("term"),
+        col("__e.count").as("sk_cnt"))
+    // every retained term appeared in the stream, so the truth join is
+    // inner; ≤ k rows per lang — tiny next to the truth frame
+    val viol = sketch
+      .join(truth, Seq("lang", "term"))
+      .join(broadcast(tot), Seq("lang"))
+      .groupBy("lang")
+      .agg(sum(when(col("sk_cnt") > col("true_cnt") ||
+        (col("true_cnt") - col("sk_cnt")) * lit((k + 1).toLong) > col("w"),
+        1L).otherwise(0L)).as("n_violations"))
+    val guaranteed = truth.join(broadcast(tot), Seq("lang"))
+      .filter(col("true_cnt") * lit((k + 1).toLong) > col("w"))
+    val missing = guaranteed
+      .join(sketch.withColumnRenamed("sk_cnt", "__sk"),
+        Seq("lang", "term"), "left_outer")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_guaranteed"),
+        sum(when(col("__sk").isNull, 1L).otherwise(0L)).as("n_missing"))
+    tot.join(missing, Seq("lang"), "left_outer")
+      .join(viol, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_distinct"), col("w"),
+        coalesce(col("n_guaranteed"), lit(0L)).as("n_guaranteed"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
   }
 
   private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
@@ -1537,7 +1688,7 @@ object SparkEntry {
     * tmp+promote. Exercised end to end against a real repo dir; the
     * oracle recomputes the merge relationally from the same inputs. */
   private def repoMerge(s: SparkSession, dir: String): DataFrame = {
-    val repo = PqRepo(s, java.nio.file.Files.createTempDirectory("graft_merge").toString)
+    val repo = PqRepo(s, scratch("graft_merge"))
     val part = t(s, dir, "part")
       .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
     repo.write(part, "m", "part")
@@ -1599,6 +1750,7 @@ object SparkEntry {
       "stream_events" -> (streamEvents _),
       "stream_join" -> (streamJoinStatic _),
       "stream_dedup" -> (streamDedupBatch _),
+      "stream_neardup" -> (streamNearDupQ _),
       "stream_topk" -> (streamTopKQ _),
       "q_wordcount" -> (qWordcount _),
       "q_array_funcs" -> (qArrayFuncs _),
@@ -1636,6 +1788,7 @@ object SparkEntry {
       "vocab_coverage" -> (vocabCoverage _),
       "corpus_drift" -> (corpusDriftQ _),
       "heavy_hitters" -> (heavyHittersQ _),
+      "heavy_hitters_approx" -> (heavyHittersApproxQ _),
       "dedup_paragraph" -> (dedupParagraph _),
       "dedup_spans" -> (dedupSpans _),
       "q_stratified_sample" -> (qStratifiedSample _),
@@ -1660,6 +1813,7 @@ object SparkEntry {
       "embed_ivf_index" -> (embedIvfIndexQ _),
       "pq_topk" -> (pqTopKQ _),
       "ivfpq_topk" -> (ivfPqTopKQ _),
+      "ivfpq_residual" -> (ivfPqResidualQ _),
       "ivfpq_append" -> (ivfPqAppendQ _),
       "embed_ivf_append" -> (embedIvfAppend _),
       "embed_q8_append" -> (embedQ8Append _)
@@ -2025,6 +2179,18 @@ object SparkEntry {
            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECOND""",
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_neardup" ->
+      // the dedup_minhash identical-text planted-pair oracle, WINDOWED:
+      // pairs must share the synthetic 4-window slot (copy offset 10⁶ is
+      // divisible by 4, so copies stay in their original's window; the
+      // same-window join term is what separates this from dedup_minhash)
+      """WITH u AS (SELECT doc_id, text FROM documents WHERE strlen(text) >= 5
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents WHERE strlen(text) >= 5)
+         SELECT CAST(1704067200 + (a.doc_id % 4) * 3600 AS BIGINT) AS window_start,
+           a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS est_jaccard
+         FROM u a JOIN u b ON a.text = b.text AND a.doc_id % 4 = b.doc_id % 4
+           AND a.doc_id < b.doc_id""",
     "stream_topk" ->
       """WITH c AS (
            SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 hour, ts))) AS BIGINT) AS window_start,
@@ -2386,9 +2552,10 @@ object SparkEntry {
           FROM terms LEFT JOIN vocab v USING (term)
           GROUP BY doc_id""",
     "corpus_drift" ->
-      // exact cross-multiplied share differences in HUGEINT, cast to the
-      // same DECIMAL(38,0) the Spark side emits; ties (drift desc, term
-      // asc) are deterministic in both engines
+      // exact cross-multiplied share differences in HUGEINT; the top-N
+      // ties (drift desc, term asc) are selected on the exact decimal in
+      // both engines, then `drift` serializes as VARCHAR — DECIMAL(38,0)
+      // result columns are not canonicalization-safe across comparators
       raw"""WITH ref AS (
               SELECT term, CAST(count(*) AS BIGINT) AS n_ref FROM (
                 SELECT unnest(${wsTokensSql("lower(text)")}) AS term
@@ -2399,15 +2566,18 @@ object SparkEntry {
                   "lower(text || CASE WHEN doc_id % 7 = 1 THEN ' zzdrift zzdrift' ELSE '' END)")}) AS term
                 FROM documents WHERE doc_id % 2 = 1) GROUP BY term),
             tot AS (SELECT (SELECT coalesce(sum(n_ref), 0) FROM ref) AS tr,
-                           (SELECT coalesce(sum(n_cur), 0) FROM cur) AS tc)
-          SELECT term,
-            coalesce(n_ref, 0) AS n_ref,
-            coalesce(n_cur, 0) AS n_cur,
-            CAST(abs(CAST(coalesce(n_ref, 0) AS HUGEINT) * tot.tc
-                   - CAST(coalesce(n_cur, 0) AS HUGEINT) * tot.tr)
-              AS DECIMAL(38,0)) AS drift
-          FROM ref FULL OUTER JOIN cur USING (term), tot
-          ORDER BY drift DESC, term ASC LIMIT 50""",
+                           (SELECT coalesce(sum(n_cur), 0) FROM cur) AS tc),
+            ranked AS (
+              SELECT term,
+                coalesce(n_ref, 0) AS n_ref,
+                coalesce(n_cur, 0) AS n_cur,
+                CAST(abs(CAST(coalesce(n_ref, 0) AS HUGEINT) * tot.tc
+                       - CAST(coalesce(n_cur, 0) AS HUGEINT) * tot.tr)
+                  AS DECIMAL(38,0)) AS drift
+              FROM ref FULL OUTER JOIN cur USING (term), tot
+              ORDER BY drift DESC, term ASC LIMIT 50)
+          SELECT term, n_ref, n_cur, CAST(drift AS VARCHAR) AS drift
+          FROM ranked""",
     "heavy_hitters" ->
       // k = 256 exceeds the distinct vocabulary, so the MG counters are
       // exact and the oracle is the plain per-group ranking; ties
@@ -2423,6 +2593,29 @@ object SparkEntry {
             term, cnt
           FROM cnt
           QUALIFY rank <= 256""",
+    "heavy_hitters_approx" ->
+      // the INEQUALITY oracle for the sub-k sketch regime: the exact side
+      // (n_distinct, w, n_guaranteed) is recomputed relationally; the
+      // guarantee side (n_missing, n_violations) is the LITERAL zero the
+      // Misra–Gries bound forces — a Spark row differing from 0 is a
+      // violated retention/bound guarantee, surfaced as a hash mismatch.
+      // Integer cross-multiplication (c·(k+1) > w), no division; k = 8.
+      raw"""WITH terms AS (
+              SELECT lang, unnest(${wsTokensSql("lower(text)")}) AS term
+              FROM documents),
+            cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+                    FROM terms GROUP BY 1, 2),
+            tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS w,
+                           CAST(count(*) AS BIGINT) AS n_distinct
+                    FROM cnt GROUP BY 1),
+            guar AS (SELECT cnt.lang, CAST(count(*) AS BIGINT) AS n_guaranteed
+                     FROM cnt JOIN tot ON cnt.lang = tot.lang
+                     WHERE cnt.c * 9 > tot.w GROUP BY 1)
+          SELECT tot.lang, tot.n_distinct, tot.w,
+            coalesce(guar.n_guaranteed, 0) AS n_guaranteed,
+            CAST(0 AS BIGINT) AS n_missing,
+            CAST(0 AS BIGINT) AS n_violations
+          FROM tot LEFT JOIN guar ON tot.lang = guar.lang""",
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CASE WHEN lang = 'en' THEN doc_id % 10 < 5
@@ -2725,6 +2918,7 @@ object SparkEntry {
     // brute-force top-5 — the same composed-no-op oracle pattern
     "pq_topk" -> bruteTop5Sql,
     "ivfpq_topk" -> bruteTop5Sql,
+    "ivfpq_residual" -> bruteTop5Sql,
     "ivfpq_append" -> bruteTop5Sql,
     "embed_ivf_append" -> bruteTop5Sql,
     "embed_q8_append" -> bruteTop5Sql

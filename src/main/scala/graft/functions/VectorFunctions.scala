@@ -99,6 +99,19 @@ object VectorFunctions {
   def pqAdcScore(lut: Column, codes: Column, books: Seq[Seq[Seq[Double]]]): Column =
     toCol(graft.functions.expressions.PqAdcScore(toExpr(lut), toExpr(codes), books))
 
+  /** Residual-ADC score (IVFADC): codes quantize x − centroid[cluster];
+    * score is rank-equivalent to cosine(query, centroid + PQ
+    * reconstruction). `qdotc` is ⟨query, centroid[cluster]⟩, computed
+    * once per (query, probed-centroid) pair; the per-candidate cost
+    * stays m lookups against precomputed cross tables. */
+  def pqAdcResidualScore(
+      lut: Column, codes: Column, cluster: Column, qdotc: Column,
+      books: Seq[Seq[Seq[Double]]],
+      centroids: Seq[(Int, Seq[Double])]): Column =
+    toCol(graft.functions.expressions.PqAdcResidualScore(
+      toExpr(lut), toExpr(codes), toExpr(cluster), toExpr(qdotc),
+      books, centroids))
+
   /** Composed-Column LSH bucket — the spec baseline for the native kernel. */
   private[graft] def lshBucketComposed(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>

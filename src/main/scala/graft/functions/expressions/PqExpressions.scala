@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
@@ -113,6 +113,49 @@ object PqKernels {
       s += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Residual-ADC score (IVFADC proper, Jégou et al. 2011 §IV-A): the
+    * candidate reconstructs as `centroid_c + Σ_s book_s[code_s]` (codes
+    * encode the RESIDUAL x − centroid), so
+    * `⟨q, y⟩ = qdotc + Σ_s lut[s·ksub + code_s]` and
+    * `||y||² = ||centroid||² + Σ_s (2·⟨centroid_s, cw⟩ + ||cw||²)` —
+    * the centroid-codeword cross dots are a per-cluster table computed
+    * once at expression construction (ncent · m · ksub doubles), so the
+    * per-candidate cost stays m lookups. Score = ⟨q,y⟩/||y|| =
+    * cos(q,y)·||q|| — rank-equivalent per query, same normalization
+    * argument as [[adcScore]]. Null contract matches [[adcScore]], plus
+    * null on a cluster id with no cross table (codes from an index this
+    * expression's centroids don't describe must not silently
+    * mis-score). */
+  def adcResidualScore(
+      lutArr: ArrayData,
+      codes: ArrayData,
+      cluster: Int,
+      qdotc: Double,
+      cnorm2: Array[Array[Double]],
+      cross: Array[Array[Double]],
+      centNorm2: Array[Double],
+      ksub: Int): java.lang.Double = {
+    val m = cnorm2.length
+    if (cluster < 0 || cluster >= cross.length || cross(cluster) == null)
+      return null
+    if (codes.numElements() != m || lutArr.numElements() != m * ksub)
+      return null
+    val cx = cross(cluster)
+    var sum = qdotc
+    var n2 = centNorm2(cluster)
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getInt(s)
+      if (c < 0 || c >= ksub) return null
+      if (lutArr.isNullAt(s * ksub + c)) return null
+      sum += lutArr.getDouble(s * ksub + c)
+      n2 += 2.0 * cx(s * ksub + c) + cnorm2(s)(c)
+      s += 1
+    }
+    if (n2 <= 0.0) 0.0 else sum / Math.sqrt(n2)
   }
 
   /** ADC cosine of (exact query, PQ-reconstructed candidate):
@@ -298,4 +341,113 @@ case class PqAdcScore(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Residual-ADC score (IVFADC) of (query LUT, residual codes, cluster id,
+  * ⟨query, centroid⟩) — see [[PqKernels.adcResidualScore]]. Codebook
+  * norms, per-cluster centroid norms, and the per-cluster
+  * centroid×codeword cross tables all ride as codegen reference objects
+  * (sized ncent·m·ksub — index geometry, not corpus); the hot join-side
+  * work stays m lookups per candidate. `centroids` joins the structural
+  * equality contract so two kernels over the same geometry unify. */
+case class PqAdcResidualScore(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    fourth: Expression,
+    books: Seq[Seq[Seq[Double]]],
+    centroids: Seq[(Int, Seq[Double])])
+    extends QuaternaryExpression with PqCodebookExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc_residual"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkBooks(prettyName) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+          case (ArrayType(DoubleType, _), ArrayType(IntegerType, _),
+                IntegerType, DoubleType) =>
+            if (centroids.isEmpty)
+              TypeCheckResult.TypeCheckFailure(
+                s"$prettyName requires at least one centroid")
+            else if (books.nonEmpty && centroids.exists(
+                _._2.size != books.size * books.head.head.size))
+              TypeCheckResult.TypeCheckFailure(
+                s"$prettyName centroid dim must equal m·dsub = " +
+                  s"${books.size * books.head.head.size}")
+            else TypeCheckResult.TypeCheckSuccess
+          case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires (array<double> lut, array<int> codes, " +
+              s"int cluster, double qdotc), got (${a.simpleString}, " +
+              s"${b.simpleString}, ${c.simpleString}, ${d.simpleString})")
+        }
+      case f => f
+    }
+
+  /** cross(cid)(s·ksub + c) = ⟨centroid_cid[s·dsub ..], book_s[c]⟩ and
+    * centNorm2(cid) = ||centroid_cid||², indexed directly by cluster id
+    * (ids are small ints from ivfBuild; gaps hold null / 0 and score
+    * null via the kernel's range check). */
+  @transient private lazy val (crossArr, centNorm2Arr):
+      (Array[Array[Double]], Array[Double]) = {
+    val m = books.size
+    val ks = ksub
+    val dsub = if (m == 0) 0 else books.head.head.size
+    val maxId = centroids.map(_._1).max
+    val cross = new Array[Array[Double]](maxId + 1)
+    val n2 = new Array[Double](maxId + 1)
+    centroids.foreach { case (cid, cv) =>
+      val cvArr = cv.toArray
+      n2(cid) = cvArr.foldLeft(0.0)((a, x) => a + x * x)
+      val t = new Array[Double](m * ks)
+      var s = 0
+      while (s < m) {
+        val book = booksArr(s)
+        val off = s * dsub
+        var c = 0
+        while (c < book.length) {
+          val cw = book(c)
+          var d = 0.0
+          var j = 0
+          while (j < dsub) { d += cvArr(off + j) * cw(j); j += 1 }
+          t(s * ks + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      cross(cid) = t
+    }
+    (cross, n2)
+  }
+
+  override protected def nullSafeEval(
+      lutArr: Any, codes: Any, cluster: Any, qdotc: Any): Any =
+    PqKernels.adcResidualScore(
+      lutArr.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      cluster.asInstanceOf[Int], qdotc.asInstanceOf[Double],
+      cnorm2Arr, crossArr, centNorm2Arr, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n2Ref = ctx.addReferenceObj("graftPqNorm2", cnorm2Arr, "double[][]")
+    val crossRef = ctx.addReferenceObj("graftPqCross", crossArr, "double[][]")
+    val centRef = ctx.addReferenceObj("graftPqCentN2", centNorm2Arr, "double[]")
+    val boxed = ctx.freshName("adcResBoxed")
+    nullSafeCodeGen(ctx, ev, (l, co, cl, qd) => s"""
+      java.lang.Double $boxed =
+        graft.functions.expressions.PqKernels.adcResidualScore(
+          $l, $co, $cl, $qd, $n2Ref, $crossRef, $centRef, $ksub);
+      if ($boxed == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $boxed.doubleValue();
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
 }

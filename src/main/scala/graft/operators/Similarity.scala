@@ -890,8 +890,9 @@ object Similarity {
     * training is bit-reproducible across runs and cluster layouts.
     *
     * Per subspace: seeds are the first ksub DISTINCT subvectors in
-    * sample order (fewer distinct values → a smaller codebook, never a
-    * duplicate codeword), refined by `kmeansIters` Lloyd iterations
+    * sample order (fewer distinct values → a smaller book, padded back
+    * to rectangular after training — see below), refined by
+    * `kmeansIters` Lloyd iterations
     * (argmin-L2 assignment with lowest-code tie-break, mean update,
     * empty cluster keeps its codeword) — all driver-side on the bounded
     * sample, deterministic.
@@ -962,8 +963,53 @@ object Similarity {
       }
       cents.map(_.toSeq).toSeq
     }
-    PqCodebooks(books)
+    // RECTANGULARITY: a subspace with fewer than ksub DISTINCT subvectors
+    // seeds a smaller codebook; if subspaces end up with differing sizes
+    // the result would be non-rectangular and every consumer
+    // (PqEncode/PqLut/PqAdcScore checkBooks) rejects it at analysis time
+    // with a failure far from the cause. Pad each short book by repeating
+    // its LAST codeword up to the max size: encode's lowest-code
+    // tie-break means a duplicate codeword is never emitted, so padding
+    // is semantically inert — it only restores the rectangular shape.
+    val maxK = books.map(_.size).max
+    val padded = books.map { b =>
+      if (b.size == maxK) b else b ++ Seq.fill(maxK - b.size)(b.last)
+    }
+    PqCodebooks(padded)
   }
+
+  /** Append a `__rv = v − centroid[cluster]` residual column to an
+    * assigned `(…, cluster, v)` frame — the IVFADC encoding input
+    * (Jégou et al. 2011 §IV-A). A broadcast join with the
+    * centroid-count-sized table plus one codegen'd `zip_with`: no
+    * shuffle, corpus never collected. */
+  private def withResidual(
+      assigned: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toDF("cluster", "__cv"))
+    assigned.join(cdf, "cluster")
+      .withColumn("__rv",
+        zip_with(col("v").cast("array<double>"), col("__cv"), (a, b) => a - b))
+      .drop("__cv")
+  }
+
+  /** [[pqTrain]] over RESIDUALS x − centroid[cluster] of an IVF
+    * assignment — the classical IVFADC codebook: residuals concentrate
+    * in a ball around the origin, so the ksub codewords spend their
+    * resolution on LOCAL detail instead of re-describing the coarse
+    * cluster offsets, which materially improves recall at equal m (the
+    * [[SimilaritySpec]] recall-dominance planting). Same bounded
+    * deterministic sampling as [[pqTrain]]. */
+  def pqTrainResidual(
+      index: IvfIndex,
+      m: Int,
+      ksub: Int = 256,
+      kmeansIters: Int = 8,
+      sampleRows: Int = 4096): PqCodebooks =
+    pqTrain(withResidual(index.assigned, index.centroids), "id", "__rv",
+      m, ksub, kmeansIters, sampleRows)
 
   /** PQ-encode the corpus: (idCol, codes array<int> of length m). One
     * shuffle-free kernel projection ([[VectorFunctions.pqEncode]]) —
@@ -995,6 +1041,18 @@ object Similarity {
     pqEncode(corpus, idCol, vecCol, books), corpus, queries, idCol, vecCol,
     books, k, rerankDepth)
 
+  /** Candidate lists (query_id, cand_id) broadcast to the rerank join
+    * only below this rerankDepth: the list is |queries| × rerankDepth
+    * rows through the driver, and rerankDepth is a caller-controlled
+    * knob — the rerank-all oracle configuration on a big corpus would
+    * exceed broadcast/driver limits. Above the bound the join goes
+    * hint-free and AQE picks the strategy (it will still broadcast a
+    * genuinely small list — the hint is the only thing dropped). */
+  private val RerankBroadcastBound = 1 << 16
+
+  private def maybeBroadcast(df: DataFrame, rerankDepth: Int): DataFrame =
+    if (rerankDepth <= RerankBroadcastBound) broadcast(df) else df
+
   /** [[pqTopK]] over a PREBUILT (id, codes) frame — the persisted-index
     * search path ([[readPqIndex]]): the coarse pass never re-encodes or
     * touches the float corpus. */
@@ -1024,7 +1082,7 @@ object Similarity {
       .select(col("query_id"), explode(col("__top.id")).as("cand_id"))
 
     val exact = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-      .join(broadcast(cands), "cand_id")
+      .join(maybeBroadcast(cands, rerankDepth), "cand_id")
       .join(q.select(col("query_id"), col("qv")), "query_id")
       .select(col("query_id"), col("cand_id"),
         round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
@@ -1060,31 +1118,57 @@ object Similarity {
       index: IvfIndex,
       books: PqCodebooks,
       schema: String,
-      name: String): Unit = {
+      name: String,
+      residual: Boolean = false): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    val coded = index.assigned.select(col("id"), col("cluster"),
-      VectorFunctions.pqEncode(col("v"), books.books).as("codes"))
+    // residual = true is IVFADC proper: codes quantize x − centroid
+    // (codebooks from [[pqTrainResidual]]); the flag is PERSISTED in a
+    // 1-row meta table so read/search/append recover the layout from
+    // disk — a caller-supplied flag could silently mis-decode an index
+    // written the other way.
+    val coded =
+      if (residual)
+        withResidual(index.assigned, index.centroids)
+          .select(col("id"), col("cluster"),
+            VectorFunctions.pqEncode(col("__rv"), books.books).as("codes"))
+      else index.assigned.select(col("id"), col("cluster"),
+        VectorFunctions.pqEncode(col("v"), books.books).as("codes"))
     repo.writePartitioned(coded, schema, s"${name}_ivfpq", Seq("cluster"))
     repo.write(index.centroids.toDF("cid", "cv"), schema,
       s"${name}_ivfpq_centroids")
     repo.write(booksToDF(spark, books), schema, s"${name}_ivfpq_books")
+    repo.write(Seq(residual).toDF("residual"), schema, s"${name}_ivfpq_meta")
   }
 
-  /** Reload a persisted IVF-PQ index: (centroids, codebooks, lazy coded
-    * scan). Centroid + codebook pulls are index-geometry-sized; the
-    * coded corpus stays a cluster-partitioned lazy scan. */
+  /** A reloaded persisted IVF-PQ index: geometry + lazy coded scan +
+    * the persisted residual flag (IVFADC vs raw-vector codes). */
+  final case class IvfPqIndexData(
+      centroids: Seq[(Int, Seq[Double])],
+      books: PqCodebooks,
+      coded: DataFrame,
+      residual: Boolean)
+
+  /** Reload a persisted IVF-PQ index. Centroid + codebook pulls are
+    * index-geometry-sized; the coded corpus stays a cluster-partitioned
+    * lazy scan. The residual flag comes from the persisted meta table
+    * (absent on pre-residual indexes → false), so search and append
+    * decode with the layout the index was WRITTEN with, not whatever a
+    * caller believes. */
   def readIvfPqIndex(
       repo: graft.sources.PqRepo,
       schema: String,
-      name: String): (Seq[(Int, Seq[Double])], PqCodebooks, DataFrame) = {
+      name: String): IvfPqIndexData = {
     val cents = repo.table(schema, s"${name}_ivfpq_centroids")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1)
       .toSeq
     val books = booksFromDF(repo.table(schema, s"${name}_ivfpq_books"))
-    (cents, books, repo.table(schema, s"${name}_ivfpq"))
+    val residual = scala.util.Try(
+      repo.table(schema, s"${name}_ivfpq_meta")
+        .collect().head.getBoolean(0)).getOrElse(false)
+    IvfPqIndexData(cents, books, repo.table(schema, s"${name}_ivfpq"), residual)
   }
 
   /** Incrementally APPEND a batch to a persisted IVF-PQ index — the
@@ -1107,7 +1191,8 @@ object Similarity {
       schema: String,
       name: String,
       checkMoved: Boolean = true): Unit = {
-    val (cents, books, coded) = readIvfPqIndex(repo, schema, name)
+    val IvfPqIndexData(cents, books, coded, residual) =
+      readIvfPqIndex(repo, schema, name)
     val assigned = assignClusters(
       batch.select(col(idCol).as("id"), col(vecCol).as("v")), cents)
     if (checkMoved) {
@@ -1128,8 +1213,15 @@ object Similarity {
             "provably append-only feeds")
       }
     }
-    val codedBatch = assigned.select(col("id"), col("cluster"),
-      VectorFunctions.pqEncode(col("v"), books.books).as("codes"))
+    // encode with the layout the index was WRITTEN with: a residual
+    // index's batch quantizes x − centroid under the same frozen
+    // geometry (the flag comes from the persisted meta, never the caller)
+    val codedBatch =
+      if (residual)
+        withResidual(assigned, cents).select(col("id"), col("cluster"),
+          VectorFunctions.pqEncode(col("__rv"), books.books).as("codes"))
+      else assigned.select(col("id"), col("cluster"),
+        VectorFunctions.pqEncode(col("v"), books.books).as("codes"))
     repo.mergePartitioned(codedBatch, schema, s"${name}_ivfpq",
       keys = Seq("id", "cluster"), partitionCols = Seq("cluster"))
   }
@@ -1153,18 +1245,37 @@ object Similarity {
       vecCol: String,
       k: Int,
       nprobe: Int,
-      rerankDepth: Int): DataFrame = {
+      rerankDepth: Int,
+      residual: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       VectorFunctions.pqLut(col(vecCol), books.books).as("__lut"))
-    val probes = q.select(col("query_id"), col("__lut"),
+    // residual (IVFADC): the LUT shift per (query, probed centroid) is
+    // ⟨q, centroid⟩, computed ONCE per probe row (|queries| · nprobe
+    // dots) before the candidate join — the per-candidate cost stays
+    // m lookups through [[VectorFunctions.pqAdcResidualScore]]'s
+    // precomputed centroid×codeword cross tables.
+    val probesBase = q.select(col("query_id"), col("qv"), col("__lut"),
       explode(VectorFunctions.nearestCentroids(
         col("qv"), centroids, nprobe)).as("cluster"))
+    val probes =
+      if (residual) {
+        val spark = queries.sparkSession
+        import spark.implicits._
+        probesBase
+          .join(broadcast(centroids.toDF("cluster", "__cv")), Seq("cluster"))
+          .select(col("cluster"), col("query_id"), col("__lut"),
+            VectorFunctions.dot(col("qv"), col("__cv")).as("__qdotc"))
+      } else probesBase.select(col("cluster"), col("query_id"), col("__lut"))
 
     val cands = broadcast(probes)
       .join(coded, Seq("cluster"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("cand_id"),
-        VectorFunctions.pqAdcScore(col("__lut"), col("codes"), books.books)
+        (if (residual)
+          VectorFunctions.pqAdcResidualScore(col("__lut"), col("codes"),
+            col("cluster"), col("__qdotc"), books.books, centroids)
+        else
+          VectorFunctions.pqAdcScore(col("__lut"), col("codes"), books.books))
           .as("coarse"))
       .groupBy("query_id")
       .agg(VectorFunctions.boundedTopK(
@@ -1172,11 +1283,26 @@ object Similarity {
       .select(col("query_id"), explode(col("__top.id")).as("cand_id"))
 
     val exact = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-      .join(broadcast(cands), "cand_id")
+      .join(maybeBroadcast(cands, rerankDepth), "cand_id")
       .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
       .select(col("query_id"), col("cand_id"),
         round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
 
     rankTopK(exact, "cos", k)
   }
+
+  /** [[ivfPqSearch]] over a reloaded index — decodes with the PERSISTED
+    * residual flag, so a caller cannot pair raw-vector scoring with
+    * residual codes (or vice versa). */
+  def ivfPqSearch(
+      idx: IvfPqIndexData,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      rerankDepth: Int): DataFrame =
+    ivfPqSearch(idx.centroids, idx.books, idx.coded, corpus, queries,
+      idCol, vecCol, k, nprobe, rerankDepth, idx.residual)
 }

@@ -20,7 +20,11 @@ class BenchLineSpec extends AnyFunSuite {
       calib = calib,
       big = Some((9999.9, 99.99, 99.99)),
       big100Total = Some((99999.9, 99.99, 99.99)),
-      sfName = "sf0.1")
+      sfName = "sf0.1",
+      // worst case includes both per-query scale arrays at 99.99 s each
+      // (4-digit centiseconds) over the full headline set
+      bigPerQuery = Bench.headline.map(_ => 99.99),
+      big100PerQuery = Bench.headline.map(_ => 99.99))
 
   test("worst-case line fits the driver's stdout tail") {
     // every registered query at just under 10 s (integer centiseconds:
@@ -46,6 +50,26 @@ class BenchLineSpec extends AnyFunSuite {
     val bad = JsonMethods.parse(render(0.25, (1.0, 1.51)))
     assert((bad \ "calib_bad") == JBool(true))
     assert((parsed \ "qord") == JString("name"))
+    // scale sections carry a trailing nested per-query array (headline
+    // order, centiseconds): big20x = [total, vs, [cs...]], b100 = [total,
+    // vs, [cs...]] (calib slot absent when not supplied)
+    (parsed \ "big20x") match {
+      case JArray(elems) =>
+        assert(elems.last match {
+          case JArray(qs) =>
+            qs.size == Bench.headline.size && qs.forall(_ == JInt(9999))
+          case _ => false
+        }, s"big20x per-query array malformed: $elems")
+      case other => fail(s"big20x not an array: $other")
+    }
+    (parsed \ "b100") match {
+      case JArray(elems) =>
+        assert(elems.last match {
+          case JArray(qs) => qs.size == Bench.headline.size
+          case _          => false
+        }, s"b100 per-query array malformed: $elems")
+      case other => fail(s"b100 not an array: $other")
+    }
     (parsed \ "qv") match {
       case JArray(values) =>
         assert(values.size == SparkEntry.queries.size)

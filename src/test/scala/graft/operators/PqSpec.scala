@@ -111,9 +111,11 @@ class PqSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster="))
     assert(dirs.nonEmpty, dirs.mkString(","))
 
-    val (cents, books2, coded) = Similarity.readIvfPqIndex(repo, "ann", "e")
+    val idx = Similarity.readIvfPqIndex(repo, "ann", "e")
+    val (cents, books2, coded) = (idx.centroids, idx.books, idx.coded)
     assert(cents == built.centroids)
     assert(books2 == books, "codebooks must roundtrip exactly")
+    assert(!idx.residual, "default layout persists residual = false")
     // the persisted coded scan carries no float vectors
     assert(!coded.schema.fieldNames.contains("v"))
 
@@ -137,6 +139,98 @@ class PqSpec extends SparkSpec {
     assert(p1 == p2 && p1.nonEmpty)
   }
 
+  test("residual IVF-PQ (IVFADC): persisted flag drives decode, coarse " +
+    "recall DOMINATES raw-vector PQ at equal m, nprobe-all × rerank-all " +
+    "≡ brute force") {
+    import spark.implicits._
+    // Planted geometry: 4 directionally-orthogonal clusters (Walsh rows
+    // × 50) × 16 local ±1 patterns. Raw PQ at ksub = 4 must spend its
+    // codewords separating cluster offsets (8 distinct subvectors per
+    // subspace), collapsing the local detail; residual codebooks see
+    // only the 2 distinct local subvectors per subspace and reconstruct
+    // EXACTLY — the classical IVFADC win at equal m.
+    val signs = Seq(
+      Seq(1, 1, 1, 1, 1, 1, 1, 1), Seq(1, -1, 1, -1, 1, -1, 1, -1),
+      Seq(1, 1, -1, -1, 1, 1, -1, -1), Seq(1, -1, -1, 1, 1, -1, -1, 1))
+    val centroids = signs.zipWithIndex.map {
+      case (sgn, c) => c -> sgn.map(_ * 50.0)
+    }
+    def delta(p: Int): Seq[Double] = (0 until 8).map { d =>
+      val base = if (((p >> (d / 2)) & 1) == 1) 1.0 else -1.0
+      if (d % 2 == 0) base else -base
+    }
+    val rows = for { c <- 0 until 4; p <- 0 until 16 } yield {
+      val v = centroids(c)._2.zip(delta(p)).map { case (o, dl) => o + dl }
+      ((c * 16 + p).toLong, v, c)
+    }
+    val corpusDf = rows.map { case (id, v, _) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val idxIn = Similarity.IvfIndex(centroids, rows.toDF("id", "v", "cluster"))
+    val queries = (0 until 4).map { c =>
+      val v = centroids(c)._2.zip(delta(5)).map { case (o, dl) => o + dl }
+      ((1000 + c).toLong, v.updated(0, v.head + 0.1))
+    }.toDF("vec_id", "embedding")
+    val truth = topSet(Similarity.bruteForceTopK(corpusDf, queries,
+      "vec_id", "embedding", k = 3))
+
+    val rawBooks = Similarity.pqTrain(corpusDf, "vec_id", "embedding",
+      m = 4, ksub = 4, kmeansIters = 8, sampleRows = 64)
+    val resBooks = Similarity.pqTrainResidual(idxIn,
+      m = 4, ksub = 4, kmeansIters = 8, sampleRows = 64)
+
+    val repoRaw = PqRepo(spark, Files.createTempDirectory("idx_pqraw").toString)
+    val repoRes = PqRepo(spark, Files.createTempDirectory("idx_pqres").toString)
+    Similarity.writeIvfPqIndex(repoRaw, idxIn, rawBooks, "ann", "e")
+    Similarity.writeIvfPqIndex(repoRes, idxIn, resBooks, "ann", "e",
+      residual = true)
+    val raw = Similarity.readIvfPqIndex(repoRaw, "ann", "e")
+    val res = Similarity.readIvfPqIndex(repoRes, "ann", "e")
+    assert(res.residual && !raw.residual,
+      "the layout flag must persist with the index")
+
+    // coarse-limited: rerankDepth = k, so the ADC ranking alone picks
+    // the candidate set — the PQ-quality probe
+    def recallOf(idx: Similarity.IvfPqIndexData): Double = {
+      val got = topSet(Similarity.ivfPqSearch(idx, corpusDf, queries,
+        "vec_id", "embedding", k = 3, nprobe = 4, rerankDepth = 3))
+        .map(t => (t._1, t._2))
+      val want = truth.map(t => (t._1, t._2))
+      got.intersect(want).size.toDouble / want.size
+    }
+    val rr = recallOf(res)
+    val rw = recallOf(raw)
+    assert(rr > rw, s"residual recall $rr must dominate raw-PQ recall $rw")
+    assert(rr >= 0.9, s"residual reconstruction is exact here: recall $rr")
+
+    // the composed oracle hook holds on the residual layout too
+    val full = topSet(Similarity.ivfPqSearch(res, corpusDf, queries,
+      "vec_id", "embedding", k = 3, nprobe = 4, rerankDepth = Int.MaxValue))
+    assert(full == truth && full.nonEmpty)
+  }
+
+  test("appendToIvfPqIndex on a residual index: the batch encodes " +
+    "RESIDUALS (meta-driven, not caller-asserted) and stays searchable") {
+    val repo = PqRepo(spark, Files.createTempDirectory("idx_resapp").toString)
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val built = Similarity.ivfBuild(base, "vec_id", "embedding",
+      numCentroids = 8, kmeansIters = 1)
+    val books = Similarity.pqTrainResidual(built,
+      m = 8, ksub = 16, kmeansIters = 3, sampleRows = 256)
+    Similarity.writeIvfPqIndex(repo, built, books, "ann", "e", residual = true)
+    // the append call carries NO residual flag — it must recover the
+    // layout from the persisted meta and encode x − centroid
+    Similarity.appendToIvfPqIndex(repo, batch, "vec_id", "embedding", "ann", "e")
+    val idx = Similarity.readIvfPqIndex(repo, "ann", "e")
+    assert(idx.residual && idx.coded.count() == emb.count())
+    val queries = emb.filter(col("vec_id") < 5)
+    val full = topSet(Similarity.ivfPqSearch(idx, emb, queries,
+      "vec_id", "embedding", k = 4, nprobe = 8, rerankDepth = Int.MaxValue))
+    val brute = topSet(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 4))
+    assert(full == brute && full.nonEmpty)
+  }
+
   test("appendToIvfPqIndex: batch encodes with frozen geometry, lands in " +
     "its clusters, search covers it, re-append idempotent, moved id aborts") {
     val repo = PqRepo(spark, Files.createTempDirectory("idx_ivfpq_app").toString)
@@ -149,7 +243,8 @@ class PqSpec extends SparkSpec {
     Similarity.writeIvfPqIndex(repo, built, books, "ann", "e")
     Similarity.appendToIvfPqIndex(repo, batch, "vec_id", "embedding", "ann", "e")
 
-    val (cents, books2, coded) = Similarity.readIvfPqIndex(repo, "ann", "e")
+    val idx = Similarity.readIvfPqIndex(repo, "ann", "e")
+    val (cents, books2, coded) = (idx.centroids, idx.books, idx.coded)
     assert(coded.count() == emb.count(), "appended rows must be in the index")
     // the merged index serves the FULL corpus exactly at nprobe-all ×
     // rerank-all — proving appended codes are really searchable
@@ -163,7 +258,7 @@ class PqSpec extends SparkSpec {
 
     // idempotent re-append
     Similarity.appendToIvfPqIndex(repo, batch, "vec_id", "embedding", "ann", "e")
-    assert(Similarity.readIvfPqIndex(repo, "ann", "e")._3.count() == emb.count())
+    assert(Similarity.readIvfPqIndex(repo, "ann", "e").coded.count() == emb.count())
 
     // a re-ingested id whose embedding moved clusters aborts loudly
     import spark.implicits._
@@ -172,13 +267,13 @@ class PqSpec extends SparkSpec {
       .orderBy(col("vec_id").desc).select("embedding").head()
       .getSeq[Float](0).map(x => -x)
     val movedBatch = Seq((movedId, far)).toDF("vec_id", "embedding")
-    val before = Similarity.readIvfPqIndex(repo, "ann", "e")._3.count()
+    val before = Similarity.readIvfPqIndex(repo, "ann", "e").coded.count()
     val e = intercept[IllegalStateException] {
       Similarity.appendToIvfPqIndex(repo, movedBatch, "vec_id", "embedding",
         "ann", "e")
     }
     assert(e.getMessage.contains("moved clusters"), e.getMessage)
-    assert(Similarity.readIvfPqIndex(repo, "ann", "e")._3.count() == before,
+    assert(Similarity.readIvfPqIndex(repo, "ann", "e").coded.count() == before,
       "index must be untouched after the abort")
   }
 }

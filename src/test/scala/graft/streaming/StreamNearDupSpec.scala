@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.streaming.StreamNearDup._
+
+/** Streaming MinHash-LSH near-dup (r16): the multi-batch MemoryStream run
+  * must emit, for every watermark-closed window, exactly the batch twin's
+  * (= per-window [[graft.operators.Dedup.minhashPairs]]) pairs — including
+  * an exact-duplicate est = 1.0 pair, a genuine sub-1.0 near-dup pair, and
+  * NO cross-window pair even for identical texts. */
+class StreamNearDupSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000)
+
+  private val base = "the quick brown fox jumps over the lazy dog and " +
+    "keeps running far beyond the quiet river all afternoon"
+  private val near = base + " tired"
+  private val other = "completely unrelated content about spark catalyst " +
+    "optimizer internals and shuffle partition sizing at scale"
+
+  test("multi-batch stream ≡ batch minhashPairs on closed windows; " +
+    "exactly-once; no cross-window pairs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val name = s"nd_${System.nanoTime()}"
+    val q = pairsPerWindow(input.toDS(), windowSeconds = 3600,
+      shingleK = 5, numHashes = 48, bands = 12, threshold = 0.3)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // window [0, 3600): two exact duplicates, one near-dup, one stranger
+      val w0 = Seq(DocEvent(1L, base, ts(100)), DocEvent(2L, base, ts(200)),
+        DocEvent(3L, near, ts(300)), DocEvent(4L, other, ts(400)))
+      // window [3600, 7200): identical text to window 0 — must pair only
+      // within its own window
+      val w1 = Seq(DocEvent(5L, base, ts(4000)), DocEvent(6L, base, ts(4100)))
+      input.addData(w0: _*)
+      q.processAllAvailable()
+      // both windows still open — append mode must have emitted nothing
+      assert(spark.table(name).count() == 0)
+      input.addData(w1: _*)
+      q.processAllAvailable()
+
+      // sentinels: far-future events that advance the watermark past both
+      // window ends; timeout fires on the following trigger (watermark is
+      // batch-lagged). They must be LONG enough to pass the shingle
+      // filter — Catalyst pushes that filter below the watermark stats
+      // collector, so a filtered row advances nothing. Their own window
+      // never closes, so they emit nothing themselves.
+      input.addData(DocEvent(-1L, "sentinel advance one", ts(100000)))
+      q.processAllAvailable()
+      input.addData(DocEvent(-2L, "sentinel advance two", ts(100001)))
+      q.processAllAvailable()
+
+      val got = spark.table(name).as[NearDupPair].collect()
+      val gotSet = got.map(p => (p.window_start, p.id_a, p.id_b, p.est_jaccard)).toSet
+      assert(got.length == gotSet.size, "exactly-once emission per pair")
+
+      val batch = pairsBatch(
+        (w0 ++ w1).map(d => (d.doc_id, d.text, d.ts)).toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", windowSeconds = 3600,
+        shingleK = 5, numHashes = 48, bands = 12, threshold = 0.3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(gotSet == batch, s"stream $gotSet vs batch $batch")
+
+      // structure: the exact pair at 1.0, the near pair strictly below,
+      // the stranger and cross-window combinations absent
+      assert(gotSet.contains((0L, 1L, 2L, 1.0)))
+      assert(gotSet.contains((3600L, 5L, 6L, 1.0)))
+      val nearPairs = got.filter(p => p.id_b == 3L)
+      assert(nearPairs.nonEmpty &&
+        nearPairs.forall(p => p.est_jaccard >= 0.3 && p.est_jaccard < 1.0),
+        got.mkString(","))
+      assert(!got.exists(p => p.id_a == 4L || p.id_b == 4L), "stranger paired")
+      assert(!got.exists(p => p.id_a <= 2L && p.id_b >= 5L), "cross-window pair")
+    } finally q.stop()
+  }
+
+  test("over-maxBucket buckets emit nothing (the batch crowding guard), " +
+    "under-cap windows are unaffected") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val name = s"ndcap_${System.nanoTime()}"
+    val q = pairsPerWindow(input.toDS(), windowSeconds = 3600,
+      shingleK = 5, numHashes = 48, bands = 12, threshold = 0.3,
+      maxBucket = 3)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // 4 identical docs crowd every band bucket past the cap of 3
+      input.addData((1 to 4).map(i => DocEvent(i.toLong, base, ts(100 + i))): _*)
+      // a clean under-cap pair in the same window, different text
+      input.addData(DocEvent(10L, other, ts(500)), DocEvent(11L, other, ts(600)))
+      q.processAllAvailable()
+      input.addData(DocEvent(-1L, "sentinel advance one", ts(100000)))
+      q.processAllAvailable()
+      input.addData(DocEvent(-2L, "sentinel advance two", ts(100001)))
+      q.processAllAvailable()
+      val got = spark.table(name).as[NearDupPair].collect()
+      assert(got.toSet == Set(NearDupPair(0L, 10L, 11L, 1.0)), got.mkString(","))
+    } finally q.stop()
+  }
+}

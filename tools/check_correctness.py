@@ -6,12 +6,22 @@ columns sorted by name, rows sorted, values compared exactly.
 
 Usage: python3 tools/check_correctness.py <sfdir> <verify_out_dir>
 """
+import datetime
 import json
 import math
 import sys
 from pathlib import Path
 
 import duckdb
+
+# The ONLY cell types with a provably engine-stable canonical form. The
+# driver's pandas-based comparator crashes on unhashable cells (round-1
+# dedup_groups: array -> numpy.ndarray in sort_values) and silently
+# diverges on Decimal (round-15 corpus_drift: DECIMAL(38,0) green here,
+# red on the driver). Anything outside this set must be serialized (cast
+# to string) in BOTH the query and the oracle.
+CANONICAL_TYPES = (bool, int, float, str, bytes,
+                   datetime.date, datetime.datetime, datetime.time)
 
 
 def canon(rows, cols, name=""):
@@ -21,14 +31,14 @@ def canon(rows, cols, name=""):
         vals = []
         for i in idx:
             v = r[i]
-            # The driver's pandas-based canonicalizer crashes on unhashable
-            # cells (round-1 dedup_groups: array column -> numpy.ndarray in
-            # sort_values). Refuse them locally so the gap is caught here.
-            if isinstance(v, (list, dict, set)):
+            if v is not None and not isinstance(v, CANONICAL_TYPES):
                 raise TypeError(
                     f"{name}: column {cols[i]!r} holds {type(v).__name__} "
-                    "cells — the driver comparator cannot hash these; "
-                    "serialize (e.g. array_join) in both query and oracle")
+                    "cells — outside the canonicalizable set "
+                    "{int,float,str,bool,bytes,date,datetime,None}; the "
+                    "driver comparator handles these inconsistently; "
+                    "serialize (cast to string / array_join) in both "
+                    "query and oracle")
             if isinstance(v, float):
                 v = ("f", repr(v))
             elif v is None:
