@@ -348,6 +348,35 @@ class RocksDBStateSpec extends graft.SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("stream_neardup runs multi-batch on RocksDB with identical results") {
+    import graft.streaming.StreamNearDup._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running far beyond the quiet river all afternoon"
+    withRocksDB {
+      val input = MemoryStream[DocEvent]
+      val name = s"rdb_nd_${System.nanoTime()}"
+      val q = pairsPerWindow(input.toDS(), windowSeconds = 3600,
+        shingleK = 5, numHashes = 48, bands = 12, threshold = 0.3)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData(DocEvent(1L, base, ts(100)), DocEvent(2L, base, ts(200)),
+          DocEvent(3L, base + " tired", ts(300)))
+        q.processAllAvailable()
+        input.addData(DocEvent(-1L, "sentinel advance one", ts(100000)))
+        q.processAllAvailable()
+        input.addData(DocEvent(-2L, "sentinel advance two", ts(100001)))
+        q.processAllAvailable()
+        val rows = spark.table(name).as[NearDupPair].collect()
+        assert(rows.exists(p => p.id_a == 1L && p.id_b == 2L && p.est_jaccard == 1.0),
+          rows.mkString(","))
+        assert(rows.count(p => p.id_b == 3L) == 2, rows.mkString(","))
+        assert(rows.length == rows.toSet.size)
+      } finally q.stop()
+    }
+  }
 }
 
 class StreamJoinSpec extends graft.SparkSpec {
