@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, BloomDedup, Dedup, Multimodal, Sessionize, Similarity}
 import graft.plans.TablePlan
 import graft.sources.PqRepo
 
@@ -1185,6 +1185,31 @@ object SparkEntry {
     Dedup.dropKnown(batch, d, "text").select("doc_id")
   }
 
+  /** Persisted-sketch incremental dedup (SURVEY 29a): the full index
+    * lifecycle in one oracled query — build the sharded Bloom sketch over
+    * the first corpus ingest, APPEND the second ingest's hashes under the
+    * frozen geometry, then gate the daily batch through
+    * [[operators.BloomDedup.dropKnownBloom]]. Output is exact (Bloom only
+    * routes; candidates get the (hash, content) confirm), so the oracle is
+    * the same content anti-join as dedup_incremental — what differs is
+    * corpus I/O: provably-new rows never touch it. Capacity sizing uses
+    * the unfiltered documents row count (a parquet-metadata count). */
+  private def dedupBloomQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val ingestA = d.filter(col("doc_id") % 2 === 0)
+    val ingestB = d.filter(col("doc_id") % 2 === 1)
+    val batch = d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" bloom-fresh")).as("text")))
+    val capacity = math.max(d.count(), 1L)
+    val sketch = BloomDedup.appendToSketch(
+      BloomDedup.buildSketch(ingestA, "text", capacity, numShards = 8),
+      ingestB, "text")
+    BloomDedup.dropKnownBloom(batch, d, "text", sketch).select("doc_id")
+  }
+
   /** Normalized exact dedup (SURVEY 40a): case/whitespace variants of the
     * same content (planted uppercase + padded copies) collapse onto one
     * canonical survivor — normalization feeding the hash-first dedup. */
@@ -1780,6 +1805,7 @@ object SparkEntry {
       "multimodal_audio" -> (multimodalAudio _),
       "multimodal_video" -> (multimodalVideo _),
       "dedup_incremental" -> (dedupIncremental _),
+      "dedup_bloom" -> (dedupBloomQ _),
       "scrub_pii" -> (scrubPii _),
       "text_normalize" -> (textNormalize _),
       "q_repetition" -> (qRepetition _),
@@ -2419,6 +2445,13 @@ object SparkEntry {
            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
            UNION ALL
            SELECT doc_id + 2000000, text || ' fresh' FROM documents WHERE doc_id < 50)
+         SELECT b.doc_id FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)""",
+    "dedup_bloom" ->
+      """WITH batch AS (
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' bloom-fresh' FROM documents WHERE doc_id < 50)
          SELECT b.doc_id FROM batch b
          WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)""",
     "scrub_pii" ->
