@@ -1415,6 +1415,17 @@ object SparkEntry {
         coalesce(col("n_violations"), lit(0L)).as("n_violations"))
   }
 
+  /** SURVEY 25d `quantile_sketch`: mergeable approximate per-group
+    * quantiles (Greenwald–Khanna via `approx_percentile` — the only
+    * per-group quantile that survives 100 TB groups; exact `percentile`
+    * sorts every group through the agg) verified through the sketch
+    * GUARANTEE as a zero-violations certificate, the heavy_hitters_approx
+    * pattern — see [[operators.Profile.quantileCertificate]]. */
+  private def quantileSketchQ(s: SparkSession, dir: String): DataFrame =
+    operators.Profile.quantileCertificate(
+      t(s, dir, "documents"), "lang", "n_chars",
+      permilles = Seq(100, 250, 500, 750, 900, 990), accuracy = 100)
+
   private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(when(col("lang") === "en", pmod(col("doc_id"), lit(10)) < 5)
@@ -1815,6 +1826,7 @@ object SparkEntry {
       "corpus_drift" -> (corpusDriftQ _),
       "heavy_hitters" -> (heavyHittersQ _),
       "heavy_hitters_approx" -> (heavyHittersApproxQ _),
+      "quantile_sketch" -> (quantileSketchQ _),
       "dedup_paragraph" -> (dedupParagraph _),
       "dedup_spans" -> (dedupSpans _),
       "q_stratified_sample" -> (qStratifiedSample _),
@@ -2626,6 +2638,18 @@ object SparkEntry {
             term, cnt
           FROM cnt
           QUALIFY rank <= 256""",
+    "quantile_sketch" ->
+      // certificate oracle (the heavy_hitters_approx pattern applied to
+      // Greenwald–Khanna): the exact side (per-group n) is recomputed
+      // relationally; n_violations is the LITERAL zero the ε·n rank
+      // guarantee forces — a Spark row differing from 0 is an estimate
+      // whose realized rank interval missed the φ·n ± ε·n window.
+      """WITH g AS (SELECT lang, CAST(count(n_chars) AS BIGINT) AS n
+                    FROM documents GROUP BY 1),
+            q AS (SELECT CAST(unnest([100, 250, 500, 750, 900, 990]) AS BIGINT)
+                    AS q_permille)
+         SELECT g.lang, q.q_permille, g.n, CAST(0 AS BIGINT) AS n_violations
+         FROM g CROSS JOIN q""",
     "heavy_hitters_approx" ->
       // the INEQUALITY oracle for the sub-k sketch regime: the exact side
       // (n_distinct, w, n_guaranteed) is recomputed relationally; the

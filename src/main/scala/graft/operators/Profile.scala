@@ -31,6 +31,83 @@ object Profile {
         col("p.n_distinct"))
   }
 
+  /** Approximate per-group quantiles verified through the sketch's own
+    * guarantee — the Misra–Gries-certificate pattern applied to
+    * Greenwald–Khanna (Spark's `approx_percentile`): the summary is
+    * MERGEABLE (map-side partials, one fixed-width buffer per group —
+    * the only per-group quantile that survives 100 TB groups; exact
+    * `percentile` sorts every group's values through the aggregation),
+    * but the returned element is processing-order-dependent, so no exact
+    * oracle over the estimates exists. What IS deterministic is the
+    * guarantee: the estimate's rank sits within ε·n of the target rank
+    * (ε = 1/accuracy). This emits a per-(group, quantile) certificate —
+    * exact `n` plus `n_violations`, the count of quantiles whose realized
+    * rank interval `[count(<v)+1, count(≤v)]` misses the target window
+    * `φ·n ± ε·n` — which the guarantee forces to ZERO; a DuckDB oracle
+    * recomputes the exact side relationally and emits literal zeros.
+    *
+    * All comparisons are integer cross-multiplications in permille×
+    * accuracy space (no division, no floats), with ±1 rank of
+    * target-rounding slack — two orders below ε·n at any realistic n,
+    * present only so the certificate does not encode one engine's
+    * ceil-vs-floor rank convention.
+    *
+    * Plan shape: one pass builds every group's summary (map-side
+    * partials); the verification pass joins the groups×quantiles
+    * estimate rows (a broadcast of a few dozen rows) back against the
+    * data and collapses via partial aggregation — two scans total,
+    * no data-sized shuffle. */
+  def quantileCertificate(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      permilles: Seq[Int],
+      accuracy: Int): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p > 0 && p < 1000),
+      s"permilles must be in (0, 1000), got $permilles")
+    require(permilles.distinct.size == permilles.size,
+      s"permilles must be distinct, got $permilles")
+    require(accuracy > 1, s"accuracy must be > 1, got $accuracy")
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val data = df.select(g.as("__g"), v.as("__v")).filter(col("__v").isNotNull)
+    val qArr = array(permilles.map(p => lit(p / 1000.0)): _*)
+    val est = data.groupBy("__g").agg(
+      percentile_approx(col("__v"), qArr, lit(accuracy)).as("__est"),
+      count(lit(1)).as("n"))
+      .select(col("__g"), col("n"),
+        posexplode(col("__est")).as(Seq("__i", "__q")))
+      .select(col("__g"), col("n"),
+        element_at(
+          array(permilles.map(p => lit(p.toLong)): _*), col("__i") + 1)
+          .as("q_permille"),
+        col("__q"))
+    certifyQuantiles(data, est, accuracy).withColumnRenamed("__g", groupCol)
+  }
+
+  /** The verification half of [[quantileCertificate]], separable so its
+    * detection power is testable against a planted-wrong estimate.
+    * `data` is (__g, __v); `est` is (__g, n, q_permille, __q). */
+  private[operators] def certifyQuantiles(
+      data: DataFrame, est: DataFrame, accuracy: Int): DataFrame = {
+    val ranks = data.join(broadcast(est), "__g")
+      .groupBy("__g", "q_permille", "n")
+      .agg(
+        sum(when(col("__v") < col("__q"), 1L).otherwise(0L)).as("__r_lt"),
+        sum(when(col("__v") <= col("__q"), 1L).otherwise(0L)).as("__r_le"))
+    val acc = accuracy.toLong
+    // realized rank interval of the estimate is [r_lt + 1, r_le]; with
+    // ±1 rank of convention slack it misses the φ·n ± ε·n window iff
+    //   low:  (r_le + 1)·1000·acc < q·n·acc − n·1000
+    //   high: (r_lt + 1 − 1)·1000·acc > q·n·acc + n·1000
+    val target = col("q_permille") * col("n") * lit(acc)
+    val eps = col("n") * lit(1000L)
+    ranks.select(col("__g"), col("q_permille"), col("n"),
+      when((col("__r_le") + 1L) * lit(1000L * acc) < target - eps ||
+        col("__r_lt") * lit(1000L * acc) > target + eps, 1L)
+        .otherwise(0L).as("n_violations"))
+  }
+
   /** Scale-path profiling: identical output shape to [[nullsAndDistinct]]
     * but with `approx_count_distinct` (HyperLogLog++) instead of exact
     * `countDistinct`.
