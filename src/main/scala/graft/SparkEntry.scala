@@ -1426,6 +1426,30 @@ object SparkEntry {
       t(s, dir, "documents"), "lang", "n_chars",
       permilles = Seq(100, 250, 500, 750, 900, 990), accuracy = 100)
 
+  /** SURVEY 34n `kmeans_train`: distributed Lloyd refinement over the
+    * FULL corpus — the stage after `ivfTrain`'s bounded-sample driver
+    * Lloyd that a 100 TB coarse quantizer actually needs. Exact integer
+    * lattice (scale 64 = 2⁶, so quantization is bit-exact in double)
+    * makes both iterations deterministic and relationally replayable —
+    * see [[operators.KMeans.refineLattice]]. Seeds = the k lowest
+    * vec_ids' quantized vectors; output = the iteration-2 centroid
+    * lattice per (cid, pos) with final cluster sizes. */
+  private def kmeansTrainQ(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = t(s, dir, "embeddings")
+    val q = e.select(col("vec_id"),
+      operators.KMeans.latticeQuantize(col("embedding"), 64).as("q"))
+    val seeds = q.orderBy("vec_id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
+    val cents = operators.KMeans.refineLattice(q.select("q"), "q", seeds, iters = 2)
+    import s.implicits._
+    cents.flatMap { case (cid, vec, n) =>
+      vec.zipWithIndex.map { case (v, p) =>
+        (cid.toLong, (p + 1).toLong, v, n)
+      }
+    }.toDF("cid", "pos", "val", "n")
+  }
+
   private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(when(col("lang") === "en", pmod(col("doc_id"), lit(10)) < 5)
@@ -1827,6 +1851,7 @@ object SparkEntry {
       "heavy_hitters" -> (heavyHittersQ _),
       "heavy_hitters_approx" -> (heavyHittersApproxQ _),
       "quantile_sketch" -> (quantileSketchQ _),
+      "kmeans_train" -> (kmeansTrainQ _),
       "dedup_paragraph" -> (dedupParagraph _),
       "dedup_spans" -> (dedupSpans _),
       "q_stratified_sample" -> (qStratifiedSample _),
@@ -2638,6 +2663,68 @@ object SparkEntry {
             term, cnt
           FROM cnt
           QUALIFY rank <= 256""",
+    "kmeans_train" ->
+      // two unrolled Lloyd iterations on the exact integer lattice —
+      // every sum is exact-integer (order-free), the centroid update is
+      // the fixed rounding floor((2s+n)/(2n)) in double (inputs < 2^53,
+      // so the division is bit-identical across engines), ties in the
+      // argmin go to the lowest cid on both sides. Empty clusters keep
+      // their centroid with n = 0 (the seeds/c1 LEFT JOIN coalesce).
+      """WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS q
+           FROM embeddings),
+         seeds AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, q
+           FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT 8)),
+         d1 AS (
+           SELECT e.vec_id, e.q, s.cid,
+             list_sum(list_transform(list_zip(e.q, s.q),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           FROM q e CROSS JOIN seeds s),
+         a1 AS (
+           SELECT vec_id, q, cid FROM (
+             SELECT vec_id, q, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d1) WHERE rn = 1),
+         s1 AS (
+           SELECT cid, pos, sum(v) AS sv, count(*) AS n
+           FROM (SELECT cid, unnest(range(1, len(q) + 1)) AS pos,
+                   unnest(q) AS v FROM a1)
+           GROUP BY cid, pos),
+         c1 AS (
+           SELECT seeds.cid, coalesce(agg.q2, seeds.q) AS q
+           FROM seeds LEFT JOIN (
+             SELECT cid, list(CAST(floor((2 * sv + n) / (2.0 * n)) AS BIGINT)
+                              ORDER BY pos) AS q2
+             FROM s1 GROUP BY cid) agg ON seeds.cid = agg.cid),
+         d2 AS (
+           SELECT e.vec_id, e.q, c.cid,
+             list_sum(list_transform(list_zip(e.q, c.q),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           FROM q e CROSS JOIN c1 c),
+         a2 AS (
+           SELECT vec_id, q, cid FROM (
+             SELECT vec_id, q, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d2) WHERE rn = 1),
+         s2 AS (
+           SELECT cid, pos, sum(v) AS sv, count(*) AS n
+           FROM (SELECT cid, unnest(range(1, len(q) + 1)) AS pos,
+                   unnest(q) AS v FROM a2)
+           GROUP BY cid, pos),
+         fin AS (
+           SELECT c1.cid, coalesce(agg.q2, c1.q) AS q, coalesce(agg.n, 0) AS n
+           FROM c1 LEFT JOIN (
+             SELECT cid, list(CAST(floor((2 * sv + n) / (2.0 * n)) AS BIGINT)
+                              ORDER BY pos) AS q2,
+               CAST(max(n) AS BIGINT) AS n
+             FROM s2 GROUP BY cid) agg ON c1.cid = agg.cid)
+         SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS BIGINT) AS pos,
+           CAST(val AS BIGINT) AS val, CAST(n AS BIGINT) AS n
+         FROM (SELECT cid, unnest(range(1, len(q) + 1)) AS pos,
+                 unnest(q) AS val, n FROM fin)""",
     "quantile_sketch" ->
       // certificate oracle (the heavy_hitters_approx pattern applied to
       // Greenwald–Khanna): the exact side (per-group n) is recomputed
