@@ -22,13 +22,13 @@ import org.apache.spark.sql.functions._
   * `embed_quantize`), irrelevant for centroid TRAINING where centroids
   * are summaries, not answers.
   *
-  * Plan shape per iteration: one scan; assignment is a per-row fold over
-  * a k-entry literal centroid array (`aggregate`/`zip_with` — exact long
-  * arithmetic, whole-stage codegen, no shuffle), the update shuffles
-  * only (cid, pos) partial sums — k·d rows per task after map-side
-  * combine — and collects k·d rows to the driver (the bounded
-  * centroid-scale pull every trainer here does). Nothing data-sized
-  * crosses an exchange.
+  * Plan shape per iteration: one scan; assignment is a compiled argmin
+  * kernel with the centroid matrix as a codegen reference object
+  * ([[graft.functions.expressions.NearestLatticeCentroid]] — exact long
+  * arithmetic, no shuffle), the update shuffles only (cid, pos) partial
+  * sums — k·d rows per task after map-side combine — and collects k·d
+  * rows to the driver (the bounded centroid-scale pull every trainer
+  * here does). Nothing data-sized crosses an exchange.
   */
 object KMeans {
 
@@ -42,27 +42,19 @@ object KMeans {
   }
 
   /** Nearest-centroid id under exact integer L2; ties go to the LOWEST
-    * cid (strict `<` over a cid-ascending fold — the oracle's
-    * `ORDER BY dist, cid`). Composed entirely from codegen'd builtins:
-    * the centroid matrix is a plan literal (k·d longs — centroid-scale,
-    * not corpus-scale). */
+    * cid (strict `<` over a cid-ascending scan — the oracle's
+    * `ORDER BY dist, cid`). A compiled kernel with the centroid matrix
+    * as a codegen reference object ([[graft.functions.expressions
+    * .NearestLatticeCentroid]]) — the first cut composed this from
+    * `aggregate`/`zip_with` builtins, but higher-order functions are
+    * CodegenFallback (interpreted, ~0.35 ms/row at k=8 d=64, re-run
+    * under the update pass's posexplode) — two orders too slow for a
+    * full-corpus refinement pass. */
   def assignLattice(q: Column, centroids: Seq[(Int, Seq[Long])]): Column = {
     require(centroids.nonEmpty, "assignLattice: no centroids")
-    val cents = array(centroids.sortBy(_._1).map { case (cid, c) =>
-      struct(lit(cid).as("cid"), array(c.map(lit(_)): _*).as("cv"))
-    }: _*)
-    // the fold accumulator is [bestDist, bestCid] as array<long> — struct
-    // field names do not survive lambda rewriting, arrays are type-stable
-    aggregate(cents,
-      array(lit(Long.MaxValue), lit(-1L)),
-      (acc, cent) => {
-        val d = aggregate(
-          zip_with(q, cent.getField("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (s, e) => s + e)
-        when(d < acc.getItem(0),
-          array(d, cent.getField("cid").cast("long")))
-          .otherwise(acc)
-      }).getItem(1).cast("int")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.NearestLatticeCentroid(
+        org.apache.spark.sql.graft.ColumnBridge.expression(q), centroids))
   }
 
   /** `iters` Lloyd iterations over `points(qCol: array<long>)` from
