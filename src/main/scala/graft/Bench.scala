@@ -386,8 +386,16 @@ object Bench {
     // min-of-3 headline row still carried one. Five repetitions give the
     // min a real chance to land in a quiet window; the calib kernel
     // ratios then say whether even that min is trustworthy.
-    def timeHeadline(dir: String, reps: Int, label: String): Seq[(String, (Double, Double))] =
-      headline.filter(SparkEntry.queries.contains).map { name =>
+    def timeHeadline(dir: String, reps: Int, label: String): Seq[(String, (Double, Double))] = {
+      // every headline name MUST be registered: silently filtering a
+      // dropped name would shorten the per-query scale arrays and
+      // positionally misalign them round-over-round — exactly what the
+      // append-only headline contract forbids. Fail loudly instead.
+      val missing = headline.filterNot(SparkEntry.queries.contains)
+      require(missing.isEmpty,
+        s"headline names not in SparkEntry.queries: ${missing.mkString(", ")} " +
+          "— headline is append-only; fix the registry, don't drop the row")
+      headline.map { name =>
         var failed = false
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -410,6 +418,7 @@ object Bench {
         if (failed) name -> (-1.0, -1.0)
         else name -> (times.last, times.head) // (max, min)
       }
+    }
     val bigResults: Seq[(String, (Double, Double))] =
       if (!bigReady) Nil else timeHeadline(bigDir, 5, "big20x")
     // 100x section (default-on since r13 — the verdict's evidence-gap

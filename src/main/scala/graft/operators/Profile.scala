@@ -100,11 +100,20 @@ object Profile {
     // ±1 rank of convention slack it misses the φ·n ± ε·n window iff
     //   low:  (r_le + 1)·1000·acc < q·n·acc − n·1000
     //   high: (r_lt + 1 − 1)·1000·acc > q·n·acc + n·1000
-    val target = col("q_permille") * col("n") * lit(acc)
-    val eps = col("n") * lit(1000L)
+    // Cross-multiplications run in DecimalType(38,0): in Long they can
+    // silently wrap (non-ANSI) at extreme n×accuracy (n ~1e12 with
+    // accuracy ~1e5 puts q·n·acc past 2⁶³) and corrupt the certificate
+    // at exactly the 100 TB scale it advertises. Operands are ≤3 + ~13 +
+    // ~6 digits — every product fits 38 digits with huge headroom; the
+    // OUTPUT stays Long (0/1), so no Decimal reaches the oracle hash.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val target = col("q_permille").cast(dec) * col("n").cast(dec) *
+      lit(acc).cast(dec)
+    val eps = col("n").cast(dec) * lit(1000L).cast(dec)
+    val scaleF = lit(1000L * acc).cast(dec)
     ranks.select(col("__g"), col("q_permille"), col("n"),
-      when((col("__r_le") + 1L) * lit(1000L * acc) < target - eps ||
-        col("__r_lt") * lit(1000L * acc) > target + eps, 1L)
+      when((col("__r_le") + 1L).cast(dec) * scaleF < target - eps ||
+        col("__r_lt").cast(dec) * scaleF > target + eps, 1L)
         .otherwise(0L).as("n_violations"))
   }
 

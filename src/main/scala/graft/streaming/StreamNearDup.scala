@@ -40,6 +40,18 @@ import graft.operators.Dedup
   *    buckets under BOTH caps — the operating regime; a crowded
   *    boilerplate key degrades to silence here and to capped stars
   *    there, both bounded.
+  *  - CORNER CASE, wider than the cap note above: a pair is LOST on
+  *    the stream side when its CANONICAL (lowest colliding) band's
+  *    bucket died over `maxBucket` while a live higher-band bucket
+  *    still holds both members — the live bucket refuses to emit
+  *    (`canonicalBand != band`, it cannot know its lower sibling is
+  *    dead) and the dead bucket emits nothing, whereas the batch twin
+  *    still surfaces the pair through the uncrowded bucket. Emitting
+  *    from the lowest LIVE band instead would need cross-bucket
+  *    knowledge (a second stateful stage keyed by pair), which this
+  *    operator deliberately avoids; accept the loss (it requires a
+  *    boilerplate-crowded band, i.e. already-degraded keys) or raise
+  *    `maxBucket`.
   *
   * The standard late-data caveat applies ([[StreamTopK]]): an event
   * arriving after its window's watermark close re-opens the bucket and a
@@ -224,6 +236,18 @@ object StreamNearDup {
           shingleK, numHashes, bands, threshold, maxBucket)
       pairs.select(lit(w).as("window_start"), col("id_a"), col("id_b"),
         col("est_jaccard"))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _).getOrElse {
+      // empty input frame → empty result in the output schema, not an
+      // UnsupportedOperationException from reduce() on an empty list
+      val spark = docs.sparkSession
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("window_start", LongType),
+          StructField("id_a", LongType),
+          StructField("id_b", LongType),
+          StructField("est_jaccard", DoubleType))))
+    }
   }
 }
