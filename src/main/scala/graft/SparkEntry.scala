@@ -1713,6 +1713,50 @@ object SparkEntry {
       Seq("canon"), Seq(col("doc_id")))
       .select(col("doc_id"), col("canon"))
 
+  /** SURVEY 40d `html_extract` (r17): HTML main-content extraction — the
+    * curation stage upstream of `lang_id`/`text_quality` that the §2.3
+    * family silently assumed (every real crawl pipeline runs it first;
+    * the reference starts at clean relational text and has no analog).
+    * Pages are PURE FUNCTIONS of (doc_id, text): a fixed template plants
+    * a head (title/style/script with `<`/`>`/`"<body>"` inside the
+    * script body), a nav bar, an HTML comment, the document text with
+    * escaped entities, a conditional appendix, a too-short teaser, a
+    * link-only related list, and a link-dense footer. The extractor
+    * ([[TextFunctions.htmlExtract]]) must keep exactly the prose blocks;
+    * the DuckDB oracle computes the GROUND-TRUTH clean text directly
+    * from (doc_id, text) — stronger than replaying the regexes: any
+    * kept boilerplate, dropped prose, broken unescape or whitespace
+    * slip hash-mismatches. Map-only, zero shuffle (PLANS.md). */
+  private def htmlExtractQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val appendix = when(col("doc_id") % 3 === 0,
+      concat(lit("<h2>Appendix</h2><p>Appendix A. "),
+        upper(substring(col("text"), 1, 80)), lit("</p>\n")))
+      .otherwise(lit(""))
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>body { margin: 0; }</style>" +
+        "<script type=\"text/javascript\">var page = "), col("doc_id"),
+      lit("; if (page > 0) { track(\"<body>\"); }</script></head>\n<body>\n" +
+        "<nav class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+        " <a href=\"/contact\">Contact</a></nav>\n<!-- rendered page "),
+      col("doc_id"),
+      lit(" -->\n<p>"), col("text"),
+      lit("   &amp; notes &lt;draft&gt;</p>\n"),
+      appendix,
+      lit("<p>Read more...</p>\n" +
+        "<ul class=\"related\">" +
+        "<li><a href=\"/r/1\">Further reading on partitioning and shuffle" +
+        " behaviour</a></li>" +
+        "<li><a href=\"/r/2\">A longer related article about query" +
+        " optimizers</a></li></ul>\n" +
+        "<div class=\"footer\"><a href=\"/tos\">Terms of Service agreement" +
+        "</a> | <a href=\"/privacy\">Privacy Policy statement</a> | " +
+        "<a href=\"/c\">Contact</a></div>\n</body></html>"))
+    docs.select(col("doc_id"),
+      TextFunctions.htmlExtract(html).as("main_text"))
+  }
+
   /** SURVEY 23n `q_transitions`: per-user event-type transition counts
     * (the Markov matrix behind journey analysis): one window pass keyed on
     * the user (lag over ts, event_id tie-break), then a global rollup of
@@ -1865,6 +1909,7 @@ object SparkEntry {
       "q_retention" -> (qRetention _),
       "url_canonicalize" -> (urlCanonicalize _),
       "dedup_url" -> (dedupUrlQ _),
+      "html_extract" -> (htmlExtractQ _),
       "q_transitions" -> (qTransitions _),
       "source_minhash" -> (sourceMinhash _),
       "repo_merge" -> (repoMerge _),
@@ -2847,6 +2892,20 @@ object SparkEntry {
          WHERE prev_type IS NOT NULL
          GROUP BY 1, 2""",
     "url_canonicalize" -> urlCanonSql,
+    // html_extract: the oracle computes GROUND TRUTH directly from
+    // (doc_id, text) — the template's prose blocks are the document text
+    // with its planted entities unescaped ('   &amp; ' collapses to one
+    // space) plus the conditional appendix (rtrim: the extractor trims
+    // each block, so a substr cut landing on a space must not survive).
+    // Every boilerplate block (nav, teaser, related list, footer) must be
+    // absent; any one kept would prepend/append text and hash-mismatch.
+    "html_extract" ->
+      raw"""SELECT doc_id,
+              text || ' & notes <draft>' ||
+              CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'Appendix A. ' || rtrim(upper(substr(text, 1, 80)))
+                ELSE '' END AS main_text
+            FROM documents""",
     "dedup_url" ->
       // keep-first per canonical URL over the shared canonicalization
       // replay: min doc_id survives each canon group

@@ -278,4 +278,87 @@ object TextFunctions {
     when(part(1) === "", lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, keptPort, path, query))
   }
+
+  // ------------------------------------------------------------------ HTML
+
+  /** Invisible containers removed wholesale before any text is measured:
+    * the whole `<head>` (title/meta/style/script live there), plus inline
+    * `<script>`/`<style>`/`<noscript>`/`<template>` bodies and comments.
+    * Lazy `.*?` under `(?s)` survives `<`, `>` and quoted markup INSIDE a
+    * script body (`track("<body>")`, `if (a > b)`). */
+  private val HtmlDropRegex =
+    "(?is)<head\\b.*?</head>|<script\\b[^>]*>.*?</script>" +
+      "|<style\\b[^>]*>.*?</style>|<noscript\\b[^>]*>.*?</noscript>" +
+      "|<template\\b[^>]*>.*?</template>|<!--.*?-->"
+
+  /** Block-level boundaries: each open OR close tag of a block element
+    * starts a new text block. Inline markup (`a b i em span strong code`)
+    * stays inside its block so link density is measured per block. */
+  private val HtmlBlockTagRegex =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th" +
+      "|br|hr|body|html|header|footer|nav|section|article|aside|main|figure" +
+      "|figcaption|blockquote|pre|form|fieldset|address)\\b[^>]*>"
+
+  private val HtmlAnchorRegex = "(?is)<a\\b[^>]*>(.*?)</a>"
+
+  /** Visible text of one block: tags stripped to spaces, `&nbsp;` made a
+    * real space BEFORE the whitespace collapse (so runs of nbsp don't
+    * survive as doubles), collapsed, trimmed. Other entities stay escaped
+    * here — density is measured on this form; [[htmlUnescape]] runs once
+    * on kept blocks. */
+  private def htmlBlockText(b: Column): Column =
+    trim(regexp_replace(
+      replace(regexp_replace(b, "<[^>]*>", " "), lit("&nbsp;"), lit(" ")),
+      "\\s+", " "))
+
+  /** The five named entities a text-extraction pass must restore
+    * (`&nbsp;` is handled earlier, see [[htmlBlockText]]); `&amp;` LAST so
+    * a double-escape (`&amp;lt;`) unescapes exactly one level. */
+  def htmlUnescape(c: Column): Column =
+    replace(
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+        .foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) },
+      lit("&amp;"), lit("&"))
+
+  /** HTML main-content extraction — the curation stage every real crawl
+    * pipeline runs BEFORE language-ID / quality scoring (the
+    * trafilatura/jusText slot in FineWeb/RefinedWeb-style pipelines;
+    * Kohlschütter et al., WSDM 2010 showed shallow per-block text/link
+    * densities recover main content competitively). The reference
+    * (iangow/db2pq) starts at clean relational text and has no analog;
+    * raw crawl data doesn't.
+    *
+    * Shape: (1) drop invisible containers ([[HtmlDropRegex]]);
+    * (2) split on block-level tag boundaries ([[HtmlBlockTagRegex]]);
+    * (3) per block, measure visible text and anchor-text lengths;
+    * (4) keep blocks with ≥ `minChars` visible chars AND link density
+    * `anchor_chars/text_chars` ≤ `maxLinkPermille`/1000 (integer
+    * cross-multiplication, no division) — kills nav bars, footers and
+    * "related links" lists while keeping prose; (5) unescape entities and
+    * join kept blocks with `\n`.
+    *
+    * Pure composed Catalyst ops (regexp/split/filter/transform/
+    * array_join) — a map-only, whole-stage-codegen projection with ZERO
+    * shuffle, so it rides the scan at 100 TB like any per-row function.
+    * Null html → null. Known limits (shared with every regex-level
+    * extractor): a literal `>` inside a quoted tag attribute truncates
+    * that tag early; malformed/unclosed markup degrades to keeping the
+    * raw text rather than dropping content. Headings shorter than
+    * `minChars` are dropped with the boilerplate — callers who want them
+    * lower `minChars` per-call. */
+  def htmlExtract(
+      html: Column, minChars: Int = 25, maxLinkPermille: Int = 333): Column = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    require(maxLinkPermille >= 0 && maxLinkPermille <= 1000,
+      s"maxLinkPermille must be in [0, 1000], got $maxLinkPermille")
+    val blocks = split(regexp_replace(html, HtmlDropRegex, " "), HtmlBlockTagRegex)
+    val kept = filter(blocks, { b =>
+      val t = htmlBlockText(b)
+      val a = htmlBlockText(
+        array_join(regexp_extract_all(b, lit(HtmlAnchorRegex), lit(1)), " "))
+      length(t) >= lit(minChars) &&
+        length(a) * lit(1000) <= lit(maxLinkPermille) * length(t)
+    })
+    array_join(transform(kept, b => htmlUnescape(htmlBlockText(b))), "\n")
+  }
 }
