@@ -470,23 +470,72 @@ object SparkEntry {
       .select("doc_id", "lang", "n_chars")
   }
 
-  /** Batch twin of streaming MinHash-LSH near-dup (SURVEY 28i, r16):
-    * per-tumbling-window `Dedup.minhashPairs` with planted duplicate
-    * copies and a synthetic deterministic timestamp (documents carry
-    * none) spreading the corpus over 4 windows; the copy offset is
-    * divisible by 4, so each copy lands in its original's window.
-    * `StreamNearDup.pairsPerWindow`'s watermark-closed emission is
-    * MemoryStream-specced ≡ this twin (StreamNearDupSpec); threshold 1.0
-    * keeps the oracle in the identical-text regime (the dedup_minhash
-    * planted-pair pattern, windowed). */
+  private val nearDupStagings =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Streaming MinHash-LSH near-dup (SURVEY 28i, r16; r17 gates the REAL
+    * operator): `StreamNearDup.pairsPerWindow` driven end-to-end through
+    * a parquet file source and a parquet sink — the `closed_sessions`
+    * recipe, so the DuckDB oracle exercises the stateful
+    * flatMapGroupsWithState operator itself, not its batch twin. Planted
+    * duplicate copies and a synthetic deterministic timestamp (documents
+    * carry none) spread the corpus over 4 tumbling windows; the copy
+    * offset 10⁶ is divisible by 4, so each copy lands in its original's
+    * window. The first micro-batch reads every staged doc file; a
+    * per-execution sentinel doc (negative id, unique text long enough to
+    * pass the shingle filter — a filtered row advances no watermark) then
+    * triggers the batch in which the batch-lagged watermark passes every
+    * real window end, so `EventTimeTimeout` closes all four windows; the
+    * sentinel's own window never closes and emits nothing. `threshold =
+    * 1.0, verify = true` keeps the oracle in the byte-identical regime:
+    * the in-state 32-byte digests kill full-signature collisions between
+    * near-identical templated texts exactly like the batch
+    * `minhashPairsVerified` digest join (real at 20×/skew scale). */
   private def streamNearDupQ(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select("doc_id", "text")
-    val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-    val all = d.unionByName(dup).withColumn("ts",
-      timestamp_seconds(lit(1704067200L) + pmod(col("doc_id"), lit(4)) * 3600))
-    streaming.StreamNearDup.pairsBatch(all, "doc_id", "text", "ts",
+    import s.implicits._
+    import graft.streaming.StreamNearDup.{DocEvent, NearDupPair, pairsPerWindow}
+    val (src, sentinelStash) = nearDupStagings.getOrElseUpdate(dir, {
+      val p = scratch("graft_neardup")
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      d.unionByName(dup)
+        .withColumn("ts", timestamp_seconds(
+          lit(1704067200L) + pmod(col("doc_id"), lit(4)) * 3600))
+        .select("doc_id", "text", "ts")
+        .write.parquet(s"$p/src")
+      Seq((-1L, "zz graft sentinel watermark advance document",
+        new java.sql.Timestamp((1704067200L + 10L * 3600) * 1000)))
+        .toDF("doc_id", "text", "ts")
+        .coalesce(1).write.parquet(s"$p/sentinel")
+      val part = new java.io.File(s"$p/sentinel").listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toString
+      (s"$p/src", part)
+    })
+    val sentinelDst = java.nio.file.Paths.get(src, "zz_sentinel.parquet")
+    Files.deleteIfExists(sentinelDst)
+    val work = scratch("graft_neardup_run")
+    val q = pairsPerWindow(
+      s.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .parquet(src).as[DocEvent],
       windowSeconds = 3600, shingleK = 5, numHashes = 48, bands = 12,
-      threshold = 1.0, verified = true)
+      threshold = 1.0, verify = true)
+      .writeStream.format("parquet")
+      .option("path", s"$work/sink")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-band multiplicity collapse (operator MULTIPLICITY contract): a
+    // pair arrives once per live colliding band with an identical row, so
+    // the collapse is a plain distinct over the output — output-sized
+    s.read.schema(org.apache.spark.sql.Encoders.product[NearDupPair].schema)
+      .parquet(s"$work/sink")
+      .filter(col("id_a") >= 0)
+      .select("window_start", "id_a", "id_b", "est_jaccard")
+      .distinct()
   }
 
   /** Batch twin of the streaming per-window top-k (SURVEY 28h): same

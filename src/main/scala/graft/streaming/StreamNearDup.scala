@@ -16,42 +16,45 @@ import graft.operators.Dedup
   * projection — text never enters state), band hashes explode into
   * (window, band, bucket) groups, and each group is a
   * `flatMapGroupsWithState` bucket whose state is the member (id,
-  * signature) list — fixed-width, BOUNDED by `maxBucket` (the
+  * signature, digest) list — fixed-width, BOUNDED by `maxBucket` (the
   * [[StreamTopK]] state-capping pattern) and expired by the event-time
   * watermark when its tumbling window closes. Emission happens solely on
-  * EventTimeTimeout, so Append output is exactly-once per closed window.
+  * EventTimeTimeout: Append output is at-most-once per closed window PER
+  * BAND (≤ `bands` copies of a pair, collapsible — see MULTIPLICITY
+  * below), never re-emitted for a later window.
   *
   * Equivalence to the batch operator on a closed window
   * (StreamNearDupSpec proves the multi-batch MemoryStream run):
   *  - a pair collides in band b iff its signatures agree on all of
   *    band b's slots, so each near-dup pair is seen by every band it
-  *    collides in; the pair emits ONLY from its CANONICAL (lowest)
-  *    colliding band — the stateless LSH dedup trick that replaces the
-  *    batch operator's cross-bucket `groupBy(id_a, id_b)` merge (a
-  *    second stateful stage here). Identical signatures collide in
-  *    every band and emit from band 0 with est 1.0 — the batch
-  *    equal-signature branch, uncapped there, bucket-capped here.
-  *  - est_jaccard is the same equal-slot fraction both sides.
+  *    collides in; EVERY live colliding bucket emits it. A pair is
+  *    therefore found iff AT LEAST ONE of its colliding buckets is
+  *    under the crowding cap — exactly the batch guarantee, where
+  *    crowded buckets are dropped and the survivors merge through the
+  *    cross-bucket `groupBy(id_a, id_b)`. (An earlier canonical-band
+  *    design emitted only from the LOWEST colliding band to get
+  *    exactly-once for free; it silently LOST every pair whose
+  *    canonical bucket was crowded while a live higher band held it —
+  *    340 real pairs at the 20× tier, because identical signatures
+  *    always canonicalize to band 0 and common-shingle skew crowds
+  *    exactly the popular buckets. Loss is the one failure a dedup
+  *    pipeline can't inspect away; bounded duplication is collapsible.)
+  *  - MULTIPLICITY: a pair arrives once per live colliding band —
+  *    ≤ `bands` copies, all emitted in the SAME micro-batch (every
+  *    bucket of a window times out on the same watermark crossing).
+  *    Collapse downstream by (window_start, id_a, id_b) — the same
+  *    collapse the late-data caveat below already prescribes; output
+  *    volume is pairs × colliding-live-bands, output-sized, never
+  *    corpus-sized. est_jaccard is the identical equal-slot fraction
+  *    from any band, so the collapse is a plain distinct.
   *  - an over-`maxBucket` bucket emits NOTHING, mirroring the batch
   *    `size(xs) BETWEEN 2 AND maxBucket` crowding guard. The guards
   *    differ under the cap in kind (batch counts DISTINCT signatures
   *    after the collapse and star-expands degenerate equal groups;
   *    the stream counts raw members), so stream ≡ batch holds for
   *    buckets under BOTH caps — the operating regime; a crowded
-  *    boilerplate key degrades to silence here and to capped stars
-  *    there, both bounded.
-  *  - CORNER CASE, wider than the cap note above: a pair is LOST on
-  *    the stream side when its CANONICAL (lowest colliding) band's
-  *    bucket died over `maxBucket` while a live higher-band bucket
-  *    still holds both members — the live bucket refuses to emit
-  *    (`canonicalBand != band`, it cannot know its lower sibling is
-  *    dead) and the dead bucket emits nothing, whereas the batch twin
-  *    still surfaces the pair through the uncrowded bucket. Emitting
-  *    from the lowest LIVE band instead would need cross-bucket
-  *    knowledge (a second stateful stage keyed by pair), which this
-  *    operator deliberately avoids; accept the loss (it requires a
-  *    boilerplate-crowded band, i.e. already-degraded keys) or raise
-  *    `maxBucket`.
+  *    boilerplate key degrades to capped stars there and to the
+  *    surviving-band subset here, both bounded.
   *
   * The standard late-data caveat applies ([[StreamTopK]]): an event
   * arriving after its window's watermark close re-opens the bucket and a
@@ -65,20 +68,37 @@ object StreamNearDup {
   final case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
   /** Internal banded row (public: the Dataset encoder codegens field
-    * access and cannot reach a private class's members). */
+    * access and cannot reach a private class's members). `dig` is the
+    * 32-byte SHA-256 content digest — fixed-width, computed statelessly
+    * with the signature so `verify = true` pairs can be confirmed
+    * byte-exact without text ever entering state (the streaming twin of
+    * the batch `minhashPairsVerified` digest join). */
   final case class BandedDoc(
-      doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long], band: Int, bh: Long)
+      doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long], dig: Array[Byte],
+      band: Int, bh: Long)
 
-  /** Band-bucket state: member ids + signatures (fixed-width — never
-    * text), `dead` once the bucket exceeded `maxBucket`. */
+  /** Band-bucket state: member ids + signatures + content digests (all
+    * fixed-width — never text; the digests add 32 B/member, ≤16 KiB per
+    * bucket at the default cap), `dead` once the bucket exceeded
+    * `maxBucket`. */
   final case class BucketState(
-      ids: Seq[Long], sigs: Seq[Seq[Long]], dead: Boolean)
+      ids: Seq[Long], sigs: Seq[Seq[Long]], digs: Seq[Array[Byte]],
+      dead: Boolean)
 
   /** One emitted near-dup pair (id_a < id_b), per closed window. */
   final case class NearDupPair(
       window_start: Long, id_a: Long, id_b: Long, est_jaccard: Double)
 
-  /** Streaming near-dup pairs per `windowSeconds` tumbling window. */
+  /** Streaming near-dup pairs per `windowSeconds` tumbling window.
+    *
+    * `verify = true` emits only pairs whose 32-byte content digests match
+    * — byte-exact duplicates, the streaming twin of the batch
+    * `minhashPairsVerified` digest join. A templated near-identical pair
+    * that collides at FULL signature (same shingle SET, different bytes —
+    * real at scale, the dedup_minhash lesson) is killed in-bucket instead
+    * of reaching downstream unverified. `verify = false` keeps the
+    * candidate semantics (estimates only — downstream digest join
+    * required for exactness). */
   def pairsPerWindow(
       docs: Dataset[DocEvent],
       windowSeconds: Long,
@@ -87,7 +107,8 @@ object StreamNearDup {
       bands: Int = 16,
       threshold: Double = 0.5,
       watermarkDelay: String = "0 seconds",
-      maxBucket: Int = 500
+      maxBucket: Int = 500,
+      verify: Boolean = false
   ): Dataset[NearDupPair] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(maxBucket > 1, "maxBucket must allow at least one pair")
@@ -106,8 +127,9 @@ object StreamNearDup {
     val banded = docs.toDF()
       .withWatermark("ts", watermarkDelay)
       .filter(col("text").isNotNull && octet_length(col("text")) >= shingleK)
-      .select(col("doc_id"), col("ts"), sigCol)
-      .select(col("doc_id"), col("ts"), col("sig"),
+      .select(col("doc_id"), col("ts"), sigCol,
+        unhex(sha2(col("text"), 256)).as("dig"))
+      .select(col("doc_id"), col("ts"), col("sig"), col("dig"),
         posexplode(graft.functions.MinHash.bandHashes(col("sig"), bands, r))
           .as(Seq("band", "bh")))
       .as[BandedDoc]
@@ -125,11 +147,13 @@ object StreamNearDup {
             val st = state.get
             state.remove()
             if (st.dead) Iterator.empty
-            else emitCanonical(ws, band, st, r, numHashes, threshold)
+            else emitPairs(ws, band, st, r, numHashes, threshold, verify)
           } else {
-            val cur = state.getOption.getOrElse(BucketState(Nil, Nil, dead = false))
+            val cur = state.getOption.getOrElse(
+              BucketState(Nil, Nil, Nil, dead = false))
             var ids = cur.ids.toVector
             var sigs = cur.sigs.toVector
+            var digs = cur.digs.toVector
             var dead = cur.dead
             evs.foreach { b =>
               if (!dead) {
@@ -137,11 +161,12 @@ object StreamNearDup {
                   // crowding guard: mirror the batch BETWEEN(2, maxBucket)
                   // bucket drop AND bound the state — a poisoned bucket
                   // holds no members at all
-                  dead = true; ids = Vector.empty; sigs = Vector.empty
-                } else { ids :+= b.doc_id; sigs :+= b.sig }
+                  dead = true
+                  ids = Vector.empty; sigs = Vector.empty; digs = Vector.empty
+                } else { ids :+= b.doc_id; sigs :+= b.sig; digs :+= b.dig }
               }
             }
-            state.update(BucketState(ids, sigs, dead))
+            state.update(BucketState(ids, sigs, digs, dead))
             state.setTimeoutTimestamp(math.max(
               state.getCurrentWatermarkMs() + 1,
               (ws + windowSeconds) * 1000))
@@ -150,28 +175,32 @@ object StreamNearDup {
       }
   }
 
-  /** In-bucket pair expansion with canonical-band dedup: emit (a, b)
-    * from THIS band only if no lower band also collides — each pair
-    * then emits exactly once per window across all its buckets. Slot
-    * comparison stands in for band-hash equality (they differ only on a
-    * 2⁻⁶⁴ hash collision, below the sketch's own noise floor). */
-  private def emitCanonical(
+  /** In-bucket pair expansion: emit (a, b) from this (live) bucket when
+    * the pair genuinely collides in THIS band — the slot comparison
+    * stands in for band-hash equality (they differ only on a 2⁻⁶⁴ hash
+    * collision, below the sketch's own noise floor) and keeps a chance
+    * bh collision between non-colliding signatures from pairing. Each
+    * pair emits once per live colliding band; see the operator doc's
+    * MULTIPLICITY note. */
+  private def emitPairs(
       ws: Long, band: Int, st: BucketState,
-      r: Int, numHashes: Int, threshold: Double): Iterator[NearDupPair] = {
+      r: Int, numHashes: Int, threshold: Double,
+      verify: Boolean): Iterator[NearDupPair] = {
     val n = st.ids.length
     val out = Vector.newBuilder[NearDupPair]
     var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        if (st.ids(i) != st.ids(j)) {
+        if (st.ids(i) != st.ids(j) &&
+          (!verify || java.util.Arrays.equals(st.digs(i), st.digs(j)))) {
           val sa = st.sigs(i)
           val sb = st.sigs(j)
           var eq = 0
           var s = 0
           while (s < numHashes) { if (sa(s) == sb(s)) eq += 1; s += 1 }
           val est = eq.toDouble / numHashes
-          if (est >= threshold && canonicalBand(sa, sb, r) == band) {
+          if (est >= threshold && bandAgrees(sa, sb, band, r)) {
             out += NearDupPair(ws,
               math.min(st.ids(i), st.ids(j)),
               math.max(st.ids(i), st.ids(j)), est)
@@ -184,18 +213,11 @@ object StreamNearDup {
     out.result().iterator
   }
 
-  /** Lowest band index whose full slot range agrees; -1 when none. */
-  private def canonicalBand(sa: Seq[Long], sb: Seq[Long], r: Int): Int = {
-    val bands = sa.length / r
-    var b = 0
-    while (b < bands) {
-      var s = b * r
-      var ok = true
-      while (ok && s < (b + 1) * r) { ok = sa(s) == sb(s); s += 1 }
-      if (ok) return b
-      b += 1
-    }
-    -1
+  /** Whether band `b`'s full slot range agrees between two signatures. */
+  private def bandAgrees(sa: Seq[Long], sb: Seq[Long], b: Int, r: Int): Boolean = {
+    var s = b * r
+    while (s < (b + 1) * r) { if (sa(s) != sb(s)) return false; s += 1 }
+    true
   }
 
   /** Batch twin — per-tumbling-window [[Dedup.minhashPairs]] on a static
