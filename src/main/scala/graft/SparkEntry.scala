@@ -898,6 +898,25 @@ object SparkEntry {
         col("rank").cast("bigint").as("rank"))
   }
 
+  /** SURVEY 34g2 `embed_ivf_refined`: the ivfBuild path with full-corpus
+    * lattice refinement ([[operators.KMeans.refineLattice]] wired behind
+    * `refineIterations`) — sampled seeds, then two distributed Lloyd
+    * iterations over EVERY vector on the exact integer lattice before the
+    * geometry freezes. nprobe = numCentroids probes every cluster, so the
+    * result is exact (≡ brute force) REGARDLESS of where refinement moved
+    * the centroids — the same oracle shape as embed_ivf_ann; refinement
+    * QUALITY (planted small-cluster recovery that sample-only training
+    * misses) is the IvfSpec property. */
+  private def embedIvfRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = Similarity.ivfBuild(e, "vec_id", "embedding",
+      numCentroids = 16, kmeansIters = 0, refineIterations = 2)
+    Similarity.ivfSearch(index, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 16)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     // plant exact-duplicate vectors under shifted ids; the ANN pipeline
     // must collapse each (original, copy) component to the original
@@ -1923,6 +1942,7 @@ object SparkEntry {
       "dedup_simhash" -> (dedupSimhash _),
       "embed_lsh_ann" -> (embedLshAnn _),
       "embed_ivf_ann" -> (embedIvfAnn _),
+      "embed_ivf_refined" -> (embedIvfRefined _),
       "embed_quantize" -> (embedQuantize _),
       "embed_quantized_topk" -> (embedQuantizedTopK _),
       "dedup_drop" -> (dedupDrop _),
@@ -2503,6 +2523,11 @@ object SparkEntry {
            ON a.embedding = b.embedding AND a.vec_id < b.vec_id""",
     "embed_ivf_ann" ->
       // nprobe = numCentroids ≡ exact brute-force top-k
+      bruteTop5Sql,
+    "embed_ivf_refined" ->
+      // nprobe = numCentroids ≡ exact brute force — centroid positions
+      // (hence the refinement) cannot change the result, only the probe
+      // pruning; refinement quality is the IvfSpec recovery property
       bruteTop5Sql,
     "dedup_groups" ->
       """WITH u AS (SELECT doc_id, text FROM documents

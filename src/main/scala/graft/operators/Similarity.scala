@@ -269,13 +269,33 @@ object Similarity {
     * (spherical: cosine-argmax assignment, per-cluster mean update): each
     * iteration is one corpus pass whose aggregate result is only
     * `numCentroids × dim` doubles — the driver never sees corpus data.
-    * Empty clusters keep their previous centroid. */
+    * Empty clusters keep their previous centroid.
+    *
+    * `refineIterations` > 0 additionally runs that many FULL-CORPUS Lloyd
+    * iterations on the exact integer lattice ([[KMeans.refineLattice]],
+    * `latticeScale` a power of two) before freezing — the stage a 100 TB
+    * coarse quantizer actually needs: the sampled seeds see only
+    * `numCentroids` rows of the corpus, so a small-but-real cluster the
+    * sample misses gets NO centroid and every query near it pays a long
+    * nprobe detour forever (the geometry is frozen between re-trains —
+    * [[appendToIvfIndex]]). Lattice refinement scans EVERY vector,
+    * bit-deterministically (exact integer sums, fixed rounding — see
+    * KMeans.scala's header for why floats can't do this), and pulls the
+    * recovered cluster's mass onto its own centroid. Refined lattice
+    * centroids dequantize by `/latticeScale` (exact: power-of-two
+    * divisor). Refinement minimizes lattice L2; the index's assignment
+    * kernel ranks by cosine — for the near-unit-norm embeddings ANN
+    * serves, L2² = 2 − 2·cos up to the lattice spacing, so the refined
+    * centers are better under both metrics for blob-structured corpora
+    * (IvfSpec's planted-small-cluster recovery property). */
   def ivfBuild(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       numCentroids: Int = 16,
-      kmeansIters: Int = 0
+      kmeansIters: Int = 0,
+      refineIterations: Int = 0,
+      latticeScale: Int = 64
   ): IvfIndex = {
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     // numCentroids = 0: auto-scale from optimizer stats — no pre-plan job
@@ -307,6 +327,24 @@ object Similarity {
             cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
           case None => cid -> old
         }
+      }
+    }
+
+    if (refineIterations > 0) {
+      // full-corpus refinement on the exact lattice: quantize the corpus
+      // and the current centroids to the same grid, run distributed Lloyd
+      // (one scan + a k·d-row exchange + a k·d-row collect per
+      // iteration — nothing corpus-sized reaches the driver), dequantize.
+      // floor() on both sides keeps corpus points and seeds on the
+      // identical grid the kernel compares on.
+      val lat = vecs.select(
+        KMeans.latticeQuantize(col("v"), latticeScale).as("q"))
+      val seeds = centroids.map { case (cid, c) =>
+        (cid, c.map(x => math.floor(x * latticeScale).toLong))
+      }
+      val refined = KMeans.refineLattice(lat, "q", seeds, refineIterations)
+      centroids = refined.map { case (cid, vq, _) =>
+        (cid, vq.map(_.toDouble / latticeScale))
       }
     }
 

@@ -550,6 +550,59 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("ivf lattice refinement recovers a planted small cluster the seed " +
+    "sample misses; sample-only training never does") {
+    import spark.implicits._
+    val dim = 8
+    // blobs separated in DIRECTION (5·e1 vs 5·e8) with equal norms, so
+    // lattice L2 (the refinement metric) and cosine (the index's
+    // assignment metric) rank them identically — the geometry the header
+    // comment on ivfBuild's refine path assumes. The 5× radius keeps the
+    // inter-blob lattice distance (~450 units) above the escape threshold
+    // σ/f ≈ 110 (within-blob spread σ ≈ 34 lattice units over the pull
+    // fraction f = 12/(12+300/4)): iteration 1 pulls one centroid 14% of
+    // the way toward the small blob, far enough that iteration 2 strips
+    // its big-blob share and iteration 3 lands it on the blob mean.
+    def noise(i: Long, d: Int) = (((i * 31 + d * 7) % 97).toFloat / 97f - 0.5f) * 0.2f
+    val big = (0L until 300L).map { i =>
+      (i, (0 until dim).map(d => (if (d == 0) 5f else 0f) + noise(i, d)))
+    }
+    val small = (300L until 312L).map { i =>
+      (i, (0 until dim).map(d => (if (d == 7) 5f else 0f) + noise(i, d)))
+    }
+    val corpus = (big ++ small).toDF("vec_id", "embedding")
+
+    val sampleOnly = Similarity.ivfBuild(corpus, "vec_id", "embedding",
+      numCentroids = 4)
+    // premise of the property: the deterministic xxhash sample drew every
+    // seed from the big blob (12/312 odds miss the small one), so
+    // sample-only training has NO centroid anywhere near the small cluster
+    def nearSmall(c: Seq[Double]) = c(7) > 3.0 && c(0) < 2.0
+    assert(!sampleOnly.centroids.exists(c => nearSmall(c._2)),
+      "fixture broken: a sampled seed landed in the small blob")
+
+    val refined = Similarity.ivfBuild(corpus, "vec_id", "embedding",
+      numCentroids = 4, refineIterations = 3)
+    assert(refined.centroids.exists(c => nearSmall(c._2)),
+      s"refinement failed to recover the planted cluster: ${refined.centroids}")
+    // the recovered centroid owns the small blob exclusively: all 12
+    // planted vectors assign to one cluster that holds nothing else
+    val bySmall = refined.assigned.filter(col("id") >= 300L)
+      .select("cluster").distinct().collect().map(_.getInt(0))
+    assert(bySmall.length == 1)
+    val owner = bySmall.head
+    assert(refined.assigned.filter(col("cluster") === owner)
+      .filter(col("id") < 300L).isEmpty)
+    // and nprobe = all remains exactly brute force with refined centroids
+    val queries = corpus.filter(col("vec_id") >= 300L && col("vec_id") < 303L)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val full = Similarity.ivfSearch(refined, queries, "vec_id", "embedding", 3,
+      nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(full == exact)
+  }
+
   test("int8 quantization: codes in range, reconstruction within half a step") {
     val q = Similarity.quantize(emb.limit(200), "vec_id", "embedding")
     val joined = q.join(emb.limit(200), "vec_id")
