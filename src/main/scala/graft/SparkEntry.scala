@@ -1499,16 +1499,20 @@ object SparkEntry {
     * Lloyd that a 100 TB coarse quantizer actually needs. Exact integer
     * lattice (scale 64 = 2⁶, so quantization is bit-exact in double)
     * makes both iterations deterministic and relationally replayable —
-    * see [[operators.KMeans.refineLattice]]. Seeds = the k lowest
-    * vec_ids' quantized vectors; output = the iteration-2 centroid
-    * lattice per (cid, pos) with final cluster sizes. */
+    * see [[operators.KMeans.refineLattice]]. Seeds = deterministic
+    * k-means‖ ([[operators.KMeans.parallelSeeds]] — 2 oversampling
+    * rounds at ℓ = 2k, Lehmer-hash draws, weighted greedy reduction;
+    * r16 verdict #4 replaced the k-lowest-vec_ids seeding, which real
+    * skewed embedding spaces don't forgive), replayed CTE-for-CTE by the
+    * oracle; output = the iteration-2 centroid lattice per (cid, pos)
+    * with final cluster sizes. */
   private def kmeansTrainQ(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val e = t(s, dir, "embeddings")
     val q = e.select(col("vec_id"),
       operators.KMeans.latticeQuantize(col("embedding"), 64).as("q"))
-    val seeds = q.orderBy("vec_id").limit(k).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
+    val seeds = operators.KMeans.parallelSeeds(q, "vec_id", "q", k,
+      rounds = 2, oversample = 16)
     val cents = operators.KMeans.refineLattice(q.select("q"), "q", seeds, iters = 2)
     import s.implicits._
     cents.flatMap { case (cid, vec, n) =>
@@ -2090,6 +2094,127 @@ object SparkEntry {
 
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** kmeans_train oracle: a FULL relational replay — deterministic
+    * k-means‖ seeding (2 oversampling rounds with the Lehmer-hash draw,
+    * Bahmani weights, the k−1 unrolled weighted-greedy reduction steps)
+    * feeding the two unrolled Lloyd iterations on the exact integer
+    * lattice. GENERATED from the same constants the Spark query uses
+    * (k = 8, rounds = 2, ℓ = 16, cap = 8ℓ, M = 2³¹−1, scale = 64) so the
+    * unrolled steps cannot drift from [[operators.KMeans.parallelSeeds]].
+    * Every sum is exact-integer (order-free); the selection inequality
+    * u·φ < ℓ·M·D² cross-multiplies in HUGEINT (DECIMAL on the Spark
+    * side — u·φ overflows BIGINT at corpus scale); argmin/argmax ties
+    * break on ids on both sides; the centroid update is the fixed
+    * rounding floor((2s+n)/(2n)) in double (inputs < 2⁵³, bit-identical
+    * across engines). Empty clusters keep their centroid with n = 0. */
+  private lazy val kmeansTrainSql: String = {
+    val k = 8
+    val cap = 128 // 8·ℓ, ℓ = 16
+    val M = 2147483647L
+    val lM = 16L * M // ℓ·M of the selection inequality
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    val rounds = (1 to 2).map { r =>
+      s"""sd$r AS MATERIALIZED (
+           SELECT p.vec_id, p.u, p.q, min(${dist("p.q", "c.q")}) AS d
+           FROM q p CROSS JOIN scand${r - 1} c GROUP BY p.vec_id, p.u, p.q),
+         sphi$r AS MATERIALIZED (SELECT CAST(sum(d) AS HUGEINT) AS phi FROM sd$r),
+         ssel$r AS MATERIALIZED (
+           SELECT vec_id, q FROM sd$r, sphi$r
+           WHERE CAST(u AS HUGEINT) * phi < CAST($lM AS HUGEINT) * CAST(d AS HUGEINT)
+           ORDER BY d DESC, u, vec_id LIMIT $cap),
+         scand$r AS MATERIALIZED (SELECT * FROM scand${r - 1} UNION ALL SELECT * FROM ssel$r),"""
+    }.mkString("\n         ")
+    val greedy = (2 to k).map { i =>
+      s"""gs$i AS MATERIALIZED (
+           SELECT c.vec_id, c.q, c.w, min(${dist("c.q", "s.q")}) AS md
+           FROM cw c CROSS JOIN ch${i - 1} s
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+           GROUP BY c.vec_id, c.q, c.w),
+         gp$i AS MATERIALIZED (SELECT vec_id, q FROM gs$i
+           ORDER BY CAST(w AS HUGEINT) * CAST(md AS HUGEINT) DESC, vec_id LIMIT 1),
+         ch$i AS MATERIALIZED (SELECT * FROM ch${i - 1}
+           UNION ALL SELECT CAST(${i - 1} AS INTEGER) AS cid, vec_id, q FROM gp$i),"""
+    }.mkString("\n         ")
+    s"""WITH q AS MATERIALIZED (
+           SELECT vec_id,
+             (48271 * ((48271 * (((vec_id % $M) + $M) % $M)) % $M)) % $M AS u,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS q
+           FROM embeddings),
+         scand0 AS MATERIALIZED (SELECT vec_id, q FROM q ORDER BY u, vec_id LIMIT 1),
+         $rounds
+         scnt AS MATERIALIZED (SELECT count(*) AS n FROM scand2),
+         stopup AS MATERIALIZED (
+           SELECT vec_id, q FROM (
+             SELECT p.vec_id, p.q, s.n,
+               row_number() OVER (ORDER BY p.u, p.vec_id) AS rn
+             FROM q p CROSS JOIN scnt s
+             WHERE p.vec_id NOT IN (SELECT vec_id FROM scand2))
+           WHERE rn <= $k - n),
+         candf AS MATERIALIZED (SELECT * FROM scand2 UNION ALL SELECT * FROM stopup),
+         sassign AS MATERIALIZED (
+           SELECT p.vec_id AS pid, c.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY ${dist("p.q", "c.q")}, c.vec_id) AS rn
+           FROM q p CROSS JOIN candf c),
+         sw AS MATERIALIZED (SELECT cand_id AS vec_id, CAST(count(*) AS BIGINT) AS w
+                FROM sassign WHERE rn = 1 GROUP BY 1),
+         cw AS MATERIALIZED (SELECT c.vec_id, c.q, coalesce(sw.w, 0) AS w
+                FROM candf c LEFT JOIN sw ON c.vec_id = sw.vec_id),
+         ch1 AS MATERIALIZED (SELECT CAST(0 AS INTEGER) AS cid, vec_id, q
+                 FROM (SELECT vec_id, q FROM cw ORDER BY w DESC, vec_id LIMIT 1)),
+         $greedy
+         seeds AS MATERIALIZED (SELECT cid, q FROM ch$k),
+         d1 AS MATERIALIZED (
+           SELECT e.vec_id, e.q, s.cid,
+             list_sum(list_transform(list_zip(e.q, s.q),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           FROM q e CROSS JOIN seeds s),
+         a1 AS MATERIALIZED (
+           SELECT vec_id, q, cid FROM (
+             SELECT vec_id, q, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d1) WHERE rn = 1),
+         s1 AS MATERIALIZED (
+           SELECT cid, pos, sum(v) AS sv, count(*) AS n
+           FROM (SELECT cid, unnest(range(1, len(q) + 1)) AS pos,
+                   unnest(q) AS v FROM a1)
+           GROUP BY cid, pos),
+         c1 AS MATERIALIZED (
+           SELECT seeds.cid, coalesce(agg.q2, seeds.q) AS q
+           FROM seeds LEFT JOIN (
+             SELECT cid, list(CAST(floor((2 * sv + n) / (2.0 * n)) AS BIGINT)
+                              ORDER BY pos) AS q2
+             FROM s1 GROUP BY cid) agg ON seeds.cid = agg.cid),
+         d2 AS MATERIALIZED (
+           SELECT e.vec_id, e.q, c.cid,
+             list_sum(list_transform(list_zip(e.q, c.q),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           FROM q e CROSS JOIN c1 c),
+         a2 AS MATERIALIZED (
+           SELECT vec_id, q, cid FROM (
+             SELECT vec_id, q, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d2) WHERE rn = 1),
+         s2 AS MATERIALIZED (
+           SELECT cid, pos, sum(v) AS sv, count(*) AS n
+           FROM (SELECT cid, unnest(range(1, len(q) + 1)) AS pos,
+                   unnest(q) AS v FROM a2)
+           GROUP BY cid, pos),
+         fin AS MATERIALIZED (
+           SELECT c1.cid, coalesce(agg.q2, c1.q) AS q, coalesce(agg.n, 0) AS n
+           FROM c1 LEFT JOIN (
+             SELECT cid, list(CAST(floor((2 * sv + n) / (2.0 * n)) AS BIGINT)
+                              ORDER BY pos) AS q2,
+               CAST(max(n) AS BIGINT) AS n
+             FROM s2 GROUP BY cid) agg ON c1.cid = agg.cid)
+         SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS BIGINT) AS pos,
+           CAST(val AS BIGINT) AS val, CAST(n AS BIGINT) AS n
+         FROM (SELECT cid, unnest(range(1, len(q) + 1)) AS pos,
+                 unnest(q) AS val, n FROM fin)"""
+  }
 
   /** DuckDB oracle SQL per query (omitted for hash-seeded / mapPartitions
     * operators → driver records a rows-only check). */
@@ -2782,68 +2907,7 @@ object SparkEntry {
             term, cnt
           FROM cnt
           QUALIFY rank <= 256""",
-    "kmeans_train" ->
-      // two unrolled Lloyd iterations on the exact integer lattice —
-      // every sum is exact-integer (order-free), the centroid update is
-      // the fixed rounding floor((2s+n)/(2n)) in double (inputs < 2^53,
-      // so the division is bit-identical across engines), ties in the
-      // argmin go to the lowest cid on both sides. Empty clusters keep
-      // their centroid with n = 0 (the seeds/c1 LEFT JOIN coalesce).
-      """WITH q AS (
-           SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS q
-           FROM embeddings),
-         seeds AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, q
-           FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT 8)),
-         d1 AS (
-           SELECT e.vec_id, e.q, s.cid,
-             list_sum(list_transform(list_zip(e.q, s.q),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-           FROM q e CROSS JOIN seeds s),
-         a1 AS (
-           SELECT vec_id, q, cid FROM (
-             SELECT vec_id, q, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-             FROM d1) WHERE rn = 1),
-         s1 AS (
-           SELECT cid, pos, sum(v) AS sv, count(*) AS n
-           FROM (SELECT cid, unnest(range(1, len(q) + 1)) AS pos,
-                   unnest(q) AS v FROM a1)
-           GROUP BY cid, pos),
-         c1 AS (
-           SELECT seeds.cid, coalesce(agg.q2, seeds.q) AS q
-           FROM seeds LEFT JOIN (
-             SELECT cid, list(CAST(floor((2 * sv + n) / (2.0 * n)) AS BIGINT)
-                              ORDER BY pos) AS q2
-             FROM s1 GROUP BY cid) agg ON seeds.cid = agg.cid),
-         d2 AS (
-           SELECT e.vec_id, e.q, c.cid,
-             list_sum(list_transform(list_zip(e.q, c.q),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-           FROM q e CROSS JOIN c1 c),
-         a2 AS (
-           SELECT vec_id, q, cid FROM (
-             SELECT vec_id, q, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-             FROM d2) WHERE rn = 1),
-         s2 AS (
-           SELECT cid, pos, sum(v) AS sv, count(*) AS n
-           FROM (SELECT cid, unnest(range(1, len(q) + 1)) AS pos,
-                   unnest(q) AS v FROM a2)
-           GROUP BY cid, pos),
-         fin AS (
-           SELECT c1.cid, coalesce(agg.q2, c1.q) AS q, coalesce(agg.n, 0) AS n
-           FROM c1 LEFT JOIN (
-             SELECT cid, list(CAST(floor((2 * sv + n) / (2.0 * n)) AS BIGINT)
-                              ORDER BY pos) AS q2,
-               CAST(max(n) AS BIGINT) AS n
-             FROM s2 GROUP BY cid) agg ON c1.cid = agg.cid)
-         SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS BIGINT) AS pos,
-           CAST(val AS BIGINT) AS val, CAST(n AS BIGINT) AS n
-         FROM (SELECT cid, unnest(range(1, len(q) + 1)) AS pos,
-                 unnest(q) AS val, n FROM fin)""",
+    "kmeans_train" -> kmeansTrainSql,
     "quantile_sketch" ->
       // certificate oracle (the heavy_hitters_approx pattern applied to
       // Greenwald–Khanna): the exact side (per-group n) is recomputed

@@ -56,6 +56,39 @@ object LatticeKernels {
     }
     java.lang.Integer.valueOf(best)
   }
+
+  /** Minimum exact long L2 distance to any centroid — the D²(x, C) of
+    * k-means‖ seeding ([[graft.operators.KMeans.parallelSeeds]]). Same
+    * contract as [[nearestLattice]]: null for a null/mis-dimensioned
+    * vector or a null element. */
+  def minLatticeDist(v: ArrayData, cents: Array[Array[Long]]): Any = {
+    val m = cents.length
+    if (m == 0) return null
+    val d = cents(0).length
+    if (v.numElements() != d) return null
+    val x = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      if (v.isNullAt(i)) return null
+      x(i) = v.getLong(i)
+      i += 1
+    }
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < m) {
+      val cv = cents(c)
+      var dist = 0L
+      var j = 0
+      while (j < d) {
+        val t = x(j) - cv(j)
+        dist += t * t
+        j += 1
+      }
+      if (dist < bestD) bestD = dist
+      c += 1
+    }
+    java.lang.Long.valueOf(bestD)
+  }
 }
 
 /** `graft_nearest_lattice(q)` — nearest centroid id under exact integer
@@ -102,6 +135,56 @@ case class NearestLatticeCentroid(
         ${ev.isNull} = true;
       } else {
         ${ev.value} = $boxed.intValue();
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_min_lattice_dist(q)` — exact long L2 distance to the NEAREST of
+  * the given lattice vectors: the D²(x, C) term of k-means‖ seeding
+  * (Bahmani et al. 2012). Same compiled-kernel shape as
+  * [[NearestLatticeCentroid]]; the candidate matrix rides as a codegen
+  * reference object, so the plan stays O(1) in candidate count. */
+case class NearestLatticeDistance(
+    child: Expression,
+    centroids: Seq[Seq[Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_min_lattice_dist"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (centroids.isEmpty)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires centroids")
+    else if (centroids.map(_.size).distinct.size != 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires equal-dimension centroids")
+    else child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${t.simpleString}")
+    }
+
+  @transient private lazy val centsArr: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    LatticeKernels.minLatticeDist(input.asInstanceOf[ArrayData], centsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftLatticeDistCents", centsArr, "long[][]")
+    val boxed = ctx.freshName("mldBoxed")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $boxed =
+        (java.lang.Long) graft.functions.expressions.LatticeKernels
+          .minLatticeDist($c, $centsRef);
+      if ($boxed == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $boxed.longValue();
       }""")
   }
 

@@ -70,6 +70,75 @@ class KMeansSpec extends SparkSpec {
     got.foreach { case (p, cid) => assert(cid == driverArgmin(p)) }
   }
 
+  private def iddf(rows: Seq[Seq[Long]], parts: Int = 4) =
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "q").repartition(parts)
+
+  test("parallelSeeds recovers planted blobs that lowest-id seeding " +
+    "demonstrably under-recovers") {
+    // 200-point blob at the origin holds ALL the lowest ids; two 20-point
+    // blobs far away hold only late ids — the k-lowest-ids seeding puts
+    // every seed inside the big blob. B and C sit NEAR each other
+    // (60 apart, 700 from A): Lloyd from inside A sends ONE centroid to
+    // the far mass and it serves both blobs forever while two centroids
+    // split A — the under-recovery k-means‖'s weighted greedy avoids
+    // (after picking a B candidate, w·D² makes the C candidate beat every
+    // remaining A candidate)
+    val blobA = Seq.tabulate(200)(i => Seq((i % 5).toLong, (i % 7).toLong))
+    val blobB = Seq.tabulate(20)(i => Seq(500L + i % 3, 500L - i % 4))
+    val blobC = Seq.tabulate(20)(i => Seq(500L + i % 2, 560L + i % 5))
+    val all = blobA ++ blobB ++ blobC
+    val df = iddf(all)
+    def mean(blob: Seq[Seq[Long]], d: Int): Long = {
+      val s = blob.map(_(d)).sum; val n = blob.size
+      math.floor((2.0 * s + n) / (2.0 * n)).toLong
+    }
+    val want = Set(
+      (Seq(mean(blobA, 0), mean(blobA, 1)), 200L),
+      (Seq(mean(blobB, 0), mean(blobB, 1)), 20L),
+      (Seq(mean(blobC, 0), mean(blobC, 1)), 20L))
+
+    val lowSeeds = all.take(3).zipWithIndex.map { case (v, i) => (i, v) }
+    val low = KMeans.refineLattice(df.select("q"), "q", lowSeeds, 2)
+    assert(low.map(c => (c._2, c._3)).toSet != want,
+      "fixture broken: lowest-id seeding recovered the blobs anyway")
+
+    val seeds = KMeans.parallelSeeds(df, "id", "q", k = 3, rounds = 2)
+    val out = KMeans.refineLattice(df.select("q"), "q", seeds, 2)
+    assert(out.map(c => (c._2, c._3)).toSet == want,
+      s"k-means‖ seeding failed to recover the blobs: $out")
+  }
+
+  test("parallelSeeds is bit-deterministic across partitionings") {
+    val rnd = new scala.util.Random(23)
+    val pts = Seq.fill(300)(Seq.fill(4)(rnd.nextInt(200).toLong - 100))
+    val a = KMeans.parallelSeeds(iddf(pts, 1), "id", "q", 5)
+    val b = KMeans.parallelSeeds(iddf(pts, 13), "id", "q", 5)
+    assert(a == b)
+  }
+
+  test("parallelSeeds tiny-corpus top-up yields all points; k > n fails loudly") {
+    val df = iddf(Seq(Seq(0L, 0L), Seq(10L, 10L), Seq(20L, 20L)))
+    val seeds = KMeans.parallelSeeds(df, "id", "q", 3)
+    assert(seeds.map(_._1) == Seq(0, 1, 2))
+    assert(seeds.map(_._2).toSet ==
+      Set(Seq(0L, 0L), Seq(10L, 10L), Seq(20L, 20L)))
+    intercept[IllegalArgumentException] {
+      KMeans.parallelSeeds(df, "id", "q", 4)
+    }
+  }
+
+  test("minLatticeDist matches a driver-side exact min-L2") {
+    val cents = Seq(Seq(0L, 0L), Seq(10L, -5L))
+    val pts = Seq(Seq(1L, 1L), Seq(9L, -5L), Seq(-3L, 2L))
+    def driverMin(p: Seq[Long]): Long = cents.map(c =>
+      p.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+    val got = qdf(pts, 2)
+      .select(col("q"), KMeans.minLatticeDist(col("q"), cents).as("d"))
+      .collect().map(r => r.getSeq[Long](0) -> r.getLong(1))
+    got.foreach { case (p, d) => assert(d == driverMin(p)) }
+  }
+
   test("latticeQuantize is exact for power-of-two scales and rejects " +
     "non-powers") {
     val df = Seq(Tuple1(Seq(0.5f, -0.25f, 0.999f, -1.0f))).toDF("v")
