@@ -111,6 +111,52 @@ object Bench {
     "dedup_simhash", "multimodal_image", "tfidf_topk", "embed_lsh_ann",
     "dedup_spans", "pq_topk")
 
+  /** Committed per-query scale minimums from the last accepted round
+    * (`SCALE_REF.json`: {"round":…, "big20x":{name→sec}, "big100x":{…}}),
+    * the denominator for the self-reported regression check. None when the
+    * file is absent/unparseable — the summary line then says `"no-ref"`
+    * instead of silently skipping the check (the b100 skip discipline). */
+  def readScaleRef(path: String): Option[Map[String, Map[String, Double]]] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)) match {
+        case JObject(fields) =>
+          Some(fields.collect { case (section, JObject(qs)) =>
+            section -> qs.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v))    => k -> v.toDouble
+            }.toMap
+          }.toMap)
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+
+  /** Scale-regression self-report (r17, verdict #7): queries whose current
+    * scale-section minimum moved past BOTH a 1.5× ratio AND a 0.5 s
+    * absolute delta over the committed reference — the dedup_spans-class
+    * move that previously surfaced only in a verdict diff. The absolute
+    * floor keeps sub-second rows (whose minimums ride Spark's per-job
+    * floor) from flagging on scheduler noise; a genuinely regressed cheap
+    * query still flags once it costs real seconds. Failed (−1) rows and
+    * names absent from the reference are skipped — a NEW headline row has
+    * no denominator until the next round commits one. Returned
+    * worst-first, names prefixed with the section tag. */
+  def scaleRegressions(
+      ref: Map[String, Double],
+      cur: Seq[(String, (Double, Double))],
+      section: String,
+      ratioThreshold: Double = 1.5,
+      minDeltaSec: Double = 0.5): Seq[(String, Double)] =
+    cur.collect {
+      case (name, (_, mn))
+          if mn >= 0 && ref.get(name).exists(r =>
+            r > 0 && mn / r > ratioThreshold && mn - r > minDeltaSec) =>
+        s"$section:$name" -> mn / ref(name)
+    }.sortBy(-_._2)
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -179,7 +225,8 @@ object Bench {
       big100Calib: Option[Double] = None,
       big100Skip: String = "skip",
       bigPerQuery: Seq[Double] = Nil,
-      big100PerQuery: Seq[Double] = Nil): String = {
+      big100PerQuery: Seq[Double] = Nil,
+      regr: Option[Seq[(String, Double)]] = None): String = {
     // `"qv"` carries the per-query values ONLY, in LEXICOGRAPHIC query-
     // name order (`"qord":"name"` marks it): the names themselves are
     // ~1100 chars of the 91-query registry and overflowed the driver
@@ -225,7 +272,20 @@ object Bench {
         s""","b100":[${fmt1(t)}$vsB$calB${perQ(big100PerQuery)}]"""
       case None => s""","b100":"$big100Skip""""
     }
-    s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","qunit":"cs","qord":"name","qv":$qv,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S,"sf":"$sfName"}"""
+    // self-reported scale regressions (r17, verdict #7): ">1.5x movers,
+    // named" against the committed SCALE_REF.json. Empty array on a quiet
+    // round; "no-ref" when the reference file is absent (stated, not
+    // silently omitted). Capped at 4 names worst-first plus a "+N" count
+    // marker — an unbounded list could eat the tail exactly when every
+    // row regresses at once; bench_detail.json keeps the full map.
+    val regrS = regr match {
+      case None => ""","regr":"no-ref""""
+      case Some(flagged) =>
+        val shown = flagged.take(4).map { case (n, r) => s""""$n:${fmt1(r)}"""" }
+        val more = if (flagged.size > 4) Seq(s""""+${flagged.size - 4}"""") else Nil
+        s""","regr":${(shown ++ more).mkString("[", ",", "]")}"""
+    }
+    s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","qunit":"cs","qord":"name","qv":$qv,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S$regrS,"sf":"$sfName"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -486,6 +546,16 @@ object Bench {
     val calibEndSec = calibrate(calibThreads)
     val calibPair = (calibStartSec / calibRef, calibEndSec / calibRef)
 
+    // self-reported scale regressions vs the committed last-round
+    // reference (r17, verdict #7) — computed over whichever scale
+    // sections actually ran this invocation
+    val scaleRef = readScaleRef(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_REF", "SCALE_REF.json"))
+    val regrFlagged: Option[Seq[(String, Double)]] = scaleRef.map { ref =>
+      scaleRegressions(ref.getOrElse("big20x", Map.empty), bigResults, "20x") ++
+        scaleRegressions(ref.getOrElse("big100x", Map.empty), big100Results, "100x")
+    }
+
     val detail = {
       val med = results.map { case (k, (m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
       val mn = results.map { case (k, (_, m)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
@@ -516,7 +586,14 @@ object Bench {
         s""","big100x":{"dir":"$d","queries":$big100,"spark_min_total":$big100TotalMin,"duckdb_median_total":$big100DuckTotal,"vs_duckdb":$vsDuckdbBig100,"vs_duckdb_compute_eq":$vsDuckdbEq100$calB}"""
       }.getOrElse(
         s""","big100x":{"skipped":"${big100Build.left.toOption.getOrElse("skip")}"}""")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"calib":{"threads":$calibThreads,"ref_sec":$calibRef,"start_sec":$calibStartSec,"end_sec":$calibEndSec,"start_ratio":${calibPair._1},"end_ratio":${calibPair._2}},"big20x":{"dir":"$bigDir","queries":$big,"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq}$big100Section,"sf":"$sfDir"}"""
+      // full regression map (the summary line caps at 4 names): every
+      // flagged section:name with its ratio, or the no-ref marker
+      val regrDetail = regrFlagged match {
+        case None => "\"no-ref\""
+        case Some(flagged) => flagged
+          .map { case (n, r) => "\"" + n + "\":" + r }.mkString("{", ",", "}")
+      }
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"calib":{"threads":$calibThreads,"ref_sec":$calibRef,"start_sec":$calibStartSec,"end_sec":$calibEndSec,"start_ratio":${calibPair._1},"end_ratio":${calibPair._2}},"regressions":$regrDetail,"big20x":{"dir":"$bigDir","queries":$big,"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq}$big100Section,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -540,7 +617,8 @@ object Bench {
       // per-query scale minimums, in the same headline order the results
       // were produced in (timeHeadline maps over `headline` directly)
       bigPerQuery = bigResults.map(_._2._2),
-      big100PerQuery = big100Results.map(_._2._2))
+      big100PerQuery = big100Results.map(_._2._2),
+      regr = regrFlagged)
     // the consumer keeps a bounded stdout tail (~2000 chars) and sbt
     // appends its own success line (~65 chars) after ours — flag the
     // overflow BEFORE it silently turns the recorded bench into parsed:null

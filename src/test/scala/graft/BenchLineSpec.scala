@@ -24,7 +24,11 @@ class BenchLineSpec extends AnyFunSuite {
       // worst case includes both per-query scale arrays at 99.99 s each
       // (4-digit centiseconds) over the full headline set
       bigPerQuery = Bench.headline.map(_ => 99.99),
-      big100PerQuery = Bench.headline.map(_ => 99.99))
+      big100PerQuery = Bench.headline.map(_ => 99.99),
+      // worst case: every headline row regressed in both sections — the
+      // cap must hold the field to 4 names + the "+N" marker
+      regr = Some(Bench.headline.map(n => s"100x:$n" -> 99.9) ++
+        Bench.headline.map(n => s"20x:$n" -> 99.9)))
 
   test("worst-case line fits the driver's stdout tail") {
     // every registered query at just under 10 s (integer centiseconds:
@@ -88,6 +92,61 @@ class BenchLineSpec extends AnyFunSuite {
       case JArray(values) =>
         assert(values == names.indices.map(i => JInt(i + 1): JValue).toList)
       case other => fail(s"qv not an array: $other")
+    }
+  }
+
+  test("scale regressions: thresholds, sentinels, cap, no-ref marker") {
+    val ref = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.2, "d" -> 4.0)
+    val cur = Seq(
+      "a" -> (9.0, 2.0),   // 2.0x AND +1.0 s -> flagged
+      "b" -> (9.0, 2.4),   // 1.2x -> quiet (ratio under threshold)
+      "c" -> (9.0, 0.35),  // 1.75x but +0.15 s -> quiet (absolute floor)
+      "d" -> (9.0, -1.0),  // failed sentinel -> skipped
+      "e" -> (9.0, 9.0))   // not in ref (new headline row) -> skipped
+    val flagged = Bench.scaleRegressions(ref, cur, "20x")
+    assert(flagged == Seq("20x:a" -> 2.0))
+    // worst-first ordering across many movers
+    val many = Seq("a" -> (9.0, 4.0), "b" -> (9.0, 16.0))
+    assert(Bench.scaleRegressions(ref, many, "100x").map(_._1) ==
+      Seq("100x:b", "100x:a"))
+    // summary-line rendering: quiet round -> empty array; movers -> capped
+    // at 4 names with a "+N" marker; absent reference -> "no-ref"
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def regrOf(r: Option[Seq[(String, Double)]]): JValue =
+      JsonMethods.parse(Bench.renderSummary(1.0, 1.0, Nil, -1.0, (1.0, 1.0),
+        None, None, "sf0.1", regr = r)) \ "regr"
+    assert(regrOf(Some(Nil)) == JArray(Nil))
+    assert(regrOf(None) == JString("no-ref"))
+    val six = (1 to 6).map(i => s"20x:q$i" -> (10.0 - i))
+    regrOf(Some(six)) match {
+      case JArray(vs) =>
+        assert(vs.size == 5 && vs.last == JString("+2"))
+        assert(vs.head == JString("20x:q1:9.0"))
+      case other => fail(s"regr not an array: $other")
+    }
+  }
+
+  test("scale reference file round-trips and tolerates absence") {
+    val dir = java.nio.file.Files.createTempDirectory("scaleref")
+    val p = dir.resolve("SCALE_REF.json")
+    java.nio.file.Files.write(p,
+      """{"round":"r16","big20x":{"a":1.5,"b":2},"big100x":{"a":3.25}}"""
+        .getBytes("UTF-8"))
+    val ref = Bench.readScaleRef(p.toString)
+    assert(ref.exists(_.get("big20x").contains(Map("a" -> 1.5, "b" -> 2.0))))
+    assert(ref.exists(_.get("big100x").contains(Map("a" -> 3.25))))
+    assert(Bench.readScaleRef(dir.resolve("missing.json").toString).isEmpty)
+    // the committed repo reference parses and covers the full headline set
+    // in both sections — a missing name would silently exempt that row
+    // from the regression check
+    val committed = Bench.readScaleRef("SCALE_REF.json")
+    assert(committed.nonEmpty, "SCALE_REF.json must parse")
+    for (section <- Seq("big20x", "big100x"); ref2 <- committed) {
+      val missing = Bench.headline.filterNot(
+        n => ref2.getOrElse(section, Map.empty).contains(n))
+      assert(missing.isEmpty,
+        s"$section missing headline rows: ${missing.mkString(", ")}")
     }
   }
 
