@@ -1595,7 +1595,19 @@ object SparkEntry {
     * end, with planted whitespace variants (doubled internal spaces;
     * leading/trailing padding) that slip past the exact stage and collapse
     * in the near stage. */
-  private def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+  private def pipelineCurate(s: SparkSession, dir: String): DataFrame =
+    pipelineCurateStaged(s, dir, ngramLmGate = false)
+
+  /** [[pipelineCurate]] with the stages parameterized. `ngramLmGate` adds
+    * the count-based bigram-LM quality gate ([[operators.NgramLm]], r17 —
+    * the CCNet-style filter slot) between the heuristic quality gate and
+    * exact dedup, where a real curation pipeline runs it: keep only
+    * documents at-or-below the corpus-mean bit surprisal. OPT-IN
+    * (default off) so the registered query's oracle and committed scale
+    * baselines stay valid; the composition is spec-pinned against the
+    * standalone already-oracled operator (CorpusPipelineSpec). */
+  private[graft] def pipelineCurateStaged(
+      s: SparkSession, dir: String, ngramLmGate: Boolean): DataFrame = {
     val base = t(s, dir, "documents").select("doc_id", "text")
     // near-dup plants: norm-identical, raw-distinct (pure-ASCII space
     // mutations — engine-stable in both Spark and the DuckDB oracle)
@@ -1611,7 +1623,13 @@ object SparkEntry {
       .withColumn("quality", round(TextFunctions.qualityScore(col("text")), 6))
       .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
       .select("doc_id", "text")
-    val exactDeduped = Dedup.exact(gated, Seq("text"), Seq(col("doc_id")))
+    val lmGated =
+      if (!ngramLmGate) gated
+      else gated.join(
+        operators.NgramLm.bigramSurprisal(gated, "doc_id", "text")
+          .filter(col("keep") === 1L).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val exactDeduped = Dedup.exact(lmGated, Seq("text"), Seq(col("doc_id")))
     // persistInput: the gated+deduped lineage (two text kernels + a
     // window) feeds four downstream actions — cache it once, disk-backed
     val nearDeduped = Dedup.dropNearDuplicates(
@@ -1829,6 +1847,20 @@ object SparkEntry {
       TextFunctions.htmlExtract(html).as("main_text"))
   }
 
+  /** SURVEY 43f `ngram_lm` (r17): count-based bigram-LM quality gate —
+    * the CCNet-style model-based filter slot, on integer bit
+    * self-information so the DuckDB oracle replays the ENTIRE model
+    * (corpus bigram counts + total N, per-occurrence `length(bin(N)) −
+    * length(bin(c_bg))`, HUGEINT cross-multiplied relative gate)
+    * bit-for-bit. The gate is relative to the corpus mean — measured:
+    * mean surprisal rises with corpus size, so a fixed cut degenerates
+    * at some tier while this splits every tier non-degenerately. */
+  private def ngramLmQ(s: SparkSession, dir: String): DataFrame =
+    operators.NgramLm.bigramSurprisal(
+      t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_bits"),
+        col("keep"))
+
   /** SURVEY 23n `q_transitions`: per-user event-type transition counts
     * (the Markov matrix behind journey analysis): one window pass keyed on
     * the user (lag over ts, event_id tie-break), then a global rollup of
@@ -1983,6 +2015,7 @@ object SparkEntry {
       "url_canonicalize" -> (urlCanonicalize _),
       "dedup_url" -> (dedupUrlQ _),
       "html_extract" -> (htmlExtractQ _),
+      "ngram_lm" -> (ngramLmQ _),
       "q_transitions" -> (qTransitions _),
       "source_minhash" -> (sourceMinhash _),
       "repo_merge" -> (repoMerge _),
@@ -3044,6 +3077,38 @@ object SparkEntry {
                 THEN chr(10) || 'Appendix A. ' || rtrim(upper(substr(text, 1, 80)))
                 ELSE '' END AS main_text
             FROM documents""",
+    // ngram_lm: a FULL relational replay of the count-based bigram LM —
+    // the same whitespace tokenize, adjacent-pair bigrams, corpus bigram
+    // counts and total N, per-occurrence integer self-information
+    // (length(bin(N)) − length(bin(c_bg)) — bin() renders the same
+    // leading-zero-free binary digits in both engines), and the
+    // HUGEINT-cross-multiplied relative gate (keep iff doc mean ≤ corpus
+    // mean). All-BIGINT output ⇒ bit-exact compare; docs with < 2 tokens
+    // emit no row on either side.
+    "ngram_lm" ->
+      raw"""WITH toks AS (SELECT doc_id, ${wsTokensSql("lower(text)")} AS ts
+                          FROM documents),
+            bg AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)),
+                       i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+                   FROM toks WHERE len(ts) >= 2),
+            cbg AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_bg
+                    FROM bg GROUP BY 1),
+            nb AS (SELECT CAST(coalesce(sum(c_bg), 0) AS BIGINT) AS n
+                   FROM cbg),
+            lm AS (SELECT cbg.bigram,
+                     CAST(length(bin(nb.n)) - length(bin(c_bg)) AS BIGINT) AS s
+                   FROM cbg, nb),
+            doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      CAST(sum(s) AS BIGINT) AS sum_bits
+                    FROM bg JOIN lm USING (bigram) GROUP BY 1),
+            tot AS (SELECT coalesce(sum(n_bigrams), 0) AS tn,
+                           coalesce(sum(sum_bits), 0) AS tb FROM doc)
+          SELECT doc_id, n_bigrams, sum_bits,
+            CAST(CASE WHEN CAST(sum_bits AS HUGEINT) * tot.tn
+                        <= CAST(tot.tb AS HUGEINT) * n_bigrams
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM doc, tot""",
     "dedup_url" ->
       // keep-first per canonical URL over the shared canonicalization
       // replay: min doc_id survives each canon group

@@ -72,4 +72,41 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(back.select(countDistinct(col("doc_id"))).head().getLong(0) == n3)
     assert(path.toString.endsWith("corpus/chunks.parquet"))
   }
+
+  test("opt-in ngram-LM gate in pipeline_curate drops exactly the " +
+    "operator-flagged docs") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val base = SparkEntry.pipelineCurateStaged(spark, dir, ngramLmGate = false)
+      .select("doc_id").as[Long].collect().toSet
+    val gatedRun = SparkEntry.pipelineCurateStaged(spark, dir, ngramLmGate = true)
+      .select("doc_id").as[Long].collect().toSet
+    // the gate only removes docs, never adds
+    assert(gatedRun.subsetOf(base))
+    assert(gatedRun.size < base.size,
+      "LM gate dropped nothing — the relative cut must split the corpus")
+    // every survivor of the gated pipeline must have passed the LM gate:
+    // score the SAME frame the pipeline feeds the gate (lang/quality-
+    // filtered originals + plants — the LM model is trained on that
+    // corpus, not the raw table, so raw-corpus flags would not match).
+    // The plant construction mirrors pipelineCurate; drift there is
+    // pinned by the registered query's own oracle.
+    import graft.operators.NgramLm
+    val baseDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val spaced = baseDocs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        regexp_replace(col("text"), lit(" "), lit("  ")).as("text"))
+    val padded = baseDocs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("  "), col("text"), lit("  ")).as("text"))
+    val gatedFrame = baseDocs.unionByName(spaced).unionByName(padded)
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .withColumn("quality", round(TextFunctions.qualityScore(col("text")), 6))
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
+      .select("doc_id", "text")
+    val kept = NgramLm.bigramSurprisal(gatedFrame, "doc_id", "text")
+      .filter(col("keep") === 1L).select(col("id").as[Long]).collect().toSet
+    assert(gatedRun.forall(kept), "gated output contains an LM-dropped doc")
+  }
 }
