@@ -2943,15 +2943,27 @@ object SparkEntry {
     "kmeans_train" -> kmeansTrainSql,
     "quantile_sketch" ->
       // certificate oracle (the heavy_hitters_approx pattern applied to
-      // Greenwald–Khanna): the exact side (per-group n) is recomputed
-      // relationally; n_violations is the LITERAL zero the ε·n rank
-      // guarantee forces — a Spark row differing from 0 is an estimate
-      // whose realized rank interval missed the φ·n ± ε·n window.
+      // Greenwald–Khanna): the exact side — per-group n AND (r17,
+      // verdict #8) the integer allowed-rank window [r_lo, r_hi] — is
+      // recomputed relationally with the same shifted-nonnegative
+      // ceil/floor arithmetic in HUGEINT (S = 1000·acc with acc = 100,
+      // matching the registered query); n_violations is the LITERAL
+      // zero the ε·n rank guarantee forces. A Spark bug in the window
+      // arithmetic now hash-mismatches on r_lo/r_hi instead of silently
+      // self-certifying; the realized-rank half stays Spark-side by
+      // necessity (the oracle never sees Spark's estimates), its
+      // detection power pinned by the planted-estimate spec.
       """WITH g AS (SELECT lang, CAST(count(n_chars) AS BIGINT) AS n
                     FROM documents GROUP BY 1),
             q AS (SELECT CAST(unnest([100, 250, 500, 750, 900, 990]) AS BIGINT)
                     AS q_permille)
-         SELECT g.lang, q.q_permille, g.n, CAST(0 AS BIGINT) AS n_violations
+         SELECT g.lang, q.q_permille, g.n,
+           CAST((CAST(q.q_permille AS HUGEINT) * g.n * 100 - g.n * 1000
+                 + g.n * 100000 + 100000 - 1) // 100000
+                - g.n - 1 AS BIGINT) AS r_lo,
+           CAST((CAST(q.q_permille AS HUGEINT) * g.n * 100 + g.n * 1000)
+                // 100000 AS BIGINT) AS r_hi,
+           CAST(0 AS BIGINT) AS n_violations
          FROM g CROSS JOIN q""",
     "heavy_hitters_approx" ->
       // the INEQUALITY oracle for the sub-k sketch regime: the exact side

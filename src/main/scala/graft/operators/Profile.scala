@@ -41,16 +41,26 @@ object Profile {
     * oracle over the estimates exists. What IS deterministic is the
     * guarantee: the estimate's rank sits within ε·n of the target rank
     * (ε = 1/accuracy). This emits a per-(group, quantile) certificate —
-    * exact `n` plus `n_violations`, the count of quantiles whose realized
-    * rank interval `[count(<v)+1, count(≤v)]` misses the target window
-    * `φ·n ± ε·n` — which the guarantee forces to ZERO; a DuckDB oracle
-    * recomputes the exact side relationally and emits literal zeros.
+    * exact `n`, the exact integer ALLOWED-RANK WINDOW `[r_lo, r_hi]`
+    * (pure arithmetic of (n, φ, ε) — r17, engine-independent: the DuckDB
+    * oracle recomputes both bounds relationally from its own exact `n`,
+    * so a window-arithmetic bug here hash-mismatches instead of silently
+    * certifying), plus `n_violations`, the count of quantiles whose
+    * realized rank interval `[count(<v)+1, count(≤v)]` misses the
+    * window — which the guarantee forces to ZERO. The realized-rank half
+    * necessarily stays Spark-side: the oracle never sees Spark's
+    * estimates (it runs over the input tables only) and GK estimates are
+    * not cross-engine-deterministic, so no oracle can recount their
+    * ranks; its detection power is pinned by the planted-wrong-estimate
+    * spec against the separable [[certifyQuantiles]].
     *
-    * All comparisons are integer cross-multiplications in permille×
-    * accuracy space (no division, no floats), with ±1 rank of
-    * target-rounding slack — two orders below ε·n at any realistic n,
-    * present only so the certificate does not encode one engine's
-    * ceil-vs-floor rank convention.
+    * All arithmetic is integer in permille×accuracy space (cross-
+    * multiplications plus two exact integer ceil/floor divisions for the
+    * bounds — shifted non-negative so truncating and flooring division
+    * agree in every engine), with ±1 rank of target-rounding slack —
+    * two orders below ε·n at any realistic n, present only so the
+    * certificate does not encode one engine's ceil-vs-floor rank
+    * convention.
     *
     * Plan shape: one pass builds every group's summary (map-side
     * partials); the verification pass joins the groups×quantiles
@@ -100,21 +110,35 @@ object Profile {
     // ±1 rank of convention slack it misses the φ·n ± ε·n window iff
     //   low:  (r_le + 1)·1000·acc < q·n·acc − n·1000
     //   high: (r_lt + 1 − 1)·1000·acc > q·n·acc + n·1000
+    // Factored (r17) through the EXPLICIT integer rank window so the
+    // bounds themselves are emitted and cross-verified by the oracle:
+    // with S = 1000·acc, T = q·n·acc, E = n·1000,
+    //   r_lo = ceil((T − E)/S) − 1   (a < t ⟺ a ≤ ceil(t) − 1)
+    //   r_hi = floor((T + E)/S)      (a > t ⟺ a > floor(t))
+    //   violation ⟺ r_le < r_lo OR r_lt > r_hi — algebraically
+    //   identical to the inequalities above (ProfileQuantileSpec pins
+    //   the same edge ranks). The ceil runs on T − E + n·S ≥ 0 (shifted
+    //   by n, subtracted back) so truncating (Spark `div`) and flooring
+    //   (DuckDB `//`) integer division agree.
     // Cross-multiplications run in DecimalType(38,0): in Long they can
     // silently wrap (non-ANSI) at extreme n×accuracy (n ~1e12 with
     // accuracy ~1e5 puts q·n·acc past 2⁶³) and corrupt the certificate
     // at exactly the 100 TB scale it advertises. Operands are ≤3 + ~13 +
     // ~6 digits — every product fits 38 digits with huge headroom; the
-    // OUTPUT stays Long (0/1), so no Decimal reaches the oracle hash.
+    // OUTPUT stays Long, so no Decimal reaches the oracle hash.
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val target = col("q_permille").cast(dec) * col("n").cast(dec) *
-      lit(acc).cast(dec)
-    val eps = col("n").cast(dec) * lit(1000L).cast(dec)
-    val scaleF = lit(1000L * acc).cast(dec)
-    ranks.select(col("__g"), col("q_permille"), col("n"),
-      when((col("__r_le") + 1L).cast(dec) * scaleF < target - eps ||
-        col("__r_lt").cast(dec) * scaleF > target + eps, 1L)
-        .otherwise(0L).as("n_violations"))
+    ranks
+      .withColumn("__t", col("q_permille").cast(dec) * col("n").cast(dec) *
+        lit(acc).cast(dec))
+      .withColumn("__e", col("n").cast(dec) * lit(1000L).cast(dec))
+      .withColumn("__s", lit(1000L * acc).cast(dec))
+      .withColumn("r_lo", expr(
+        "CAST((__t - __e + n * __s + __s - 1) div __s AS BIGINT) - n - 1"))
+      .withColumn("r_hi", expr("CAST((__t + __e) div __s AS BIGINT)"))
+      .select(col("__g"), col("q_permille"), col("n"),
+        col("r_lo"), col("r_hi"),
+        when(col("__r_le") < col("r_lo") || col("__r_lt") > col("r_hi"), 1L)
+          .otherwise(0L).as("n_violations"))
   }
 
   /** Scale-path profiling: identical output shape to [[nullsAndDistinct]]

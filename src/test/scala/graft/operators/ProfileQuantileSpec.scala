@@ -49,12 +49,44 @@ class ProfileQuantileSpec extends SparkSpec {
     assert(bad.head.getAs[Long]("n_violations") == 1L)
     val good = Profile.certifyQuantiles(data, estOf(500L), 100).collect()
     assert(good.head.getAs[Long]("n_violations") == 0L)
+    // the emitted integer rank window (r17: cross-verified by the
+    // oracle) is exactly [489, 510] — target rank 500, eps 10, ±1 slack
+    // folded into the bound arithmetic on each side
+    assert(good.head.getAs[Long]("r_lo") == 489L)
+    assert(good.head.getAs[Long]("r_hi") == 510L)
     // edge of the window (rank 510 = target 500 + eps 10, inside) passes;
     // one past the +1 slack (rank 512) flags
     assert(Profile.certifyQuantiles(data, estOf(510L), 100)
       .head().getAs[Long]("n_violations") == 0L)
     assert(Profile.certifyQuantiles(data, estOf(512L), 100)
       .head().getAs[Long]("n_violations") == 1L)
+    // low side: r_le < r_lo — value 488 has r_le = 488 < 489 → flags;
+    // value 489 sits ON the bound → passes (the a < t ⟺ a ≤ ceil(t)−1
+    // factoring must not shift the boundary by one)
+    assert(Profile.certifyQuantiles(data, estOf(488L), 100)
+      .head().getAs[Long]("n_violations") == 1L)
+    assert(Profile.certifyQuantiles(data, estOf(489L), 100)
+      .head().getAs[Long]("n_violations") == 0L)
+  }
+
+  test("rank-window bounds match the DuckDB oracle's HUGEINT formula " +
+    "across permilles, sizes, and accuracies (incl. negative r_lo)") {
+    // replicate the oracle arithmetic in exact BigInt and compare —
+    // truncating `div` on the shifted-nonnegative numerator must equal
+    // floor division for every (n, q, acc) combination
+    for (n <- Seq(1L, 7L, 1000L, 999999L); acc <- Seq(2, 100, 10000);
+         q <- Seq(100L, 250L, 500L, 750L, 990L)) {
+      val est = Seq(("g", n, q, 1L)).toDF("__g", "n", "q_permille", "__q")
+      val data = Seq(("g", 1L)).toDF("__g", "__v")
+      val row = Profile.certifyQuantiles(data, est, acc).head()
+      val (bn, bq, bs) = (BigInt(n), BigInt(q), BigInt(1000L * acc))
+      val t = bq * bn * acc
+      val e = bn * 1000
+      val rLo = (t - e + bn * bs + bs - 1) / bs - bn - 1
+      val rHi = (t + e) / bs
+      assert(row.getAs[Long]("r_lo") == rLo.toLong, s"n=$n acc=$acc q=$q")
+      assert(row.getAs[Long]("r_hi") == rHi.toLong, s"n=$n acc=$acc q=$q")
+    }
   }
 
   test("null values are excluded from n and from ranks; invalid args fail") {
