@@ -1861,6 +1861,22 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_bits"),
         col("keep"))
 
+  /** SURVEY 43f `ngram_lm_ref` (r17): the REFERENCE-corpus mode — the
+    * actual CCNet shape (score the crawl against a CLEAN corpus's LM,
+    * not its own). Even doc_ids train the LM, odd doc_ids are scored
+    * (the corpus_drift split); bigrams unseen in the reference smooth to
+    * count 1 (= the maximal observed surprisal, exercised for real: the
+    * odd half always carries bigrams the even half lacks). Same
+    * full-replay oracle, extended with the left-join smoothing. */
+  private def ngramLmRefQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    operators.NgramLm.bigramSurprisal(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      reference = Some(docs.filter(col("doc_id") % 2 === 0)))
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_bits"),
+        col("keep"))
+  }
+
   /** SURVEY 23n `q_transitions`: per-user event-type transition counts
     * (the Markov matrix behind journey analysis): one window pass keyed on
     * the user (lag over ts, event_id tie-break), then a global rollup of
@@ -2016,6 +2032,7 @@ object SparkEntry {
       "dedup_url" -> (dedupUrlQ _),
       "html_extract" -> (htmlExtractQ _),
       "ngram_lm" -> (ngramLmQ _),
+      "ngram_lm_ref" -> (ngramLmRefQ _),
       "q_transitions" -> (qTransitions _),
       "source_minhash" -> (sourceMinhash _),
       "repo_merge" -> (repoMerge _),
@@ -3114,6 +3131,33 @@ object SparkEntry {
             doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                       CAST(sum(s) AS BIGINT) AS sum_bits
                     FROM bg JOIN lm USING (bigram) GROUP BY 1),
+            tot AS (SELECT coalesce(sum(n_bigrams), 0) AS tn,
+                           coalesce(sum(sum_bits), 0) AS tb FROM doc)
+          SELECT doc_id, n_bigrams, sum_bits,
+            CAST(CASE WHEN CAST(sum_bits AS HUGEINT) * tot.tn
+                        <= CAST(tot.tb AS HUGEINT) * n_bigrams
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM doc, tot""",
+    // ngram_lm_ref: same replay with the LM trained on the EVEN half and
+    // the ODD half scored; unseen bigrams smooth to count 1 via the
+    // left-join coalesce (s -> length(bin(N)) - 1, identical in Spark)
+    "ngram_lm_ref" ->
+      raw"""WITH toks AS (SELECT doc_id, ${wsTokensSql("lower(text)")} AS ts
+                          FROM documents),
+            bg AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)),
+                       i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+                   FROM toks WHERE len(ts) >= 2),
+            cbg AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_bg
+                    FROM bg WHERE doc_id % 2 = 0 GROUP BY 1),
+            nb AS (SELECT CAST(coalesce(sum(c_bg), 0) AS BIGINT) AS n
+                   FROM cbg),
+            doc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      CAST(sum(coalesce(
+                        length(bin(nb.n)) - length(bin(lm.c_bg)),
+                        length(bin(nb.n)) - 1)) AS BIGINT) AS sum_bits
+                    FROM bg b LEFT JOIN cbg lm USING (bigram), nb
+                    WHERE b.doc_id % 2 = 1 GROUP BY 1),
             tot AS (SELECT coalesce(sum(n_bigrams), 0) AS tn,
                            coalesce(sum(sum_bits), 0) AS tb FROM doc)
           SELECT doc_id, n_bigrams, sum_bits,

@@ -65,28 +65,41 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object NgramLm {
 
+  /** `reference`: train the LM on a SEPARATE corpus (the CCNet shape —
+    * score the crawl against a CLEAN reference's counts, not its own;
+    * must carry the same `idCol`/`textCol`). Bigrams absent from the
+    * reference score as count 1 (add-one-style smoothing — the maximal
+    * observed surprisal `floor_log2(N)`, exactly what a seen-once bigram
+    * gets, so the smoothing introduces no new arithmetic and stays
+    * integer-exact). None = self-scored (the LM is the scored corpus's
+    * own counts; every bigram is then seen and the smoothing never
+    * fires). */
   def bigramSurprisal(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       thresholdMillibits: Option[Long] = None,
-      broadcastLm: Boolean = true): DataFrame = {
+      broadcastLm: Boolean = true,
+      reference: Option[DataFrame] = None): DataFrame = {
     // per-doc bigram tf without an exchange (the TokenCounts explode
     // shape); materialized once — it feeds both the LM build and the
-    // scoring join, and re-running the tokenizer kernel per branch is the
-    // r13 vocab_coverage trap
-    val tf = Dedup.materializeOnce(Dedup.fanOut(
-      docs.select(col(idCol).as("id"), lower(col(textCol)).as("t")),
+    // scoring join (self mode), and re-running the tokenizer kernel per
+    // branch is the r13 vocab_coverage trap
+    def docTf(d: DataFrame) = Dedup.fanOut(
+      d.select(col(idCol).as("id"), lower(col(textCol)).as("t")),
       col("id"))
       .select(col("id"),
         explode(ColumnBridge.column(
           graft.functions.expressions.BigramCounts(
             ColumnBridge.expression(col("t")))))
-          .as(Seq("bigram", "tf"))))
-    // corpus bigram counts: vocabulary-sized after map-side combine;
-    // materialized once — read by the total-N derivation AND the LM join
+          .as(Seq("bigram", "tf")))
+    val tf = Dedup.materializeOnce(docTf(docs))
+    // LM bigram counts: vocabulary-sized after map-side combine;
+    // materialized once — read by the total-N derivation AND the LM join.
+    // Reference mode makes its own single pass over the reference corpus.
     val cbg = Dedup.materializeOnce(
-      tf.groupBy("bigram").agg(sum(col("tf")).as("c_bg")))
+      reference.map(docTf(_)).getOrElse(tf)
+        .groupBy("bigram").agg(sum(col("tf")).as("c_bg")))
     // N = total bigram occurrences, derived from the counts frame (no
     // second corpus pass), broadcast as one row into the score projection
     val nTotal = broadcast(
@@ -95,13 +108,18 @@ object NgramLm {
       .select(col("bigram"),
         (length(bin(col("__nb"))) - length(bin(col("c_bg"))))
           .cast("long").as("s"))
-    // per-doc score: tf·s per bigram TYPE (both ≤ long, product ≤ 63·|doc|)
+    // per-doc score: tf·s per bigram TYPE (both ≤ long, product ≤ 63·|doc|).
+    // LEFT join so reference-mode unseen bigrams survive to the smoothing
+    // coalesce (self mode never produces a null s)
     val scored = Dedup.materializeOnce(
-      (if (broadcastLm) tf.join(broadcast(lm), "bigram")
-       else tf.join(lm.hint("shuffle_hash"), "bigram"))
+      (if (broadcastLm) tf.join(broadcast(lm), Seq("bigram"), "left")
+       else tf.join(lm.hint("shuffle_hash"), Seq("bigram"), "left"))
+        .crossJoin(nTotal)
+        .withColumn("__s",
+          coalesce(col("s"), (length(bin(col("__nb"))) - 1L).cast("long")))
         .groupBy("id")
         .agg(sum(col("tf")).as("n_bigrams"),
-          sum(col("tf") * col("s")).as("sum_bits")))
+          sum(col("tf") * col("__s")).as("sum_bits")))
     val dec = "decimal(38,0)"
     thresholdMillibits match {
       case Some(thr) =>

@@ -90,6 +90,39 @@ class NgramLmSpec extends graft.SparkSpec {
     assert(commonRows.forall(_._4 == 1L))
   }
 
+  test("reference mode: LM from the reference corpus, unseen bigrams " +
+    "smooth to count 1") {
+    // reference: "a b" x3, "a c" x1 -> N = 4, c(a b) = 3, c(a c) = 1
+    // s(a b) = len(bin 4) - len(bin 3) = 3 - 2 = 1
+    // s(a c) = 3 - 1 = 2; unseen = 3 - 1 = 2 (count-1 smoothing)
+    val ref = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("id", "text")
+    val target = Seq(
+      (10L, "a b a b"), // 3 bigrams: a b, b a (unseen), a b -> 1+2+1 = 4
+      (11L, "z q"))     // fully unseen -> 2
+      .toDF("id", "text")
+    val out = NgramLm.bigramSurprisal(target, "id", "text",
+      reference = Some(ref))
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    // totals: tn = 4, tb = 6; keep iff bits*4 <= 6*n:
+    //   d10: 16 <= 18 keep; d11: 8 > 6... 2*4=8 > 6*1=6 drop
+    assert(out == Seq((10L, 3L, 4L, 1L), (11L, 1L, 2L, 0L)))
+    // reference docs themselves are NOT in the output
+    assert(out.map(_._1).forall(_ >= 10L))
+  }
+
+  test("self mode is unchanged by the smoothing path (reference = None " +
+    "≡ reference = docs themselves)") {
+    val docs = (1L to 30L)
+      .map(i => (i, s"w${i % 4} w${i % 6} w${i % 3} w${i % 4}"))
+      .toDF("id", "text")
+    val self = NgramLm.bigramSurprisal(docs, "id", "text")
+      .orderBy("id").collect().toSeq
+    val explicit = NgramLm.bigramSurprisal(docs, "id", "text",
+      reference = Some(docs)).orderBy("id").collect().toSeq
+    assert(self == explicit)
+  }
+
   test("shuffled-hash LM path is bit-identical to the broadcast path") {
     val docs = (1L to 50L)
       .map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 5}"))

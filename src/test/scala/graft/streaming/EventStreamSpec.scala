@@ -370,10 +370,15 @@ class RocksDBStateSpec extends graft.SparkSpec {
         input.addData(DocEvent(-2L, "sentinel advance two", ts(100001)))
         q.processAllAvailable()
         val rows = spark.table(name).as[NearDupPair].collect()
-        assert(rows.exists(p => p.id_a == 1L && p.id_b == 2L && p.est_jaccard == 1.0),
+        // r17 contract: every LIVE colliding band emits the pair (≤ bands
+        // copies, one micro-batch), collapsed downstream by a plain
+        // distinct — assert on the distinct set plus the multiplicity cap
+        val set = rows.toSet
+        assert(set.exists(p => p.id_a == 1L && p.id_b == 2L && p.est_jaccard == 1.0),
           rows.mkString(","))
-        assert(rows.count(p => p.id_b == 3L) == 2, rows.mkString(","))
-        assert(rows.length == rows.toSet.size)
+        assert(set.count(p => p.id_b == 3L) == 2, rows.mkString(","))
+        val mult = rows.groupBy(identity).map(_._2.length)
+        assert(mult.max <= 12, s"pair emitted more than bands times: $mult")
       } finally q.stop()
     }
   }
