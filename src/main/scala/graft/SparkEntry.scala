@@ -1877,6 +1877,27 @@ object SparkEntry {
         col("keep"))
   }
 
+  /** SURVEY 43g `nb_classify` (r17): integer multinomial Naive Bayes —
+    * the TRAINED-model classifier slot (fastText/linear stage for
+    * language routing and quality scoring). The corpus's `lang` METADATA
+    * is independent of its text (measured: even float-log NB scores
+    * below the majority class on raw text), so the query PLANTS the
+    * class signal — 12 repetitions of a per-lang marker token appended
+    * in-query (the dedup_spans planted-structure style) — then trains on
+    * even doc_ids and classifies odd ones; the oracle replays training
+    * AND inference relationally, and the output itself demonstrates
+    * ~99–100% class recovery under the hash gate. */
+  private def nbClassifyQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        repeat(concat(lit(" xm_"), col("lang")), 12)).as("text"))
+    operators.TextClassifier.naiveBayesTokens(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1),
+      "lang", "doc_id", "text")
+      .select(col("id").as("doc_id"), col("pred"), col("bits"))
+  }
+
   /** SURVEY 23n `q_transitions`: per-user event-type transition counts
     * (the Markov matrix behind journey analysis): one window pass keyed on
     * the user (lag over ts, event_id tie-break), then a global rollup of
@@ -2033,6 +2054,7 @@ object SparkEntry {
       "html_extract" -> (htmlExtractQ _),
       "ngram_lm" -> (ngramLmQ _),
       "ngram_lm_ref" -> (ngramLmRefQ _),
+      "nb_classify" -> (nbClassifyQ _),
       "q_transitions" -> (qTransitions _),
       "source_minhash" -> (sourceMinhash _),
       "repo_merge" -> (repoMerge _),
@@ -3165,6 +3187,42 @@ object SparkEntry {
                         <= CAST(tot.tb AS HUGEINT) * n_bigrams
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
           FROM doc, tot""",
+    // nb_classify: FULL relational replay of integer Naive Bayes —
+    // training (per-class token counts + totals over the even half, the
+    // same planted marker construction) AND inference (long-format
+    // terms × labels left join, add-one bit costs, unseen → the class's
+    // floor_log2(N_c) default, argmin by (bits, label)). bin() digit
+    // arithmetic identical in both engines; all-BIGINT/VARCHAR output.
+    "nb_classify" ->
+      raw"""WITH d AS (SELECT doc_id, lang,
+                         text || repeat(' xm_' || lang, 12) AS text
+                       FROM documents),
+            tr AS (SELECT lang, unnest(${wsTokensSql("lower(text)")}) AS term
+                   FROM d WHERE doc_id % 2 = 0),
+            counts AS (SELECT lang AS label, term,
+                         CAST(count(*) AS BIGINT) AS c
+                       FROM tr GROUP BY 1, 2),
+            totals AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_c
+                       FROM counts GROUP BY 1),
+            model AS (SELECT counts.label, term,
+                        CAST(length(bin(n_c)) - length(bin(c + 1)) AS BIGINT)
+                          AS bits
+                      FROM counts JOIN totals USING (label)),
+            dflt AS (SELECT label,
+                       CAST(length(bin(n_c)) - 1 AS BIGINT) AS d
+                     FROM totals),
+            dt AS (SELECT doc_id, unnest(${wsTokensSql("lower(text)")}) AS term
+                   FROM d WHERE doc_id % 2 = 1),
+            scored AS (SELECT dt.doc_id, dflt.label,
+                         CAST(sum(coalesce(model.bits, dflt.d)) AS BIGINT)
+                           AS bits
+                       FROM dt CROSS JOIN dflt
+                       LEFT JOIN model ON model.label = dflt.label
+                                      AND model.term = dt.term
+                       GROUP BY 1, 2)
+          SELECT doc_id, label AS pred, bits FROM scored
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                    ORDER BY bits ASC, label ASC) = 1""",
     "dedup_url" ->
       // keep-first per canonical URL over the shared canonicalization
       // replay: min doc_id survives each canon group
