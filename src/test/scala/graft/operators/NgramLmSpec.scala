@@ -30,6 +30,34 @@ class NgramLmSpec extends graft.SparkSpec {
     assert(kernel(None).isEmpty)
   }
 
+  test("kernel invariants on randomized inputs: bigram mass = tokens - 1, " +
+    "keys are adjacent pairs") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "bb", "ccc", "δδ", "e", " ", "\t", "\n")
+    val inputs = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(""))
+    for (in <- inputs) {
+      val m = kernel(Some(in)).get
+      val toks = in.trim.split("\\s+").filter(_.nonEmpty)
+      assert(m.values.sum == math.max(0, toks.length - 1), s"'$in'")
+      val adjacent = toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }.toSet
+      assert(m.keySet == adjacent, s"'$in'")
+    }
+  }
+
+  test("result is partitioning-invariant") {
+    val docs = (1L to 60L)
+      .map(i => (i, s"w${i % 5} w${i % 7} w${i % 3} w${i % 5} w${i % 2}"))
+    val one = NgramLm.bigramSurprisal(
+      docs.toDF("id", "text").repartition(1), "id", "text")
+      .orderBy("id").collect().toSeq
+    val many = NgramLm.bigramSurprisal(
+      docs.toDF("id", "text").repartition(13), "id", "text")
+      .orderBy("id").collect().toSeq
+    assert(one == many)
+  }
+
   test("hand-computed corpus: counts, surprisal, relative gate") {
     // corpus: c_bg = {a b: 2, a c: 1, a d: 1}; N = 4
     // s(a b) = len(bin 4) - len(bin 2) = 3 - 2 = 1

@@ -57,6 +57,19 @@ class TextClassifierSpec extends graft.SparkSpec {
     }, out.mkString(","))
   }
 
+  test("result is partitioning-invariant (training and scoring)") {
+    val tr = (1L to 40L).map { i =>
+      (if (i % 2 == 0) "A" else "B", i,
+        s"t${i % 9} t${i % 4} t${i % 6} m${i % 2}")
+    }
+    val docs = (100L to 130L).map(i => (i, s"t${i % 9} m${i % 2} t${i % 5}"))
+    def run(parts: Int) = TextClassifier.naiveBayesTokens(
+      tr.toDF("lab", "id", "text").repartition(parts),
+      docs.toDF("id", "text").repartition(parts),
+      "lab", "id", "text").orderBy("id").collect().toSeq
+    assert(run(1) == run(11))
+  }
+
   test("shuffled-hash model path is bit-identical to the broadcast path") {
     val docs = Seq((10L, "x y z"), (11L, "z y q"), (12L, "x x z z"))
     assert(classify(docs, bcast = true).orderBy("id").collect().toSeq ==
