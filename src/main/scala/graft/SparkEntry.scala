@@ -702,6 +702,63 @@ object SparkEntry {
       .select("user_id", "start_epoch", "end_epoch", "n_events")
   }
 
+  /** SURVEY §2.2 `stream_to_repo` (NEW r18): exactly-once streaming →
+    * repo landing — the `closed_sessions` pipeline, but the sink is
+    * [[graft.streaming.StreamToRepo.mergeSink]]: each micro-batch lands
+    * in a managed repo table through `PqRepo.merge` guarded by the
+    * batch-id ledger, instead of the plain checkpointed parquet sink.
+    * The result is read back FROM THE REPO TABLE, so the oracle
+    * (identical closed-session SQL) verifies the whole landing path:
+    * watermark-closed emission → foreachBatch → key-merge → promote →
+    * ledger mark. The kill-and-replay guarantee (a re-delivered batch
+    * lands zero rows twice) is StreamToRepoSpec's crash-window property;
+    * this query pins the happy path end-to-end, including that the
+    * multi-batch run (second batch = the sentinel's watermark advance)
+    * merges instead of clobbering. */
+  private def streamToRepoQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulSessionize.{TsEvent, closedSessions}
+    // same staging as closed_sessions (read-only src + sentinel stash;
+    // executions are sequential and each resets the sentinel first)
+    val (src, sentinelStash) = closedStagings.getOrElseUpdate(dir, {
+      val p = scratch("graft_closed")
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          date_trunc("second", col("ts").cast("timestamp")).as("ts"))
+      ev.write.parquet(s"$p/src")
+      val mx = s.read.parquet(s"$p/src").agg(max(col("ts"))).head
+        .getTimestamp(0).getTime
+      Seq((-1L, new java.sql.Timestamp(mx))).toDF("user_id", "ts")
+        .coalesce(1).write.parquet(s"$p/sentinel")
+      val part = new java.io.File(s"$p/sentinel").listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toString
+      (s"$p/src", part)
+    })
+    val sentinelDst = java.nio.file.Paths.get(src, "zz_sentinel.parquet")
+    Files.deleteIfExists(sentinelDst)
+    val work = scratch("graft_stream_repo")
+    val repo = graft.sources.PqRepo(s, s"$work/repo")
+    val q = closedSessions(
+      s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
+        .as[TsEvent],
+      gapSeconds = 1800)
+      .toDF()
+      .writeStream
+      .foreachBatch(graft.streaming.StreamToRepo.mergeSink(
+        repo, "streams", "closed_sessions",
+        keys = Seq("user_id", "start_epoch")))
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
+      q.processAllAvailable()
+    } finally q.stop()
+    repo.table("streams", "closed_sessions")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "start_epoch", "end_epoch", "n_events")
+  }
+
   // ===== §2.3 LLM-pipeline operators ========================================
 
   private def qProfile(s: SparkSession, dir: String): DataFrame =
@@ -805,6 +862,67 @@ object SparkEntry {
       .select(col("doc_id"),
         size(col("__ids")).cast("bigint").as("n_tokens"),
         aggregate(col("__ids"), lit(0L), (a, x) => a + x).as("id_sum"))
+  }
+
+  /** SURVEY §2.3 `bpe_train` (NEW r18): DISTRIBUTED BPE merge training —
+    * the engine derives the tokenizer it bills token budgets with from
+    * the corpus itself instead of ingesting an external merge table
+    * ([[graft.functions.BpeTrain]] — one map-side-combined corpus scan
+    * folds text into the distinct-word histogram, then each round counts
+    * adjacent pairs (only distinct pairs shuffle), pulls a 1-row argmax,
+    * and re-encodes incrementally with a codegen'd kernel).
+    *
+    * The oracle REPLAYS training round-for-round as unrolled CTEs: pair
+    * counts from the chr(31)-wrapped symbol string, argmax via ORDER BY
+    * count DESC / pair ASC LIMIT 1 (the trainer's exact tie-break), an
+    * output-collision `NOT IN` filter, and merge application as a plain
+    * `replace` (wrapped symbols make left-to-right non-overlap exact —
+    * both wrappers are consumed by the pattern, so `[a,a,a,a]` merges to
+    * `[aa,aa]`, not `[aa,a,a]`). Both SQL fragments are GENERATED from
+    * the same round count so the oracle cannot drift.
+    *
+    * Output pins three things at once: the trained table itself (rank,
+    * operands, selection-time pair count), the corpus token total from
+    * the final TRAINING state (`__replay_total__`), and the same total
+    * recomputed by the dynamic greedy ENCODER over the trained table
+    * (`__greedy_total__`) — equal by the chain-structure theorem (a
+    * merge's operands always predate it, so rank-ordered exhaustive
+    * application == min-rank greedy; [[graft.functions.BpeEncoder
+    * .chainStructured]] holds for every trained table by construction),
+    * and the oracle emits ONE number for both rows, so a divergence
+    * between trainer state and encoder hash-mismatches loudly.
+    *
+    * Same documented oracle caps as `bpe_token_count`: letter runs must
+    * stay under `MaxWordLen` (the SQL replay merges over the full run;
+    * generator corpora max out far below) — the corpus itself may be
+    * any UTF-8, since the merge domain is `[A-Za-z]+` runs. Final state
+    * stays persisted for the two total aggregates; the bench's
+    * dropLeakedBlocks reclaims it between queries (the materializeOnce
+    * convention). */
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(
+        expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("cnt"))
+    val res = graft.functions.BpeTrain.trainMerges(
+      words, "wd", "cnt", BpeTrainRounds)
+    import s.implicits._
+    val mergeRows = res.merges
+      .map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    val replayTotal = res.finalState
+      .agg(sum(col("cnt") * size(col("syms"))).as("n"))
+      .select(lit(1000).as("merge_rank"),
+        lit("__replay_total__").as("lhs"), lit("").as("rhs"),
+        col("n").cast("long").as("pair_count"))
+    val enc = res.encoder()
+    val greedyTotal = res.finalState
+      .agg(sum(col("cnt") *
+        graft.functions.Bpe.tokenCount(col("wd"), enc)).as("n"))
+      .select(lit(1001).as("merge_rank"),
+        lit("__greedy_total__").as("lhs"), lit("").as("rhs"),
+        col("n").cast("long").as("pair_count"))
+    mergeRows.unionAll(replayTotal).unionAll(greedyTotal)
   }
 
   private def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -924,6 +1042,24 @@ object SparkEntry {
     val copies = e.filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
     Similarity.dropEmbeddingDuplicates(e.unionByName(copies),
+      "vec_id", "embedding", minCos = 0.999)
+      .select("vec_id")
+  }
+
+  /** SURVEY §2.3 `dedup_semantic` (NEW r18): SemDeDup — cluster-then-
+    * dedup semantic deduplication ([[operators.Similarity.semanticDedup]]:
+    * k-means‖ + lattice Lloyd clusters, within-cluster cosine, keep-min
+    * component collapse). Same planted-copy oracle model as `dedup_embed`
+    * (identical vectors always pair: the collapse emits equal-vector
+    * pairs before any cluster or sub-bucket cap can see them), but the
+    * engine path is entirely different — the pairing domain is the
+    * trained cluster geometry, not hyperplane buckets. Near-identical
+    * (non-equal) recall is the SimilaritySpec planted-blob property. */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val copies = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    Similarity.semanticDedup(e.unionByName(copies),
       "vec_id", "embedding", minCos = 0.999)
       .select("vec_id")
   }
@@ -1992,6 +2128,7 @@ object SparkEntry {
       "q_salted_join" -> (qSaltedJoin _),
       "q_stateful_sessionize" -> (qStatefulSessionize _),
       "closed_sessions" -> (closedSessionsQ _),
+      "stream_to_repo" -> (streamToRepoQ _),
       "stream_events" -> (streamEvents _),
       "stream_join" -> (streamJoinStatic _),
       "stream_dedup" -> (streamDedupBatch _),
@@ -2006,6 +2143,7 @@ object SparkEntry {
       "dedup_exact" -> (dedupExact _),
       "token_count" -> (tokenCount _),
       "bpe_token_count" -> (bpeTokenCountQ _),
+      "bpe_train" -> (bpeTrainQ _),
       "text_quality" -> (textQuality _),
       "lang_id" -> (langIdQ _),
       "doc_fingerprint" -> (docFingerprint _),
@@ -2020,6 +2158,7 @@ object SparkEntry {
       "embed_quantized_topk" -> (embedQuantizedTopK _),
       "dedup_drop" -> (dedupDrop _),
       "dedup_embed" -> (dedupEmbed _),
+      "dedup_semantic" -> (dedupSemantic _),
       "dedup_groups" -> (dedupGroups _),
       "multimodal_meta" -> (multimodalMeta _),
       "multimodal_image" -> (multimodalImage _),
@@ -2128,6 +2267,61 @@ object SparkEntry {
     graft.functions.Bpe.PlantedMerges.foldLeft(wrapped) { case (acc, (a, b)) =>
       s"replace($acc, chr(31)||'$a'||chr(31)||chr(31)||'$b'||chr(31), chr(31)||'$a$b'||chr(31))"
     }
+  }
+
+  /** Rounds for the registered `bpe_train` query — one value feeds BOTH
+    * the trainer call and the oracle's unrolled round CTEs, so the two
+    * cannot disagree on depth. */
+  private val BpeTrainRounds = 8
+
+  /** Round-for-round SQL replay of [[graft.functions.BpeTrain
+    * .trainMerges]] over the documents word histogram: state s{r} is the
+    * chr(31)-wrapped symbol string per distinct word; p{r} counts
+    * adjacent pairs weighted by word count (index-enumerated, so
+    * overlapping pairs all count — the trainer's statistic); m{r} is the
+    * argmax with the trainer's exact tie-break and output-collision
+    * exclusion; s{r+1} applies the merge as a wrapped `replace`
+    * (left-to-right non-overlap, both wrappers consumed). See the
+    * bpe_train query scaladoc for why replay == greedy. */
+  private val bpeTrainSql: String = {
+    val us = "chr(31)"
+    val syms = s"string_split(trim(s, $us), $us||$us)"
+    val rounds = (0 until BpeTrainRounds).map { r =>
+      val notIn =
+        if (r == 0) ""
+        else {
+          val prior = (0 until r)
+            .map(q => s"SELECT a || b FROM m$q").mkString(" UNION ALL ")
+          s"WHERE a || b NOT IN ($prior)"
+        }
+      s"""p$r AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |  SELECT cnt, l[i] AS a, l[i+1] AS b FROM (
+         |    SELECT cnt, l, unnest(range(1, len(l))) AS i FROM (
+         |      SELECT cnt, $syms AS l FROM s$r)))
+         |  GROUP BY a, b),
+         |m$r AS MATERIALIZED (SELECT $r AS merge_rank, a, b, n FROM p$r
+         |  $notIn
+         |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |s${r + 1} AS MATERIALIZED (SELECT wd, cnt,
+         |  replace(s, $us||m.a||$us||$us||m.b||$us, $us||m.a||m.b||$us) AS s
+         |  FROM s$r, m$r AS m)""".stripMargin
+    }.mkString(",\n")
+    val mergeSelects = (0 until BpeTrainRounds)
+      .map(r => s"SELECT merge_rank, a AS lhs, b AS rhs, n AS pair_count FROM m$r")
+      .mkString("\nUNION ALL ")
+    raw"""WITH w AS (
+         |  SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS wd
+         |  FROM documents),
+         |wc AS MATERIALIZED (SELECT wd, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM w GROUP BY wd),
+         |s0 AS MATERIALIZED (SELECT wd, cnt,
+         |  regexp_replace(wd, '(.)', $us || '\1' || $us, 'g') AS s FROM wc),
+         |$rounds,
+         |tot AS (SELECT CAST(sum(cnt * len($syms)) AS BIGINT) AS n
+         |        FROM s$BpeTrainRounds)
+         |$mergeSelects
+         |UNION ALL SELECT 1000, '__replay_total__', '', n FROM tot
+         |UNION ALL SELECT 1001, '__greedy_total__', '', n FROM tot""".stripMargin
   }
 
   /** Symbol → token id: single byte = its code, merge r = 256 + r. */
@@ -2538,6 +2732,24 @@ object SparkEntry {
                  FROM g GROUP BY user_id, sid)
          SELECT user_id, start_epoch, end_epoch, n_events
          FROM s WHERE end_epoch + 1800 < (SELECT max(t) FROM e)""",
+    "stream_to_repo" ->
+      // identical session algebra to closed_sessions — the query differs
+      // only in the landing path (foreachBatch → PqRepo.merge → ledger),
+      // which must be contents-invariant
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+                    FROM events),
+           g AS (
+             SELECT user_id, t,
+               sum(CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+             FROM (SELECT user_id, t,
+                     lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev
+                   FROM e)),
+           s AS (SELECT user_id, min(t) AS start_epoch, max(t) AS end_epoch,
+                   CAST(count(*) AS BIGINT) AS n_events
+                 FROM g GROUP BY user_id, sid)
+         SELECT user_id, start_epoch, end_epoch, n_events
+         FROM s WHERE end_epoch + 1800 < (SELECT max(t) FROM e)""",
     "stream_events" ->
       s"""SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 hour, ts))) AS BIGINT) AS hour_epoch,
           event_type, CAST(count(*) AS BIGINT) AS n,
@@ -2626,6 +2838,18 @@ object SparkEntry {
       // planted structure, so corpora with organic exact-dup cliques (the
       // --skew robustness corpus) are described correctly too; assumes no
       // DISTINCT vectors at cos >= 0.999, like the operator's threshold.
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 1000000, embedding FROM embeddings
+                    WHERE vec_id % 5 = 0)
+         SELECT min(vec_id) AS vec_id FROM u GROUP BY embedding""",
+    "dedup_semantic" ->
+      // the dedup_embed oracle model, different engine path: identical
+      // vectors share the lattice quantization, hence the assigned
+      // cluster — and the collapse emits their pairs before any cluster
+      // geometry is even trained, so keep-min-per-identical-embedding is
+      // exact regardless of where the centroids land. Same assumption:
+      // no DISTINCT vectors at rounded cos >= 0.999.
       """WITH u AS (SELECT vec_id, embedding FROM embeddings
                     UNION ALL
                     SELECT vec_id + 1000000, embedding FROM embeddings
@@ -2771,6 +2995,7 @@ object SparkEntry {
           FROM documents d
           LEFT JOIN wp ON wp.doc_id = d.doc_id
           LEFT JOIN op ON op.doc_id = d.doc_id""",
+    "bpe_train" -> bpeTrainSql,
     "text_quality" ->
       s"SELECT doc_id, round($qualitySql, 6) AS quality FROM documents",
     "lang_id" ->

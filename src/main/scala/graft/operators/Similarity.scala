@@ -775,6 +775,124 @@ object Similarity {
     (entries.select(col("k").as("v"), col("ids")), equalPairs, total)
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with k-means, compare
+    * pairwise cosine only WITHIN clusters, and keep one representative
+    * (smallest id) per near-duplicate component. The cluster-then-dedup
+    * form is the published scale recipe; it composes from pieces that
+    * already exist here — [[KMeans.parallelSeeds]]/[[KMeans
+    * .refineLattice]] for the clustering, the [[collapseByVector]]
+    * duplicate-crowding guard, [[Dedup.componentsWithStats]] for the
+    * keep-min collapse.
+    *
+    * Scale shape: `numClusters = 0` auto-scales k so expected cluster
+    * occupancy stays near 4096 (capped at 256 clusters — assignment is
+    * O(n·k·d), so k must stay bounded); within a cluster, pairwise
+    * scoring is bounded the way [[annBuckets]] bounds it — when expected
+    * occupancy exceeds ~64, hyperplane sub-bucketing splits the cluster
+    * (planes from [[autoPlanes]] over the occupancy), so the quadratic
+    * in-bucket term never grows with the corpus. On small corpora the
+    * plane count is 0 and the comparison is the paper's exact
+    * within-cluster pairwise. Equal-vector pairs are emitted
+    * unconditionally from the collapse (no cluster cap or sub-bucket
+    * split can lose an exact duplicate); clustering trains on DISTINCT
+    * vectors, so a million boilerplate copies pull no centroid.
+    * Deviation from the paper, documented: within oversized clusters the
+    * comparison is LSH-bounded rather than exhaustive — exhaustive
+    * pairwise over a 100 TB cluster is the all-pairs shape this engine
+    * bans; near-dup (non-identical) recall is property-specced in
+    * SimilaritySpec, not oracled. */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double,
+      numClusters: Int = 0,
+      refineIters: Int = 2,
+      dim: Int = 64,
+      seed: Long = 42L
+  ): DataFrame =
+    semanticDedupWithStats(corpus, idCol, vecCol, minCos, numClusters,
+      refineIters, dim, seed)._1
+
+  /** [[semanticDedup]] plus the label-propagation
+    * [[Dedup.ComponentsStats]] — the [[dropEmbeddingDuplicatesWithStats]]
+    * convention. The clustered frame is materialized once
+    * ([[Dedup.materializeOnce]]): seeding, refinement, assignment, and
+    * pairing all scan it, and each would otherwise replay the collapse
+    * shuffle. */
+  def semanticDedupWithStats(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double,
+      numClusters: Int = 0,
+      refineIters: Int = 2,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxBucket: Int = 2000,
+      maxEqualGroup: Int = 2000,
+      maxIters: Int = 10,
+      failOnNonConvergence: Boolean = false,
+      smallGraphLimit: Long = 1000000L
+  ): (DataFrame, Dedup.ComponentsStats) = {
+    val (byVec, equalPairs, total) = collapseByVector(
+      corpus, idCol, vecCol, minCos, maxEqualGroup)
+    val k =
+      if (numClusters > 0) numClusters
+      else math.min(256L, math.max(8L, total / 4096L)).toInt
+    // one distinct-vector frame feeds every downstream scan; the id for
+    // the seeding hash draw is the group's smallest member id (any
+    // deterministic id works — it only seeds the Lehmer priority)
+    val qd = Dedup.materializeOnce(byVec.select(col("v"), col("ids"),
+      KMeans.latticeQuantize(col("v"), 64).as("q"),
+      array_min(col("ids")).cast("long").as("id")))
+    val seeds = KMeans.parallelSeeds(qd, "id", "q", k)
+    val cents =
+      if (refineIters > 0)
+        KMeans.refineLattice(qd.select("q"), "q", seeds, refineIters)
+          .map(c => (c._1, c._2))
+      else seeds
+    // sub-bucket only when expected occupancy overflows the quadratic
+    // budget; planes = 0 means the whole cluster is one bucket (exact
+    // pairwise — the paper's comparison)
+    val planes = autoPlanes(math.max(1L, total / k), floor = 0)
+    val bucketCol =
+      if (planes == 0) lit(0L)
+      else VectorFunctions.lshBucket(col("v"),
+        VectorFunctions.hyperplanes(planes, dim, seed))
+    val bucketed = qd.select(col("v"), col("ids"),
+      KMeans.assignLattice(col("q"), cents).as("cluster"),
+      bucketCol.as("bucket"))
+    // in-bucket scoring: the annBuckets expression shape — pairs stay
+    // (ids_a, ids_b, cos) structs inside the array expression, vectors
+    // never ride an exploded row
+    val crossPairs = bucketed
+      .groupBy("cluster", "bucket")
+      .agg(collect_list(struct(col("v"), col("ids"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        filter(
+          transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+            struct(x.getField("ids").as("ids_a"), y.getField("ids").as("ids_b"),
+              round(VectorFunctions.cosine(
+                x.getField("v"), y.getField("v")), 6).as("cos"))),
+          s => s.getField("cos") >= minCos)))).as("sp"))
+      .select(explode(col("sp.ids_a")).as("ia"), col("sp.ids_b"), col("sp.cos"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("cos"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cos"))
+    val pairs = equalPairs.unionByName(crossPairs)
+    val (labels, stats) =
+      Dedup.componentsWithStats(pairs, maxIters, smallGraphLimit = smallGraphLimit)
+    Dedup.enforceConvergence(stats, maxIters, failOnNonConvergence)
+    val losers = labels
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__loser"))
+    (corpus.join(losers, corpus(idCol) === col("__loser"), "left_anti"), stats)
+  }
+
   def annBucketsMulti(
       corpus: DataFrame,
       idCol: String,

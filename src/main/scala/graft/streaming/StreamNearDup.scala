@@ -220,6 +220,87 @@ object StreamNearDup {
     true
   }
 
+  /** Sampled recall@window observability result — the streaming sibling
+    * of [[graft.operators.Similarity.RecallStats]] / Packing's MixStats:
+    * `recall = hits / truthPairs`, where truth is exact shingle-set
+    * Jaccard ≥ threshold over a deterministic per-window document
+    * sample. */
+  final case class WindowRecallStats(
+      nWindows: Long, sampledDocs: Long, truthPairs: Long, hits: Long,
+      recall: Double)
+
+  /** Estimate [[pairsPerWindow]]'s recall in PRODUCTION, where the
+    * spec-pinned fixed-corpus guarantees are invisible: per closed
+    * window, a deterministic pseudo-random document sample (`xxhash64`
+    * rank — the [[graft.operators.Similarity.recallEstimate]] pattern,
+    * no RNG nondeterminism across runs) gets brute-force ground truth —
+    * exact char-shingle Jaccard over all sample pairs, the quantity the
+    * MinHash signature estimates — joined against whatever the stream
+    * emitted for those windows. The quadratic term is
+    * `sampleDocsPerWindow²` per window, sample-bounded regardless of
+    * corpus size; the emitted side is output-sized.
+    *
+    * `docs` is the corpus the stream read (batch frame: id, text, ts);
+    * `emitted` is the stream's collapsed output (`window_start, id_a,
+    * id_b` — band multiplicity is collapsed here, extra columns
+    * ignored). Rows failing the operator's own shingle-length filter are
+    * excluded from truth, as the operator never saw them. Nuance, same
+    * as the batch estimator being an estimator not an oracle: with
+    * `verify = true` the operator emits only byte-identical pairs, while
+    * truth counts set-identical pairs (Jaccard 1 without byte equality)
+    * — on corpora where templated docs collide at full shingle set, the
+    * verified stream legitimately reads below 1.0 here. */
+  def recallEstimate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      emitted: DataFrame,
+      windowSeconds: Long,
+      shingleK: Int = 5,
+      threshold: Double = 0.5,
+      sampleDocsPerWindow: Int = 200): WindowRecallStats = {
+    require(sampleDocsPerWindow >= 2,
+      "sampleDocsPerWindow must allow at least one pair")
+    val ts = unix_timestamp(col(tsCol).cast("timestamp"))
+    val base = docs
+      .filter(col(textCol).isNotNull &&
+        octet_length(col(textCol)) >= shingleK)
+      .select(col(idCol).cast("long").as("id"),
+        (ts - pmod(ts, lit(windowSeconds))).as("ws"),
+        graft.functions.TextFunctions.charShingles(col(textCol), shingleK)
+          .as("sh"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("ws").orderBy(xxhash64(col("id")), col("id"))
+    val sampled = base
+      .withColumn("__rk", row_number().over(rk))
+      .filter(col("__rk") <= sampleDocsPerWindow)
+      .drop("__rk")
+    val truth = sampled.as("a")
+      .join(sampled.as("b"),
+        col("a.ws") === col("b.ws") && col("a.id") < col("b.id"))
+      .select(col("a.ws").as("window_start"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Dedup.ngramJaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= threshold)
+    val em = emitted
+      .select(col("window_start").cast("long").as("window_start"),
+        col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .dropDuplicates("window_start", "id_a", "id_b")
+      .withColumn("__hit", lit(1L))
+    val row = truth
+      .join(em, Seq("window_start", "id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("possible"), sum(col("__hit")).as("hits"),
+        countDistinct(col("window_start")).as("nw"))
+      .head()
+    val possible = row.getLong(0)
+    val hits = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val nDocs = sampled.count()
+    WindowRecallStats(row.getLong(2), nDocs, possible, hits,
+      if (possible == 0) 1.0 else hits.toDouble / possible)
+  }
+
   /** Batch twin — per-tumbling-window [[Dedup.minhashPairs]] on a static
     * frame, the DuckDB-oracle hook and the spec's equivalence target.
     * Output: (window_start epoch, id_a, id_b, est_jaccard). The distinct

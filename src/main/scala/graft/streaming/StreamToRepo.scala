@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.PqRepo
+
+/** Exactly-once streaming → repo landing: a `foreachBatch` sink that
+  * lands each micro-batch through [[PqRepo.merge]] (or the
+  * partition-scoped [[PqRepo.mergePartitioned]]) guarded by a batch-id
+  * idempotency LEDGER, so a restarted stream cannot double-land the
+  * micro-batch Structured Streaming re-delivers after a crash.
+  *
+  * Why the plain parquet sink isn't enough: the file sink's
+  * exactly-once guarantee holds only INSIDE its own checkpointed
+  * output directory — landing results into a repo table (the
+  * reference's managed `<schema>/<table>.parquet` layout, with merge
+  * semantics, schema metadata, archival) happens outside that
+  * checkpoint, and `foreachBatch` is documented at-least-once: after a
+  * restart the last batch replays with the SAME `batchId`.
+  *
+  * Two independent layers make the replay land zero rows twice:
+  *
+  *   1. **Ledger** (fast path): one zero-byte marker file per committed
+  *      batch id under `<schema>/_ledger_<table>/batch-<id>` — NEXT TO
+  *      the table dir, not inside it, because the repo's copy-on-write
+  *      promote replaces the table directory wholesale. Marker creation
+  *      is a single atomic filesystem create AFTER the merge promotes;
+  *      a re-delivered batch whose marker exists is skipped without
+  *      reading its data. The `_` prefix hides the dir from any reader
+  *      that lists the schema.
+  *   2. **Key-idempotent merge** (crash window): if the process dies
+  *      after the merge promoted but before the marker landed, the
+  *      replay re-merges the identical batch — and [[PqRepo.merge]]
+  *      replaces rows by key, so re-merging the same rows is a no-op on
+  *      the table's contents (StreamToRepoSpec kills exactly this
+  *      window and proves the row set is unchanged).
+  *
+  * Scale shape: whole-table merge is copy-on-write over the table — fine
+  * for aggregate-sized results (closed sessions, per-window stats),
+  * wrong for a 100 TB fact table; pass `partitionCols` to route through
+  * [[PqRepo.mergePartitioned]], which rewrites only the hive partitions
+  * the batch touches (its `_merge_manifest.json` crash protocol already
+  * makes each partition swap resumable). The ledger dir accumulates one
+  * empty file per batch — prune with [[pruneLedger]] once batches are
+  * older than any possible replay (Spark replays at most the batches
+  * after the last checkpoint commit). */
+object StreamToRepo {
+
+  private def ledgerPath(repo: PqRepo, schema: String, table: String): Path =
+    new Path(new Path(repo.dataDir, schema), s"_ledger_$table")
+
+  private def fs(repo: PqRepo, p: Path): FileSystem =
+    p.getFileSystem(repo.spark.sparkContext.hadoopConfiguration)
+
+  private def markerPath(repo: PqRepo, schema: String, table: String,
+      batchId: Long): Path =
+    new Path(ledgerPath(repo, schema, table), f"batch-$batchId%020d")
+
+  /** Batch ids the ledger records as fully landed, ascending. */
+  def committedBatches(repo: PqRepo, schema: String, table: String): Seq[Long] = {
+    val dir = ledgerPath(repo, schema, table)
+    val f = fs(repo, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch-") => n.stripPrefix("batch-").toLong }
+      .sorted
+  }
+
+  /** Drop ledger markers for batch ids strictly below `keepFrom` — call
+    * with a batch id old enough that Structured Streaming can no longer
+    * replay it (anything before the last committed checkpoint batch). */
+  def pruneLedger(repo: PqRepo, schema: String, table: String,
+      keepFrom: Long): Unit = {
+    val f = fs(repo, ledgerPath(repo, schema, table))
+    committedBatches(repo, schema, table).filter(_ < keepFrom)
+      .foreach(id => f.delete(markerPath(repo, schema, table, id), false))
+  }
+
+  /** The `foreachBatch` function: merge-then-mark. Use as
+    * `ds.writeStream.foreachBatch(StreamToRepo.mergeSink(repo, "s", "t",
+    * keys))`. Empty batches still mark (a skipped empty replay is
+    * indistinguishable from a landed one — and marking keeps the ledger
+    * a contiguous record of processed ids). */
+  def mergeSink(
+      repo: PqRepo,
+      schema: String,
+      table: String,
+      keys: Seq[String],
+      partitionCols: Seq[String] = Nil
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val marker = markerPath(repo, schema, table, batchId)
+    val f = fs(repo, marker)
+    if (!f.exists(marker)) {
+      if (partitionCols.nonEmpty)
+        repo.mergePartitioned(batch, schema, table, keys, partitionCols)
+      else
+        repo.merge(batch, schema, table, keys)
+      f.mkdirs(marker.getParent)
+      // atomic zero-byte create — the commit point; overwrite=false so a
+      // concurrent double-commit of the same id fails loudly instead of
+      // silently racing
+      f.create(marker, false).close()
+    }
+  }
+}
