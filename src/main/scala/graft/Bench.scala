@@ -111,12 +111,26 @@ object Bench {
     "dedup_simhash", "multimodal_image", "tfidf_topk", "embed_lsh_ann",
     "dedup_spans", "pq_topk")
 
-  /** Committed per-query scale minimums from the last accepted round
-    * (`SCALE_REF.json`: {"round":…, "big20x":{name→sec}, "big100x":{…}}),
-    * the denominator for the self-reported regression check. None when the
-    * file is absent/unparseable — the summary line then says `"no-ref"`
-    * instead of silently skipping the check (the b100 skip discipline). */
-  def readScaleRef(path: String): Option[Map[String, Map[String, Double]]] =
+  /** Committed scale reference: per-query minimums plus the calib load
+    * factors measured when they were recorded — the denominator AND the
+    * machine-speed anchor for the self-reported regression check.
+    * `sections` maps "big20x"/"big100x" → name → seconds; `calib` maps
+    * the same section names → that recording's calib ratio (absent in
+    * pre-r18 references → no normalization, factor 1). */
+  final case class ScaleRef(
+      sections: Map[String, Map[String, Double]],
+      calib: Map[String, Double])
+
+  /** Read `SCALE_REF.json` ({"round":…, "big20x":{name→sec},
+    * "big100x":{…}, "calib":{"big20x":…, "big100x":…}}). Left is a
+    * DISTINCT skip marker (r17 advice): "no-ref" when the file is
+    * absent, "bad-ref" when it exists but does not parse — a malformed
+    * regeneration must not silently disable the regression check; the
+    * parse failure also logs to stderr so a corrupt reference is
+    * diagnosable from the bench run itself. */
+  def readScaleRef(path: String): Either[String, ScaleRef] = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      return Left("no-ref")
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -124,15 +138,28 @@ object Bench {
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)) match {
         case JObject(fields) =>
-          Some(fields.collect { case (section, JObject(qs)) =>
-            section -> qs.collect {
-              case (k, JDouble(v)) => k -> v
-              case (k, JInt(v))    => k -> v.toDouble
-            }.toMap
-          }.toMap)
-        case _ => None
+          val nums: PartialFunction[(String, JValue), (String, Double)] = {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v))    => k -> v.toDouble
+          }
+          val sections = fields.collect {
+            case (section, JObject(qs)) if section != "calib" =>
+              section -> qs.collect(nums).toMap
+          }.toMap
+          val calib = fields.collectFirst {
+            case ("calib", JObject(cs)) => cs.collect(nums).toMap
+          }.getOrElse(Map.empty[String, Double])
+          Right(ScaleRef(sections, calib))
+        case _ =>
+          System.err.println(s"[bench] $path parsed to a non-object — bad-ref")
+          Left("bad-ref")
       }
-    } catch { case _: Throwable => None }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] failed to parse $path: ${e.getMessage}")
+        Left("bad-ref")
+    }
+  }
 
   /** Scale-regression self-report (r17, verdict #7): queries whose current
     * scale-section minimum moved past BOTH a 1.5× ratio AND a 0.5 s
@@ -140,22 +167,48 @@ object Bench {
     * move that previously surfaced only in a verdict diff. The absolute
     * floor keeps sub-second rows (whose minimums ride Spark's per-job
     * floor) from flagging on scheduler noise; a genuinely regressed cheap
-    * query still flags once it costs real seconds. Failed (−1) rows and
-    * names absent from the reference are skipped — a NEW headline row has
-    * no denominator until the next round commits one. Returned
-    * worst-first, names prefixed with the section tag. */
+    * query still flags once it costs real seconds.
+    *
+    * `loadAdjust` (r18, the dedup_minhash/dedup_embed false-positive
+    * mechanism): this box's effective CPU speed swings ~1.4× between
+    * windows (measured calib ratios 0.74–1.41 on identical code+corpus),
+    * and kernel-bound queries move proportionally while raw-seconds
+    * comparisons read that as a per-query regression. Pass
+    * `refCalib / curCalib` (the reference recording's calib ratio over
+    * this run's) to compare in machine-normalized seconds; clamped to
+    * [0.5, 2] so a corrupt calib can neither hide a real 2×+ regression
+    * nor invent one. Default 1 = raw comparison (pre-r18 references
+    * carry no calib).
+    *
+    * A FAILED row (−1 sentinel) whose name the reference knows flags as
+    * ratio −1 — rendered `section:name:fail` — so a regression-to-failure
+    * surfaces in the regr field itself instead of hiding behind the skip
+    * (r17 advice); fails sort first. Names absent from the reference are
+    * skipped — a NEW headline row has no denominator until the next round
+    * commits one. Returned worst-first, names prefixed with the section
+    * tag. */
   def scaleRegressions(
       ref: Map[String, Double],
       cur: Seq[(String, (Double, Double))],
       section: String,
       ratioThreshold: Double = 1.5,
-      minDeltaSec: Double = 0.5): Seq[(String, Double)] =
-    cur.collect {
+      minDeltaSec: Double = 0.5,
+      loadAdjust: Double = 1.0): Seq[(String, Double)] = {
+    val adj = math.max(0.5, math.min(2.0, loadAdjust))
+    val moved = cur.collect {
       case (name, (_, mn))
-          if mn >= 0 && ref.get(name).exists(r =>
-            r > 0 && mn / r > ratioThreshold && mn - r > minDeltaSec) =>
-        s"$section:$name" -> mn / ref(name)
+          if mn >= 0 && ref.get(name).exists { r =>
+            val mnAdj = mn * adj
+            r > 0 && mnAdj / r > ratioThreshold && mnAdj - r > minDeltaSec
+          } =>
+        s"$section:$name" -> mn * adj / ref(name)
     }.sortBy(-_._2)
+    val failed = cur.collect {
+      case (name, (_, mn)) if mn < 0 && ref.contains(name) =>
+        s"$section:$name" -> -1.0
+    }
+    failed ++ moved
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
@@ -226,7 +279,8 @@ object Bench {
       big100Skip: String = "skip",
       bigPerQuery: Seq[Double] = Nil,
       big100PerQuery: Seq[Double] = Nil,
-      regr: Option[Seq[(String, Double)]] = None): String = {
+      regr: Either[String, Seq[(String, Double)]] = Left("no-ref"),
+      big20xCalib: Option[Double] = None): String = {
     // `"qv"` carries the per-query values ONLY, in LEXICOGRAPHIC query-
     // name order (`"qord":"name"` marks it): the names themselves are
     // ~1100 chars of the 91-query registry and overflowed the driver
@@ -256,9 +310,14 @@ object Bench {
     def perQ(qs: Seq[Double]): String =
       if (qs.isEmpty) ""
       else qs.map(fmtq).mkString(",[", ",", "]")
+    // the 20x section now carries its own post-section calib factor like
+    // b100 always did (third element) — the r18 regression-normalization
+    // anchor, so the next round's SCALE_REF records machine speed with
+    // the seconds it qualifies
     val bigS = big.map { case (t, v, _) =>
       val vsB = if (v >= 0) "," + fmt2(v) else ""
-      s""","big20x":[${fmt1(t)}$vsB${perQ(bigPerQuery)}]"""
+      val calB = big20xCalib.map("," + fmt2(_)).getOrElse("")
+      s""","big20x":[${fmt1(t)}$vsB$calB${perQ(bigPerQuery)}]"""
     }.getOrElse("")
     // an absent 100x corpus is stated, not silently omitted (r13), and
     // the reason is DISTINCT (r14: "no-builder" vs "build-failed"). A
@@ -273,15 +332,20 @@ object Bench {
       case None => s""","b100":"$big100Skip""""
     }
     // self-reported scale regressions (r17, verdict #7): ">1.5x movers,
-    // named" against the committed SCALE_REF.json. Empty array on a quiet
-    // round; "no-ref" when the reference file is absent (stated, not
-    // silently omitted). Capped at 4 names worst-first plus a "+N" count
-    // marker — an unbounded list could eat the tail exactly when every
-    // row regresses at once; bench_detail.json keeps the full map.
+    // named" against the committed SCALE_REF.json, calib-normalized
+    // since r18. Empty array on a genuinely quiet round; distinct string
+    // markers otherwise (stated, not silently omitted): "no-ref" = file
+    // absent, "bad-ref" = file present but unparseable, "no-scale" =
+    // neither scale section ran, so quiet was unverifiable (r17 advice).
+    // A failed-at-scale row renders "section:name:fail". Capped at 4
+    // names worst-first plus a "+N" count marker — an unbounded list
+    // could eat the tail exactly when every row regresses at once;
+    // bench_detail.json keeps the full map.
     val regrS = regr match {
-      case None => ""","regr":"no-ref""""
-      case Some(flagged) =>
-        val shown = flagged.take(4).map { case (n, r) => s""""$n:${fmt1(r)}"""" }
+      case Left(marker) => s""","regr":"$marker""""
+      case Right(flagged) =>
+        val shown = flagged.take(4).map { case (n, r) =>
+          if (r < 0) s""""$n:fail"""" else s""""$n:${fmt1(r)}"""" }
         val more = if (flagged.size > 4) Seq(s""""+${flagged.size - 4}"""") else Nil
         s""","regr":${(shown ++ more).mkString("[", ",", "]")}"""
     }
@@ -481,6 +545,12 @@ object Bench {
     }
     val bigResults: Seq[(String, (Double, Double))] =
       if (!bigReady) Nil else timeHeadline(bigDir, 5, "big20x")
+    // load factor measured IMMEDIATELY after the 20x section (the b100
+    // pattern): the r18 regression normalization needs the machine speed
+    // of THIS window, not the run-level start/end pair
+    val big20xCalibRatio: Option[Double] =
+      if (bigResults.nonEmpty) Some(calibrate(calibThreads) / calibRef)
+      else None
     // 100x section (default-on since r13 — the verdict's evidence-gap
     // fix): each headline query at 5x the 20x corpus, expected within
     // ~linear of its 20x time. The corpus is built once per machine at
@@ -548,13 +618,30 @@ object Bench {
 
     // self-reported scale regressions vs the committed last-round
     // reference (r17, verdict #7) — computed over whichever scale
-    // sections actually ran this invocation
+    // sections actually ran this invocation, each normalized by the
+    // calib factor measured right after that section against the one
+    // the reference recorded (r18: the machine-speed-window mechanism
+    // behind the r17 driver-run false positives). "no-scale" when
+    // neither section ran: an empty array must mean VERIFIED quiet,
+    // not never-checked.
     val scaleRef = readScaleRef(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REF", "SCALE_REF.json"))
-    val regrFlagged: Option[Seq[(String, Double)]] = scaleRef.map { ref =>
-      scaleRegressions(ref.getOrElse("big20x", Map.empty), bigResults, "20x") ++
-        scaleRegressions(ref.getOrElse("big100x", Map.empty), big100Results, "100x")
-    }
+    def sectionAdjust(ref: ScaleRef, section: String,
+        cur: Option[Double]): Double =
+      (ref.calib.get(section), cur) match {
+        case (Some(r), Some(c)) if r > 0 && c > 0 => r / c
+        case _ => 1.0
+      }
+    val regrFlagged: Either[String, Seq[(String, Double)]] =
+      if (bigResults.isEmpty && big100Results.isEmpty) Left("no-scale")
+      else scaleRef.map { ref =>
+        scaleRegressions(ref.sections.getOrElse("big20x", Map.empty),
+          bigResults, "20x",
+          loadAdjust = sectionAdjust(ref, "big20x", big20xCalibRatio)) ++
+          scaleRegressions(ref.sections.getOrElse("big100x", Map.empty),
+            big100Results, "100x",
+            loadAdjust = sectionAdjust(ref, "big100x", big100CalibRatio))
+      }
 
     val detail = {
       val med = results.map { case (k, (m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
@@ -587,13 +674,14 @@ object Bench {
       }.getOrElse(
         s""","big100x":{"skipped":"${big100Build.left.toOption.getOrElse("skip")}"}""")
       // full regression map (the summary line caps at 4 names): every
-      // flagged section:name with its ratio, or the no-ref marker
+      // flagged section:name with its calib-normalized ratio (-1 =
+      // failed at scale), or the distinct skip marker
       val regrDetail = regrFlagged match {
-        case None => "\"no-ref\""
-        case Some(flagged) => flagged
+        case Left(marker) => "\"" + marker + "\""
+        case Right(flagged) => flagged
           .map { case (n, r) => "\"" + n + "\":" + r }.mkString("{", ",", "}")
       }
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"calib":{"threads":$calibThreads,"ref_sec":$calibRef,"start_sec":$calibStartSec,"end_sec":$calibEndSec,"start_ratio":${calibPair._1},"end_ratio":${calibPair._2}},"regressions":$regrDetail,"big20x":{"dir":"$bigDir","queries":$big,"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq}$big100Section,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"calib":{"threads":$calibThreads,"ref_sec":$calibRef,"start_sec":$calibStartSec,"end_sec":$calibEndSec,"start_ratio":${calibPair._1},"end_ratio":${calibPair._2}},"regressions":$regrDetail,"big20x":{"dir":"$bigDir","queries":$big,"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq${big20xCalibRatio.map(r => s""","calib_after":$r""").getOrElse("")}}$big100Section,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -618,7 +706,8 @@ object Bench {
       // were produced in (timeHeadline maps over `headline` directly)
       bigPerQuery = bigResults.map(_._2._2),
       big100PerQuery = big100Results.map(_._2._2),
-      regr = regrFlagged)
+      regr = regrFlagged,
+      big20xCalib = big20xCalibRatio)
     // the consumer keeps a bounded stdout tail (~2000 chars) and sbt
     // appends its own success line (~65 chars) after ours — flag the
     // overflow BEFORE it silently turns the recorded bench into parsed:null

@@ -1742,29 +1742,46 @@ object SparkEntry {
     * (default off) so the registered query's oracle and committed scale
     * baselines stay valid; the composition is spec-pinned against the
     * standalone already-oracled operator (CorpusPipelineSpec). */
-  private[graft] def pipelineCurateStaged(
-      s: SparkSession, dir: String, ngramLmGate: Boolean): DataFrame = {
+  /** Plant construction + heuristic gating shared by
+    * [[pipelineCurateStaged]] and CorpusPipelineSpec (r17 advice #4: the
+    * spec used to rebuild the spaced/padded plants by hand, so a drift in
+    * the pipeline's plant construction would silently re-aim the spec's
+    * oracle at a different corpus): base documents plus norm-identical,
+    * raw-distinct plants (pure-ASCII space mutations — engine-stable in
+    * both Spark and the DuckDB oracle), language- and quality-gated. */
+  private[graft] def curateGatedFrame(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select("doc_id", "text")
-    // near-dup plants: norm-identical, raw-distinct (pure-ASCII space
-    // mutations — engine-stable in both Spark and the DuckDB oracle)
     val spaced = base.filter(col("doc_id") < 40)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         regexp_replace(col("text"), lit(" "), lit("  ")).as("text"))
     val padded = base.filter(col("doc_id") < 40)
       .select((col("doc_id") + 3000000L).as("doc_id"),
         concat(lit("  "), col("text"), lit("  ")).as("text"))
-    val docs = base.unionByName(spaced).unionByName(padded)
-    val gated = docs
+    base.unionByName(spaced).unionByName(padded)
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
       .withColumn("quality", round(TextFunctions.qualityScore(col("text")), 6))
       .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
       .select("doc_id", "text")
-    val lmGated =
-      if (!ngramLmGate) gated
-      else gated.join(
-        operators.NgramLm.bigramSurprisal(gated, "doc_id", "text")
-          .filter(col("keep") === 1L).select(col("id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+  }
+
+  /** The LM gate stage: drop documents the bigram LM flags as
+    * above-mean surprisal (`keep = 0`), PASS THROUGH documents the LM
+    * never scored — a sub-2-token doc produces no bigram and therefore
+    * no surprisal row, and the gate's semantics are keep-iff-below-mean,
+    * not drop-unscored (r17 advice #2: the previous left_semi on
+    * `keep = 1` silently dropped unscored docs). Anti-join on the
+    * flagged set, so unscored ids simply never match. */
+  private[graft] def lmGate(gated: DataFrame): DataFrame =
+    gated.join(
+      operators.NgramLm.bigramSurprisal(gated, "doc_id", "text")
+        .filter(col("keep") === 0L).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  private[graft] def pipelineCurateStaged(
+      s: SparkSession, dir: String, ngramLmGate: Boolean): DataFrame = {
+    val base = t(s, dir, "documents").select("doc_id", "text")
+    val gated = curateGatedFrame(s, dir)
+    val lmGated = if (!ngramLmGate) gated else lmGate(gated)
     val exactDeduped = Dedup.exact(lmGated, Seq("text"), Seq(col("doc_id")))
     // persistInput: the gated+deduped lineage (two text kernels + a
     // window) feeds four downstream actions — cache it once, disk-backed

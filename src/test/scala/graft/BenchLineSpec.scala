@@ -26,9 +26,11 @@ class BenchLineSpec extends AnyFunSuite {
       bigPerQuery = Bench.headline.map(_ => 99.99),
       big100PerQuery = Bench.headline.map(_ => 99.99),
       // worst case: every headline row regressed in both sections — the
-      // cap must hold the field to 4 names + the "+N" marker
-      regr = Some(Bench.headline.map(n => s"100x:$n" -> 99.9) ++
-        Bench.headline.map(n => s"20x:$n" -> 99.9)))
+      // cap must hold the field to 4 names + the "+N" marker — with the
+      // 20x post-section calib element present too
+      regr = Right(Bench.headline.map(n => s"100x:$n" -> 99.9) ++
+        Bench.headline.map(n => s"20x:$n" -> 99.9)),
+      big20xCalib = Some(9.99))
 
   test("worst-case line fits the driver's stdout tail") {
     // every registered query at just under 10 s (integer centiseconds:
@@ -95,31 +97,50 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
-  test("scale regressions: thresholds, sentinels, cap, no-ref marker") {
+  test("scale regressions: thresholds, sentinels, cap, markers") {
     val ref = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.2, "d" -> 4.0)
     val cur = Seq(
       "a" -> (9.0, 2.0),   // 2.0x AND +1.0 s -> flagged
       "b" -> (9.0, 2.4),   // 1.2x -> quiet (ratio under threshold)
       "c" -> (9.0, 0.35),  // 1.75x but +0.15 s -> quiet (absolute floor)
-      "d" -> (9.0, -1.0),  // failed sentinel -> skipped
+      "d" -> (9.0, -1.0),  // failed sentinel -> flagged as fail (-1)
       "e" -> (9.0, 9.0))   // not in ref (new headline row) -> skipped
     val flagged = Bench.scaleRegressions(ref, cur, "20x")
-    assert(flagged == Seq("20x:a" -> 2.0))
+    // regression-to-failure surfaces in the field itself (r17 advice),
+    // sorted ahead of ratio movers
+    assert(flagged == Seq("20x:d" -> -1.0, "20x:a" -> 2.0))
     // worst-first ordering across many movers
     val many = Seq("a" -> (9.0, 4.0), "b" -> (9.0, 16.0))
     assert(Bench.scaleRegressions(ref, many, "100x").map(_._1) ==
       Seq("100x:b", "100x:a"))
+    // calib normalization (r18): the same raw 2x move reads quiet when
+    // the reference was recorded on a 2x-faster machine window
+    // (loadAdjust = refCalib/curCalib = 0.5), and a quiet raw ratio
+    // flags when the reference window was 2x SLOWER
+    assert(Bench.scaleRegressions(ref, Seq("a" -> (9.0, 2.0)), "20x",
+      loadAdjust = 0.5).isEmpty)
+    assert(Bench.scaleRegressions(ref, Seq("a" -> (9.0, 1.2)), "20x",
+      loadAdjust = 2.0) == Seq("20x:a" -> 2.4))
+    // the adjust factor is clamped to [0.5, 2] so a corrupt calib cannot
+    // hide an arbitrary regression
+    assert(Bench.scaleRegressions(ref, Seq("a" -> (9.0, 8.0)), "20x",
+      loadAdjust = 0.01) == Seq("20x:a" -> 4.0))
     // summary-line rendering: quiet round -> empty array; movers -> capped
-    // at 4 names with a "+N" marker; absent reference -> "no-ref"
+    // at 4 names with a "+N" marker; fails render ":fail"; distinct skip
+    // markers pass through verbatim
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    def regrOf(r: Option[Seq[(String, Double)]]): JValue =
+    def regrOf(r: Either[String, Seq[(String, Double)]]): JValue =
       JsonMethods.parse(Bench.renderSummary(1.0, 1.0, Nil, -1.0, (1.0, 1.0),
         None, None, "sf0.1", regr = r)) \ "regr"
-    assert(regrOf(Some(Nil)) == JArray(Nil))
-    assert(regrOf(None) == JString("no-ref"))
+    assert(regrOf(Right(Nil)) == JArray(Nil))
+    assert(regrOf(Left("no-ref")) == JString("no-ref"))
+    assert(regrOf(Left("bad-ref")) == JString("bad-ref"))
+    assert(regrOf(Left("no-scale")) == JString("no-scale"))
+    assert(regrOf(Right(Seq("20x:d" -> -1.0))) ==
+      JArray(List(JString("20x:d:fail"))))
     val six = (1 to 6).map(i => s"20x:q$i" -> (10.0 - i))
-    regrOf(Some(six)) match {
+    regrOf(Right(six)) match {
       case JArray(vs) =>
         assert(vs.size == 5 && vs.last == JString("+2"))
         assert(vs.head == JString("20x:q1:9.0"))
@@ -127,24 +148,35 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
-  test("scale reference file round-trips and tolerates absence") {
+  test("scale reference file round-trips, distinct absence/corrupt markers") {
     val dir = java.nio.file.Files.createTempDirectory("scaleref")
     val p = dir.resolve("SCALE_REF.json")
     java.nio.file.Files.write(p,
-      """{"round":"r16","big20x":{"a":1.5,"b":2},"big100x":{"a":3.25}}"""
-        .getBytes("UTF-8"))
+      ("""{"round":"r16","big20x":{"a":1.5,"b":2},"big100x":{"a":3.25},""" +
+        """"calib":{"big20x":0.74,"big100x":1.13}}""").getBytes("UTF-8"))
     val ref = Bench.readScaleRef(p.toString)
-    assert(ref.exists(_.get("big20x").contains(Map("a" -> 1.5, "b" -> 2.0))))
-    assert(ref.exists(_.get("big100x").contains(Map("a" -> 3.25))))
-    assert(Bench.readScaleRef(dir.resolve("missing.json").toString).isEmpty)
+    assert(ref.exists(_.sections.get("big20x")
+      .contains(Map("a" -> 1.5, "b" -> 2.0))))
+    assert(ref.exists(_.sections.get("big100x").contains(Map("a" -> 3.25))))
+    assert(ref.exists(_.calib == Map("big20x" -> 0.74, "big100x" -> 1.13)))
+    // pre-r18 reference without a calib section parses with empty calib
+    java.nio.file.Files.write(p,
+      """{"round":"r16","big20x":{"a":1.5}}""".getBytes("UTF-8"))
+    assert(Bench.readScaleRef(p.toString).exists(_.calib.isEmpty))
+    // distinct markers: absent file vs present-but-corrupt (r17 advice —
+    // a malformed regeneration must not read as "no reference committed")
+    assert(Bench.readScaleRef(dir.resolve("missing.json").toString) ==
+      Left("no-ref"))
+    java.nio.file.Files.write(p, "{not json".getBytes("UTF-8"))
+    assert(Bench.readScaleRef(p.toString) == Left("bad-ref"))
     // the committed repo reference parses and covers the full headline set
     // in both sections — a missing name would silently exempt that row
     // from the regression check
     val committed = Bench.readScaleRef("SCALE_REF.json")
-    assert(committed.nonEmpty, "SCALE_REF.json must parse")
-    for (section <- Seq("big20x", "big100x"); ref2 <- committed) {
+    assert(committed.isRight, "SCALE_REF.json must parse")
+    for (section <- Seq("big20x", "big100x"); ref2 <- committed.toSeq) {
       val missing = Bench.headline.filterNot(
-        n => ref2.getOrElse(section, Map.empty).contains(n))
+        n => ref2.sections.getOrElse(section, Map.empty).contains(n))
       assert(missing.isEmpty,
         s"$section missing headline rows: ${missing.mkString(", ")}")
     }

@@ -89,24 +89,32 @@ class CorpusPipelineSpec extends SparkSpec {
     // score the SAME frame the pipeline feeds the gate (lang/quality-
     // filtered originals + plants — the LM model is trained on that
     // corpus, not the raw table, so raw-corpus flags would not match).
-    // The plant construction mirrors pipelineCurate; drift there is
-    // pinned by the registered query's own oracle.
+    // The frame comes from the SHARED helper the pipeline itself uses
+    // (r17 advice #4 — the hand rebuild here could silently drift).
     import graft.operators.NgramLm
-    val baseDocs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val spaced = baseDocs.filter(col("doc_id") < 40)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
-        regexp_replace(col("text"), lit(" "), lit("  ")).as("text"))
-    val padded = baseDocs.filter(col("doc_id") < 40)
-      .select((col("doc_id") + 3000000L).as("doc_id"),
-        concat(lit("  "), col("text"), lit("  ")).as("text"))
-    val gatedFrame = baseDocs.unionByName(spaced).unionByName(padded)
-      .withColumn("lang_pred", TextFunctions.langId(col("text")))
-      .withColumn("quality", round(TextFunctions.qualityScore(col("text")), 6))
-      .filter(col("lang_pred") === "en" && col("quality") >= 0.3)
-      .select("doc_id", "text")
-    val kept = NgramLm.bigramSurprisal(gatedFrame, "doc_id", "text")
-      .filter(col("keep") === 1L).select(col("id").as[Long]).collect().toSet
-    assert(gatedRun.forall(kept), "gated output contains an LM-dropped doc")
+    val gatedFrame = SparkEntry.curateGatedFrame(spark, dir)
+    val flagged = NgramLm.bigramSurprisal(gatedFrame, "doc_id", "text")
+      .filter(col("keep") === 0L).select(col("id").as[Long]).collect().toSet
+    assert(gatedRun.forall(id => !flagged(id)),
+      "gated output contains an LM-dropped doc")
+  }
+
+  test("LM gate passes through docs the LM never scored (r17 advice #2)") {
+    import spark.implicits._
+    // "ok" is a 1-token doc: no bigram, no surprisal row — the gate's
+    // semantics are keep-iff-flagged-above-mean, so it must SURVIVE.
+    // The repeated common-bigram docs sit below the mean (kept); the
+    // rare-bigram doc sits above it (dropped) — asserting the gate still
+    // actually gates around the pass-through fix.
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat"),
+      (2L, "the cat sat on the mat the cat sat on the mat"),
+      (3L, "the cat sat on the mat the cat sat on the mat"),
+      (4L, "zq xv jk wq zx qj vk xz"),
+      (5L, "ok")).toDF("doc_id", "text")
+    val out = SparkEntry.lmGate(docs).select($"doc_id".as[Long]).collect().toSet
+    assert(out.contains(5L), "unscored 1-token doc must pass through the gate")
+    assert(Set(1L, 2L, 3L).subsetOf(out), "below-mean docs must survive")
+    assert(!out.contains(4L), "above-mean rare-bigram doc must be dropped")
   }
 }
