@@ -168,6 +168,42 @@ object SparkEntry {
       GROUP BY c.c_mktsegment, o.o_orderpriority""")
   }
 
+  private val catalogStagings =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** SURVEY §2.1 `sql_catalog` (NEW r18): the `sql_passthrough` twin
+    * routed through the DSv2 [[graft.sources.GraftCatalog]] — repo tables
+    * addressed as `<catalog>.<schema>.<table>` straight from SQL, zero
+    * temp views (the reference's `process_sql` ergonomics natively).
+    * Same SQL, same oracle; what this query adds is the catalog path
+    * itself: identifier resolution → Spark's own v2 parquet scan, so the
+    * plan audit shows PushedFilters (`o_totalprice > 100000`) and pruned
+    * ReadSchema THROUGH the catalog (PlanAuditSpec pins it). The staged
+    * repo is written once per (session, dir); the catalog NAME embeds
+    * the dir hash because Spark caches catalog instances by name — a
+    * bench session visits sf0.1 and the scale corpora in one JVM, and a
+    * name reuse would silently read the first dir's staging. */
+  private def sqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    val repoDir = catalogStagings.getOrElseUpdate(dir, {
+      val p = scratch("graft_catalog_repo")
+      val repo = PqRepo(s, p)
+      repo.write(t(s, dir, "orders"), "tpch", "orders")
+      repo.write(t(s, dir, "customer"), "tpch", "customer")
+      p
+    })
+    val cat = "graft_" + java.lang.Long.toUnsignedString(
+      dir.hashCode.toLong & 0xffffffffL, 36)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.dataDir", repoDir)
+    s.sql(s"""
+      SELECT c.c_mktsegment, o.o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      FROM $cat.tpch.orders o
+      JOIN $cat.tpch.customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice > 100000
+      GROUP BY c.c_mktsegment, o.o_orderpriority""")
+  }
+
   // ===== §2.2 analytics =====================================================
 
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
@@ -2118,6 +2154,7 @@ object SparkEntry {
       "repo_roundtrip" -> (repoRoundtrip _),
       "schema_export" -> (schemaExport _),
       "sql_passthrough" -> (sqlPassthrough _),
+      "sql_catalog" -> (sqlCatalog _),
       "q1_agg" -> (q1Agg _),
       "q3_join_agg" -> (q3JoinAgg _),
       "q5_star_join" -> (q5StarJoin _),
@@ -2536,6 +2573,14 @@ object SparkEntry {
          UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT), 'x (Updated 2024-05-01)' FROM nation
          UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT), 'x (Updated 2024-05-01)' FROM supplier""",
     "sql_passthrough" ->
+      """SELECT c.c_mktsegment, o.o_orderpriority, CAST(count(*) AS BIGINT) AS n
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > 100000
+         GROUP BY c.c_mktsegment, o.o_orderpriority""",
+    "sql_catalog" ->
+      // identical SQL to sql_passthrough — the query differs only in the
+      // table-resolution path (DSv2 catalog over the staged repo vs temp
+      // views), which must be contents-invariant
       """SELECT c.c_mktsegment, o.o_orderpriority, CAST(count(*) AS BIGINT) AS n
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE o.o_totalprice > 100000
