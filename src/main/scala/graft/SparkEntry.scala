@@ -795,6 +795,65 @@ object SparkEntry {
       .select("user_id", "start_epoch", "end_epoch", "n_events")
   }
 
+  /** SURVEY §2.2 `stream_route` (r18, beyond-directive): ingest-time
+    * ROUTING through the exactly-once landing path — each micro-batch of
+    * closed sessions splits by an engagement predicate and lands in TWO
+    * repo tables ([[graft.streaming.StreamToRepo.routeSink]]: one ledger
+    * marker per batch created after every route merged; a mid-routes
+    * crash replays all routes, key-merge idempotently). The accept/
+    * reject split at ingest is how a curation pipeline actually uses the
+    * streaming landing. Result = union of both landed tables with the
+    * route label, so the oracle verifies BOTH that every session landed
+    * exactly once and that it landed in the right table. */
+  private def streamRouteQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulSessionize.{TsEvent, closedSessions}
+    val (src, sentinelStash) = closedStagings.getOrElseUpdate(dir, {
+      val p = scratch("graft_closed")
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          date_trunc("second", col("ts").cast("timestamp")).as("ts"))
+      ev.write.parquet(s"$p/src")
+      val mx = s.read.parquet(s"$p/src").agg(max(col("ts"))).head
+        .getTimestamp(0).getTime
+      Seq((-1L, new java.sql.Timestamp(mx))).toDF("user_id", "ts")
+        .coalesce(1).write.parquet(s"$p/sentinel")
+      val part = new java.io.File(s"$p/sentinel").listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toString
+      (s"$p/src", part)
+    })
+    val sentinelDst = java.nio.file.Paths.get(src, "zz_sentinel.parquet")
+    Files.deleteIfExists(sentinelDst)
+    val work = scratch("graft_stream_route")
+    val repo = graft.sources.PqRepo(s, s"$work/repo")
+    val q = closedSessions(
+      s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
+        .as[TsEvent],
+      gapSeconds = 1800)
+      .toDF()
+      .writeStream
+      .foreachBatch(graft.streaming.StreamToRepo.routeSink(
+        repo, "streams",
+        routes = Seq(
+          "sessions_multi" -> (col("n_events") >= 2),
+          "sessions_single" -> (col("n_events") === 1)),
+        keys = Seq("user_id", "start_epoch")))
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed(table: String, route: String) =
+      repo.table("streams", table)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_epoch"), col("end_epoch"),
+          col("n_events"), lit(route).as("route"))
+    landed("sessions_multi", "multi")
+      .unionByName(landed("sessions_single", "single"))
+  }
+
   // ===== §2.3 LLM-pipeline operators ========================================
 
   private def qProfile(s: SparkSession, dir: String): DataFrame =
@@ -1448,6 +1507,40 @@ object SparkEntry {
       BloomDedup.buildSketch(ingestA, "text", capacity, numShards = 8),
       ingestB, "text")
     BloomDedup.dropKnownBloom(batch, d, "text", sketch).select("doc_id")
+  }
+
+  /** SURVEY §2.3 `dedup_keep_best` (r18, beyond-directive):
+    * representative selection by QUALITY — near-dup components keep
+    * their best-scoring member, not their lowest id
+    * ([[operators.Dedup.dropNearDuplicatesKeepBest]]). The planted
+    * spaced variants (doubled internal spaces) are norm-identical to
+    * their originals but strictly LOWER quality (the letter fraction
+    * falls), so the original must win its component regardless of id
+    * order — and the planted low-id SHADOW copies (id − 4000000,
+    * numerically smaller than every original) prove the policy is
+    * score-first: under keep-min-id the shadow would win; here the
+    * equal-quality tie-break keeps the smaller id only WITHIN equal
+    * scores. Oracle replays winner = (max quality, then min id) per
+    * norm group; sub-shingle-width norms pass through (never paired). */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select("doc_id", "text")
+    // LOW-id spaced shadows: norm-identical, lower quality, id smaller
+    // than every original — keep-min-id would keep THESE; keep-best
+    // must not
+    val shadow = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") - 4000000L).as("doc_id"),
+        regexp_replace(col("text"), lit(" "), lit("  ")).as("text"))
+    // HIGH-id byte-identical copies: equal quality — the tie-break
+    // (min id among maximal scores) must keep the original
+    val copies = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val docs = base.unionByName(shadow).unionByName(copies)
+      .withColumn("norm", TextFunctions.normalizeText(col("text")))
+      .withColumn("quality",
+        round(TextFunctions.qualityScore(col("text")), 6))
+    Dedup.dropNearDuplicatesKeepBest(docs, "doc_id", "norm", "quality",
+      threshold = 1.0, verifyExact = true)._1
+      .select("doc_id")
   }
 
   /** Normalized exact dedup (SURVEY 40a): case/whitespace variants of the
@@ -2183,6 +2276,7 @@ object SparkEntry {
       "q_stateful_sessionize" -> (qStatefulSessionize _),
       "closed_sessions" -> (closedSessionsQ _),
       "stream_to_repo" -> (streamToRepoQ _),
+      "stream_route" -> (streamRouteQ _),
       "stream_events" -> (streamEvents _),
       "stream_join" -> (streamJoinStatic _),
       "stream_dedup" -> (streamDedupBatch _),
@@ -2222,6 +2316,7 @@ object SparkEntry {
       "dedup_bloom" -> (dedupBloomQ _),
       "scrub_pii" -> (scrubPii _),
       "text_normalize" -> (textNormalize _),
+      "dedup_keep_best" -> (dedupKeepBest _),
       "q_repetition" -> (qRepetition _),
       "contamination" -> (contaminationQ _),
       "tfidf_topk" -> (tfidfTopK _),
@@ -2812,6 +2907,24 @@ object SparkEntry {
                  FROM g GROUP BY user_id, sid)
          SELECT user_id, start_epoch, end_epoch, n_events
          FROM s WHERE end_epoch + 1800 < (SELECT max(t) FROM e)""",
+    "stream_route" ->
+      // the closed-session algebra + the route label: every session must
+      // land exactly once, in exactly the table its n_events selects
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+                    FROM events),
+           g AS (
+             SELECT user_id, t,
+               sum(CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+             FROM (SELECT user_id, t,
+                     lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev
+                   FROM e)),
+           s AS (SELECT user_id, min(t) AS start_epoch, max(t) AS end_epoch,
+                   CAST(count(*) AS BIGINT) AS n_events
+                 FROM g GROUP BY user_id, sid)
+         SELECT user_id, start_epoch, end_epoch, n_events,
+           CASE WHEN n_events >= 2 THEN 'multi' ELSE 'single' END AS route
+         FROM s WHERE end_epoch + 1800 < (SELECT max(t) FROM e)""",
     "stream_events" ->
       s"""SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 hour, ts))) AS BIGINT) AS hour_epoch,
           event_type, CAST(count(*) AS BIGINT) AS n,
@@ -3114,6 +3227,33 @@ object SparkEntry {
                      FROM u)
           SELECT doc_id, norm FROM n
           QUALIFY row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1""",
+    "dedup_keep_best" ->
+      // winner per norm-identical group = (max quality, then min id):
+      // the low-id spaced SHADOWS (norm-identical, strictly fewer letter
+      // mass per byte) lose to their originals despite smaller ids —
+      // keep-min-id would return the opposite survivor set — and the
+      // byte-identical high-id copies lose on the tie-break. Sub-shingle
+      // (or null) norms never pair and pass through.
+      raw"""WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id - 4000000, replace(text, ' ', '  ')
+              FROM documents WHERE doc_id < 40
+              UNION ALL
+              SELECT doc_id + 5000000, text
+              FROM documents WHERE doc_id < 40),
+            d AS (SELECT doc_id,
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+                    round($qualitySql, 6) AS q
+                  FROM u),
+            grp AS (SELECT doc_id, norm, q,
+                      max(q) OVER (PARTITION BY norm) AS best
+                    FROM d WHERE norm IS NOT NULL AND strlen(norm) >= 5),
+            w AS (SELECT min(doc_id) AS doc_id FROM grp
+                  WHERE q = best GROUP BY norm)
+          SELECT doc_id FROM w
+          UNION ALL
+          SELECT doc_id FROM d WHERE norm IS NULL OR strlen(norm) < 5""",
     "q_repetition" ->
       raw"""WITH tok AS (SELECT doc_id, ${wsTokensSql("text")} AS toks FROM documents)
           SELECT doc_id,

@@ -105,13 +105,21 @@ object BpeTrain {
     var state = words.select(col(wordCol).as("wd"),
       col(cntCol).cast("long").as("cnt"), chars.as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the parent state stays persisted until the CHILD has been
+    // materialized by the next round's pair-count job (or the caller's
+    // first action, for the last round) — round r+1's argmax scan IS the
+    // materialization, so no dedicated count() job runs per round; a
+    // round therefore costs exactly ONE job
+    var parent: DataFrame = null
     val out = scala.collection.mutable.ArrayBuffer.empty[TrainedMerge]
     var exhausted = false
     var r = 0
     while (r < numMerges && !exhausted) {
       val taken = out.map(m => m.left + m.right).toSet
       // distinct pairs only ride this shuffle (partial agg folds each
-      // partition's occurrences first); argmax is a 1-row driver pull
+      // partition's occurrences first); argmax is a 1-row driver pull —
+      // this job also materializes `state`'s persisted blocks, making
+      // the previous round's parent safe to drop
       val top = state
         .select(explode(adjacentPairs(col("syms"))).as("p"), col("cnt"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
@@ -121,6 +129,7 @@ object BpeTrain {
         .orderBy(desc("n"), asc("a"), asc("b"))
         .limit(1)
         .collect()
+      if (parent != null) { parent.unpersist(blocking = false); parent = null }
       if (top.isEmpty) exhausted = true
       else {
         val a = top(0).getString(0)
@@ -129,11 +138,18 @@ object BpeTrain {
         val next = state
           .withColumn("syms", mergeAdjacent(col("syms"), a, b))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent's blocks
-        state.unpersist(blocking = false)
+        parent = state // dropped after `next` materializes (next round /
+        // the caller's first action over finalState)
         state = next
         r += 1
       }
+    }
+    if (parent != null) {
+      // one materialization for the LAST round's state (every earlier
+      // round was materialized by its successor's argmax job), then the
+      // final parent can go
+      state.count()
+      parent.unpersist(blocking = false)
     }
     TrainResult(out.toIndexedSeq, state)
   }

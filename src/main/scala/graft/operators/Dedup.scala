@@ -1270,6 +1270,70 @@ object Dedup {
     (in.join(losers, in(idCol) === col("__loser"), "left_anti"), stats)
   }
 
+  /** Near-dup removal with QUALITY-based representative selection: keep
+    * each component's best-scoring member (tie → lowest id) instead of
+    * its lowest id — what production curation actually keeps (among
+    * templated/whitespace variants of one document, keep the cleanest
+    * extraction, not the one that happened to get the smallest id;
+    * cf. the keep-longest / keep-highest-quality policies in published
+    * dedup pipelines). [[dropNearDuplicates]] remains the id-policy
+    * twin; both share the candidate and component machinery.
+    *
+    * `scoreCol` is any numeric column on `docs` (quality score, length,
+    * model score); null scores rank below every non-null score, so an
+    * unscored doc never displaces a scored one. The winner is picked by
+    * two map-side-combinable aggregations — max score per component,
+    * then min id among the maximal — no window over a skewed component,
+    * no id negation (a `max_by(id, struct(score, -id))` would overflow
+    * on Long.MinValue ids).
+    *
+    * Scale shape: identical to [[dropNearDuplicatesWithStats]] —
+    * bucketed candidates, component labels, and the score join ships
+    * (id, double) pairs only. The threshold-1.0 exact-only shortcut is
+    * NOT taken (its group collapse never materializes per-member rows
+    * to score); the pairs path handles that regime correctly through
+    * the equal-signature/equal-content emission. */
+  def dropNearDuplicatesKeepBest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      verifyExact: Boolean = false,
+      reliableCheckpoint: Boolean = false,
+      failOnNonConvergence: Boolean = false,
+      maxIters: Int = 10,
+      smallGraphLimit: Long = 1000000L
+  ): (DataFrame, ComponentsStats) = {
+    val pairs =
+      if (verifyExact)
+        minhashPairsVerified(docs, idCol, textCol, shingleK, numHashes,
+          bands, threshold)
+      else minhashPairs(docs, idCol, textCol, shingleK, numHashes,
+        bands, threshold)
+    val (labels, stats) =
+      componentsWithStats(pairs, maxIters, reliableCheckpoint, smallGraphLimit)
+    enforceConvergence(stats, maxIters, failOnNonConvergence)
+    // members of dup components only (every labeled id sits in a ≥2
+    // component); null-score members rank below all scored members
+    val members = labels.join(
+      docs.select(col(idCol).as("id"),
+        coalesce(col(scoreCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("__s")),
+      Seq("id"))
+    val best = members.groupBy("label").agg(max(col("__s")).as("__best"))
+    val winners = members.join(best, Seq("label"))
+      .filter(col("__s") === col("__best"))
+      .groupBy("label").agg(min(col("id")).as("__winner"))
+    val losers = members.join(winners, Seq("label"))
+      .filter(col("id") =!= col("__winner"))
+      .select(col("id").as("__loser"))
+    (docs.join(losers, docs(idCol) === col("__loser"), "left_anti"), stats)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs: |A∩B| / |A∪B|
     * over distinct word n-grams. Joins two doc sets on a provided pair
     * frame; used to verify near-dup candidates exactly. */

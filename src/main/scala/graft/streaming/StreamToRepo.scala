@@ -78,6 +78,48 @@ object StreamToRepo {
       .foreach(id => f.delete(markerPath(repo, schema, table, id), false))
   }
 
+  /** Multi-table ROUTING sink: each micro-batch splits by the route
+    * predicates and every slice lands in its own repo table through the
+    * same merge protocol — ingest-time curation (accept/reject/
+    * quarantine tables) with the exactly-once guarantee intact. ONE
+    * ledger marker covers the whole batch, created only after EVERY
+    * route merged: a crash mid-routes replays all routes, and key-merge
+    * idempotency makes the replayed slices row-set no-ops on tables
+    * that already landed them (the [[mergeSink]] crash-window argument,
+    * per route). Routes are explicit (table, predicate) pairs — no
+    * per-batch distinct scan, no unbounded table creation; rows
+    * matching no predicate are dropped (add a catch-all route to keep
+    * them). The ledger lives beside the FIRST route's table under a
+    * name derived from all route tables, so two different route sets
+    * over the same schema cannot share markers. */
+  def routeSink(
+      repo: PqRepo,
+      schema: String,
+      routes: Seq[(String, org.apache.spark.sql.Column)],
+      keys: Seq[String],
+      partitionCols: Seq[String] = Nil
+  ): (DataFrame, Long) => Unit = {
+    require(routes.nonEmpty, "routeSink needs at least one route")
+    require(routes.map(_._1).distinct.size == routes.size,
+      "route table names must be unique")
+    val ledgerTable = routes.map(_._1).mkString("+")
+    (batch: DataFrame, batchId: Long) => {
+      val marker = markerPath(repo, schema, ledgerTable, batchId)
+      val f = fs(repo, marker)
+      if (!f.exists(marker)) {
+        routes.foreach { case (table, pred) =>
+          val slice = batch.filter(pred)
+          if (partitionCols.nonEmpty)
+            repo.mergePartitioned(slice, schema, table, keys, partitionCols)
+          else
+            repo.merge(slice, schema, table, keys)
+        }
+        f.mkdirs(marker.getParent)
+        f.create(marker, false).close()
+      }
+    }
+  }
+
   /** The `foreachBatch` function: merge-then-mark. Use as
     * `ds.writeStream.foreachBatch(StreamToRepo.mergeSink(repo, "s", "t",
     * keys))`. Empty batches still mark (a skipped empty replay is

@@ -78,6 +78,59 @@ class StreamToRepoSpec extends SparkSpec {
     assert(rows == Seq((1L, 100L, 7L), (1L, 500L, 1L)))
   }
 
+  test("routeSink: slices land in their tables; one marker covers the " +
+    "batch; mid-routes crash replay lands zero rows twice") {
+    val repo = freshRepo
+    val sink = StreamToRepo.routeSink(repo, "s",
+      routes = Seq(
+        "multi" -> (col("n_events") >= 2L),
+        "single" -> (col("n_events") === 1L)),
+      keys = Seq("user_id", "start_epoch"))
+    val b0 = Seq((1L, 100L, 3L), (2L, 200L, 1L), (3L, 300L, 5L))
+    sink(batch(b0), 0L)
+    assert(repo.table("s", "multi").count() == 2)
+    assert(repo.table("s", "single").count() == 1)
+    assert(StreamToRepo.committedBatches(repo, "s", "multi+single") ==
+      Seq(0L))
+    // crash between the routes' merges and the marker: delete the marker
+    // and replay the identical batch — both tables' row sets unchanged
+    val ledger = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(repo.dataDir, "s"), "_ledger_multi+single")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(ledger, f"batch-${0L}%020d"), false))
+    sink(batch(b0), 0L)
+    assert(repo.table("s", "multi").count() == 2)
+    assert(repo.table("s", "single").count() == 1)
+    // re-delivery with the marker present: poisoned content is skipped
+    sink(batch(Seq((9L, 900L, 9L))), 0L)
+    assert(repo.table("s", "multi")
+      .filter(col("user_id") === 9L).count() == 0)
+  }
+
+  test("mergeSink with partitionCols routes through the partition-scoped " +
+    "merge (untouched partitions keep their files)") {
+    import spark.implicits._
+    val repo = freshRepo
+    val sink = StreamToRepo.mergeSink(repo, "s", "t",
+      keys = Seq("day", "user_id"), partitionCols = Seq("day"))
+    def b(rows: Seq[(String, Long, Long)]) =
+      rows.toDF("day", "user_id", "n_events")
+    sink(b(Seq(("d1", 1L, 2L), ("d2", 2L, 3L))), 0L)
+    val d1File = new java.io.File(s"${repo.dataDir}/s/t.parquet/day=d1")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // batch 1 touches only d2 — d1's physical files must survive untouched
+    sink(b(Seq(("d2", 2L, 7L), ("d2", 5L, 1L))), 1L)
+    val d1After = new java.io.File(s"${repo.dataDir}/s/t.parquet/day=d1")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(d1After == d1File, "untouched partition was rewritten")
+    val rows = repo.table("s", "t")
+      .orderBy("day", "user_id")
+      .collect().map(r => (r.getAs[String]("day"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq
+    assert(rows == Seq(("d1", 1L, 2L), ("d2", 2L, 7L), ("d2", 5L, 1L)))
+  }
+
   test("ledger pruning drops only ids below the keep horizon") {
     val repo = freshRepo
     val sink = StreamToRepo.mergeSink(repo, "s", "t", keys = Seq("user_id"))
