@@ -1533,7 +1533,7 @@ object SparkEntry {
     // HIGH-id byte-identical copies: equal quality — the tie-break
     // (min id among maximal scores) must keep the original
     val copies = base.filter(col("doc_id") < 40)
-      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
     val docs = base.unionByName(shadow).unionByName(copies)
       .withColumn("norm", TextFunctions.normalizeText(col("text")))
       .withColumn("quality",
@@ -3240,7 +3240,7 @@ object SparkEntry {
               SELECT doc_id - 4000000, replace(text, ' ', '  ')
               FROM documents WHERE doc_id < 40
               UNION ALL
-              SELECT doc_id + 5000000, text
+              SELECT doc_id + 20000000, text
               FROM documents WHERE doc_id < 40),
             d AS (SELECT doc_id,
                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
