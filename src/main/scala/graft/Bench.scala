@@ -633,7 +633,15 @@ object Bench {
         case _ => 1.0
       }
     val regrFlagged: Either[String, Seq[(String, Double)]] =
-      if (bigResults.isEmpty && big100Results.isEmpty) Left("no-scale")
+      if (bigResults.isEmpty && big100Results.isEmpty)
+        // a corrupt reference must surface even on a run where no scale
+        // section executed — otherwise a malformed SCALE_REF regeneration
+        // sits unnoticed until the next scale run (the stderr parse
+        // warning inside readScaleRef fires unconditionally too)
+        Left(scaleRef.left.toOption match {
+          case Some("bad-ref") => "no-scale/bad-ref"
+          case _               => "no-scale"
+        })
       else scaleRef.map { ref =>
         scaleRegressions(ref.sections.getOrElse("big20x", Map.empty),
           bigResults, "20x",

@@ -169,7 +169,8 @@ object SparkEntry {
   }
 
   private val catalogStagings =
-    scala.collection.concurrent.TrieMap[String, String]()
+    scala.collection.concurrent.TrieMap[String, (String, Int)]()
+  private val catalogSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** SURVEY §2.1 `sql_catalog` (NEW r18): the `sql_passthrough` twin
     * routed through the DSv2 [[graft.sources.GraftCatalog]] — repo tables
@@ -179,20 +180,22 @@ object SparkEntry {
     * itself: identifier resolution → Spark's own v2 parquet scan, so the
     * plan audit shows PushedFilters (`o_totalprice > 100000`) and pruned
     * ReadSchema THROUGH the catalog (PlanAuditSpec pins it). The staged
-    * repo is written once per (session, dir); the catalog NAME embeds
-    * the dir hash because Spark caches catalog instances by name — a
-    * bench session visits sf0.1 and the scale corpora in one JVM, and a
-    * name reuse would silently read the first dir's staging. */
+    * repo is written once per (session, dir); the catalog NAME embeds a
+    * per-dir COUNTER (not a dir hash — Spark caches catalog instances by
+    * name, so a 32-bit hash collision between two corpus dirs in one JVM
+    * would silently serve the first dir's staged repo; the counter is
+    * collision-free by construction) because a bench session visits
+    * sf0.1 and the scale corpora in one JVM, and a name reuse would
+    * silently read the first dir's staging. */
   private def sqlCatalog(s: SparkSession, dir: String): DataFrame = {
-    val repoDir = catalogStagings.getOrElseUpdate(dir, {
+    val (repoDir, seq) = catalogStagings.getOrElseUpdate(dir, {
       val p = scratch("graft_catalog_repo")
       val repo = PqRepo(s, p)
       repo.write(t(s, dir, "orders"), "tpch", "orders")
       repo.write(t(s, dir, "customer"), "tpch", "customer")
-      p
+      (p, catalogSeq.incrementAndGet())
     })
-    val cat = "graft_" + java.lang.Long.toUnsignedString(
-      dir.hashCode.toLong & 0xffffffffL, 36)
+    val cat = s"graft_c$seq"
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.dataDir", repoDir)
@@ -679,6 +682,33 @@ object SparkEntry {
   private val closedStagings =
     scala.collection.concurrent.TrieMap[String, (String, String)]()
 
+  /** Stage the closed-sessions streaming corpus once per (session, dir):
+    * second-truncated events as the parquet stream source, plus a one-row
+    * max-timestamp sentinel file STASHED OUTSIDE the source dir — each
+    * execution copies it in under a fixed name to trigger the batch in
+    * which the (batch-lagged) watermark takes effect, and removes it
+    * again before the next run, so sentinels never accumulate. Shared by
+    * the three session-based streaming queries (closed_sessions,
+    * stream_to_repo, stream_route); extracted because the hand-copied
+    * plant construction had drifted before (see curateGatedFrame).
+    * Returns (source dir, sentinel stash path). */
+  private def closedStaging(s: SparkSession, dir: String): (String, String) =
+    closedStagings.getOrElseUpdate(dir, {
+      import s.implicits._
+      val p = scratch("graft_closed")
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          date_trunc("second", col("ts").cast("timestamp")).as("ts"))
+      ev.write.parquet(s"$p/src")
+      val mx = s.read.parquet(s"$p/src").agg(max(col("ts"))).head
+        .getTimestamp(0).getTime
+      Seq((-1L, new java.sql.Timestamp(mx))).toDF("user_id", "ts")
+        .coalesce(1).write.parquet(s"$p/sentinel")
+      val part = new java.io.File(s"$p/sentinel").listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toString
+      (s"$p/src", part)
+    })
+
   /** Watermark-closed streaming sessions (SURVEY 28f), driven end-to-end
     * through the REAL streaming operator via a parquet file source and a
     * parquet sink — fully distributed, no O(corpus) driver state. The
@@ -699,23 +729,8 @@ object SparkEntry {
     import graft.streaming.StatefulSessionize.{ClosedSession, TsEvent, closedSessions}
     // events (and the one-row sentinel file) staged once per (session,
     // dir), like formatIngest's layouts; repeat executions measure the
-    // streaming read/state/emit path over the IDENTICAL file set — the
-    // sentinel enters under a fixed name and is removed again before the
-    // next run, so sentinels never accumulate across executions
-    val (src, sentinelStash) = closedStagings.getOrElseUpdate(dir, {
-      val p = scratch("graft_closed")
-      val ev = t(s, dir, "events")
-        .select(col("user_id").cast("long").as("user_id"),
-          date_trunc("second", col("ts").cast("timestamp")).as("ts"))
-      ev.write.parquet(s"$p/src")
-      val mx = s.read.parquet(s"$p/src").agg(max(col("ts"))).head
-        .getTimestamp(0).getTime
-      Seq((-1L, new java.sql.Timestamp(mx))).toDF("user_id", "ts")
-        .coalesce(1).write.parquet(s"$p/sentinel")
-      val part = new java.io.File(s"$p/sentinel").listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get.toString
-      (s"$p/src", part)
-    })
+    // streaming read/state/emit path over the IDENTICAL file set
+    val (src, sentinelStash) = closedStaging(s, dir)
     val sentinelDst = java.nio.file.Paths.get(src, "zz_sentinel.parquet")
     Files.deleteIfExists(sentinelDst)
     val work = scratch("graft_closed_run")
@@ -756,20 +771,7 @@ object SparkEntry {
     import graft.streaming.StatefulSessionize.{TsEvent, closedSessions}
     // same staging as closed_sessions (read-only src + sentinel stash;
     // executions are sequential and each resets the sentinel first)
-    val (src, sentinelStash) = closedStagings.getOrElseUpdate(dir, {
-      val p = scratch("graft_closed")
-      val ev = t(s, dir, "events")
-        .select(col("user_id").cast("long").as("user_id"),
-          date_trunc("second", col("ts").cast("timestamp")).as("ts"))
-      ev.write.parquet(s"$p/src")
-      val mx = s.read.parquet(s"$p/src").agg(max(col("ts"))).head
-        .getTimestamp(0).getTime
-      Seq((-1L, new java.sql.Timestamp(mx))).toDF("user_id", "ts")
-        .coalesce(1).write.parquet(s"$p/sentinel")
-      val part = new java.io.File(s"$p/sentinel").listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get.toString
-      (s"$p/src", part)
-    })
+    val (src, sentinelStash) = closedStaging(s, dir)
     val sentinelDst = java.nio.file.Paths.get(src, "zz_sentinel.parquet")
     Files.deleteIfExists(sentinelDst)
     val work = scratch("graft_stream_repo")
@@ -808,20 +810,7 @@ object SparkEntry {
   private def streamRouteQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.StatefulSessionize.{TsEvent, closedSessions}
-    val (src, sentinelStash) = closedStagings.getOrElseUpdate(dir, {
-      val p = scratch("graft_closed")
-      val ev = t(s, dir, "events")
-        .select(col("user_id").cast("long").as("user_id"),
-          date_trunc("second", col("ts").cast("timestamp")).as("ts"))
-      ev.write.parquet(s"$p/src")
-      val mx = s.read.parquet(s"$p/src").agg(max(col("ts"))).head
-        .getTimestamp(0).getTime
-      Seq((-1L, new java.sql.Timestamp(mx))).toDF("user_id", "ts")
-        .coalesce(1).write.parquet(s"$p/sentinel")
-      val part = new java.io.File(s"$p/sentinel").listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get.toString
-      (s"$p/src", part)
-    })
+    val (src, sentinelStash) = closedStaging(s, dir)
     val sentinelDst = java.nio.file.Paths.get(src, "zz_sentinel.parquet")
     Files.deleteIfExists(sentinelDst)
     val work = scratch("graft_stream_route")
@@ -990,7 +979,14 @@ object SparkEntry {
     * Same documented oracle caps as `bpe_token_count`: letter runs must
     * stay under `MaxWordLen` (the SQL replay merges over the full run;
     * generator corpora max out far below) — the corpus itself may be
-    * any UTF-8, since the merge domain is `[A-Za-z]+` runs. Final state
+    * any UTF-8, since the merge domain is `[A-Za-z]+` runs. A second
+    * oracle precondition: the corpus must yield at least
+    * `BpeTrainRounds` merges (the trainer early-stops on pair
+    * exhaustion with the real total, but the replay's round CTEs chain
+    * via a CROSS JOIN on each round's argmax — an EMPTY m{r} would
+    * empty every later s{r+1} and NULL the oracle's totals). Any corpus
+    * with ≥ BpeTrainRounds distinct adjacent pairs satisfies it; the
+    * generator corpora hold thousands. Final state
     * stays persisted for the two total aggregates; the bench's
     * dropLeakedBlocks reclaims it between queries (the materializeOnce
     * convention). */

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 import graft.sources.PqRepo
 
@@ -91,7 +92,17 @@ object StreamToRepo {
     * matching no predicate are dropped (add a catch-all route to keep
     * them). The ledger lives beside the FIRST route's table under a
     * name derived from all route tables, so two different route sets
-    * over the same schema cannot share markers. */
+    * over the same schema cannot share markers.
+    *
+    * Single source scan (r19): the batch is tagged ONCE with the array
+    * of routes each row matches (every predicate evaluated in one
+    * projection — one pass over the source, however many routes) and
+    * persisted; the per-table merges then filter the CACHED tagged
+    * frame on `array_contains`, never re-running the batch's upstream
+    * plan. The old shape re-scanned the source once per route — fine at
+    * 2 routes, N full passes at an N-way quarantine fan-out. Multi-match
+    * semantics are unchanged: a row matching several predicates still
+    * lands in every matching table. */
   def routeSink(
       repo: PqRepo,
       schema: String,
@@ -103,17 +114,32 @@ object StreamToRepo {
     require(routes.map(_._1).distinct.size == routes.size,
       "route table names must be unique")
     val ledgerTable = routes.map(_._1).mkString("+")
+    val routesCol = "__graft_routes"
     (batch: DataFrame, batchId: Long) => {
       val marker = markerPath(repo, schema, ledgerTable, batchId)
       val f = fs(repo, marker)
       if (!f.exists(marker)) {
-        routes.foreach { case (table, pred) =>
-          val slice = batch.filter(pred)
-          if (partitionCols.nonEmpty)
-            repo.mergePartitioned(slice, schema, table, keys, partitionCols)
-          else
-            repo.merge(slice, schema, table, keys)
-        }
+        graft.InternalCols.requireAbsent(batch, "routeSink", routesCol)
+        val tagged = batch
+          .withColumn(routesCol, filter(
+            array(routes.map { case (table, pred) =>
+              when(pred, lit(table)) }: _*),
+            _.isNotNull))
+          .persist()
+        // one action populates the cache — THE single pass over the
+        // batch's upstream plan; the route filters below read blocks
+        tagged.count()
+        try {
+          routes.foreach { case (table, _) =>
+            val slice = tagged
+              .filter(array_contains(col(routesCol), table))
+              .drop(routesCol)
+            if (partitionCols.nonEmpty)
+              repo.mergePartitioned(slice, schema, table, keys, partitionCols)
+            else
+              repo.merge(slice, schema, table, keys)
+          }
+        } finally tagged.unpersist()
         f.mkdirs(marker.getParent)
         f.create(marker, false).close()
       }

@@ -108,6 +108,34 @@ class StreamToRepoSpec extends SparkSpec {
       .filter(col("user_id") === 9L).count() == 0)
   }
 
+  test("routeSink scans the batch source ONCE however many routes, and a " +
+    "row matching several predicates still lands in every matching table") {
+    import spark.implicits._
+    val repo = freshRepo
+    // accumulator-instrumented source: every row that flows out of the
+    // batch's upstream plan bumps the counter, so N-route re-scans would
+    // read N× the row count — the r18 routeSink shape did exactly that
+    val scans = spark.sparkContext.longAccumulator("route_src_rows")
+    val rows = Seq((1L, 100L, 3L), (2L, 200L, 1L), (3L, 300L, 2L))
+    val counted = rows.toDS()
+      .mapPartitions { it => it.map { r => scans.add(1); r } }
+      .toDF("user_id", "start_epoch", "n_events")
+    val sink = StreamToRepo.routeSink(repo, "s",
+      routes = Seq(
+        "multi" -> (col("n_events") >= 2L),
+        "single" -> (col("n_events") === 1L),
+        "audit" -> lit(true)), // overlaps both: the multi-match case
+      keys = Seq("user_id", "start_epoch"))
+    sink(counted, 0L)
+    assert(scans.value == rows.size,
+      s"route source rows read ${scans.value} times for ${rows.size} rows " +
+        "— the tagged batch must be cached, not re-scanned per route")
+    assert(repo.table("s", "multi").count() == 2)
+    assert(repo.table("s", "single").count() == 1)
+    // multi-match semantics preserved: every row ALSO landed in audit
+    assert(repo.table("s", "audit").count() == 3)
+  }
+
   test("mergeSink with partitionCols routes through the partition-scoped " +
     "merge (untouched partitions keep their files)") {
     import spark.implicits._
