@@ -216,16 +216,46 @@ object Bench {
     f.delete()
   }
 
-  /** Build-or-reuse a scaled corpus. Readiness = the final dir exists;
-    * that is trustworthy ONLY because the builder writes into
+  /** Generator version this bench expects in a cached corpus's
+    * `_scale_meta.json` — bumped whenever tools/scale_up.py changes what
+    * it writes (v2: relational fact chain scales too). A cached corpus
+    * recording an older version (or predating the sidecar) is REBUILT:
+    * without the check, a driver machine's stale /tmp cache would
+    * silently serve the old layout to a bench whose baselines were
+    * computed on the new one. */
+  val ScaleGeneratorVersion = 2
+
+  private def scaleMetaCurrent(dir: String): Boolean =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/_scale_meta.json")),
+        java.nio.charset.StandardCharsets.UTF_8)) \ "generator_version" match {
+        case JInt(v)    => v.toInt == ScaleGeneratorVersion
+        case JDouble(v) => v.toInt == ScaleGeneratorVersion
+        case _          => false
+      }
+    } catch { case _: Throwable => false }
+
+  /** Build-or-reuse a scaled corpus. Readiness = the final dir exists
+    * AND its `_scale_meta.json` records the current generator version;
+    * the exists-check is trustworthy ONLY because the builder writes into
     * `<dir>__building` and renames to the final name after a zero exit —
     * a crashed build leaves the tmp dir (cleared on the next attempt),
-    * never a half corpus that every later run would treat as ready.
+    * never a half corpus that every later run would treat as ready. A
+    * version-stale corpus is deleted and rebuilt.
     * Returns Right(dir) when usable, Left(marker) with a DISTINCT reason:
     * "no-builder" (script unlocatable from this cwd) vs "build-failed"
     * (script ran and died). */
   def ensureScaled(sfDir: String, dir: String, factor: Int): Either[String, String] = {
-    if (new java.io.File(s"$dir/documents.parquet").exists()) return Right(dir)
+    if (new java.io.File(s"$dir/documents.parquet").exists()) {
+      if (scaleMetaCurrent(dir)) return Right(dir)
+      System.err.println(s"[bench] $dir is from an older scale_up.py " +
+        s"generator — rebuilding at version $ScaleGeneratorVersion")
+      deleteRecursively(new java.io.File(dir))
+    }
     findScaleUp() match {
       case None => Left("no-builder")
       case Some(script) =>
