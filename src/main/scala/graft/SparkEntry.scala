@@ -207,6 +207,56 @@ object SparkEntry {
       GROUP BY c.c_mktsegment, o.o_orderpriority""")
   }
 
+  private val asofStagings =
+    scala.collection.concurrent.TrieMap[String, (String, Int)]()
+
+  /** SURVEY §2.1 `sql_catalog_asof` (NEW r19, verdict #4): catalog TIME
+    * TRAVEL — the repo's archive timeline SQL-addressable through the
+    * DSv2 catalog without moving data. Staging writes orders as v1
+    * (modified "(Updated 2024-05-01)" → archive stamp 20240501T060000Z —
+    * the reference's NY-02:00 convention in UTC), then replaces it with
+    * a price-shifted v2 via `archiveExisting = true`, so the repo holds
+    * one archived snapshot plus the active table. The query reads all
+    * three resolution paths in one result: `VERSION AS OF` the exact v1
+    * stamp, `TIMESTAMP AS OF` a instant between the versions (newest-≤
+    * resolution must also pick v1), and the bare active table (must see
+    * v2's shifted prices). The +1e6 price shift makes any
+    * wrong-version resolution a loud hash mismatch, not a near-miss.
+    * The oracle recomputes v1 aggregates from the raw orders table and
+    * the active row's from the shifted expression. Versioned reads are
+    * read-only by construction (ReadOnlyTable — GraftCatalogSpec pins
+    * refused INSERTs on both active and versioned paths). */
+  private def sqlCatalogAsof(s: SparkSession, dir: String): DataFrame = {
+    val (repoDir, seq) = asofStagings.getOrElseUpdate(dir, {
+      val p = scratch("graft_catalog_asof")
+      val repo = PqRepo(s, p)
+      val v1 = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      repo.write(v1, "tpch", "orders",
+        modified = Some("(Updated 2024-05-01)"))
+      val v2 = v1.withColumn("o_totalprice", col("o_totalprice") + 1000000.0)
+      repo.write(v2, "tpch", "orders",
+        modified = Some("(Updated 2024-06-01)"), archiveExisting = true)
+      (p, catalogSeq.incrementAndGet())
+    })
+    val cat = s"graft_a$seq"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.dataDir", repoDir)
+    def agg(src: String, from: String) = s"""
+      SELECT '$src' AS src, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+          AS sum_price_c
+      FROM $from"""
+    s.sql(
+      agg("version_as_of", s"$cat.tpch.orders VERSION AS OF '20240501T060000Z'") +
+        " UNION ALL " +
+        agg("timestamp_as_of",
+          s"$cat.tpch.orders TIMESTAMP AS OF '2024-05-15 00:00:00'") +
+        " UNION ALL " +
+        agg("active", s"$cat.tpch.orders"))
+  }
+
   // ===== §2.2 analytics =====================================================
 
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
@@ -2244,6 +2294,7 @@ object SparkEntry {
       "schema_export" -> (schemaExport _),
       "sql_passthrough" -> (sqlPassthrough _),
       "sql_catalog" -> (sqlCatalog _),
+      "sql_catalog_asof" -> (sqlCatalogAsof _),
       "q1_agg" -> (q1Agg _),
       "q3_join_agg" -> (q3JoinAgg _),
       "q5_star_join" -> (q5StarJoin _),
@@ -2676,6 +2727,22 @@ object SparkEntry {
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE o.o_totalprice > 100000
          GROUP BY c.c_mktsegment, o.o_orderpriority""",
+    "sql_catalog_asof" ->
+      // v1 (VERSION AS OF the archive stamp, and TIMESTAMP AS OF an
+      // instant between the versions) aggregates the RAW prices; the
+      // active table carries the staged +1e6 shift — a wrong version
+      // resolution on either path mismatches loudly
+      s"""SELECT 'version_as_of' AS src, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c
+         FROM orders
+         UNION ALL
+         SELECT 'timestamp_as_of', CAST(count(*) AS BIGINT),
+           CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'active', CAST(count(*) AS BIGINT),
+           CAST(sum(${centsSql("o_totalprice + 1000000.0")}) AS BIGINT)
+         FROM orders""",
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
           CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,

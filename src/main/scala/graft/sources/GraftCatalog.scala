@@ -39,7 +39,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * bypass all of it), so the mutating TableCatalog methods throw with a
   * pointer — the catalog is the QUERY surface, the repo is the LANDING
   * surface. `dropTable`/`renameTable`/`createTable` intentionally
-  * unsupported rather than half-supported. */
+  * unsupported rather than half-supported. Since r19 the loaded tables
+  * themselves are READ-ONLY wrappers: Spark's ParquetTable implements
+  * SupportsWrite, so an `INSERT INTO graft.s.t` would have appended raw
+  * files into the managed layout past every crash manifest — the wrapper
+  * delegates the scan path untouched (pushdown/pruning/vectorization are
+  * all inside `newScanBuilder`) and simply doesn't offer a write builder.
+  *
+  * TIME TRAVEL (r19, verdict #4): `VERSION AS OF '<stamp>'` resolves an
+  * exact [[PqRepo.archive]] stamp (`yyyyMMdd'T'HHmmss'Z'` — the repo's
+  * on-disk version ids, also what [[PqRepo.versions]] lists), and
+  * `TIMESTAMP AS OF <t>` resolves the newest version at or before `t`
+  * ([[PqRepo.tableAsOf]] semantics). Both serve the ARCHIVED parquet
+  * in place — read-only, nothing moves on disk, today's loads keep
+  * landing — so the reference's archive/restore timeline
+  * (files/parquet.py:294) is SQL-addressable without a restore. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -79,18 +93,59 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
   }
 
+  /** Spark's own v2 parquet table over `path` — the whole scan stack
+    * (pushdown, pruning, partition discovery, vectorization) comes with
+    * it — wrapped read-only: the catalog never offers a write builder. */
+  private def parquetTable(ident: Identifier, path: Path,
+      versionTag: String = ""): Table =
+    new ReadOnlyTable(ParquetTable(
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}$versionTag",
+      spark,
+      CaseInsensitiveStringMap.empty(),
+      Seq(path.toString),
+      None,
+      classOf[ParquetFileFormat]))
+
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
     if (!fs(p).exists(p)) throw new NoSuchTableException(ident)
-    // Spark's own v2 parquet table: the whole scan stack (pushdown,
-    // pruning, partition discovery, vectorization) comes with it
-    ParquetTable(
-      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
-      spark,
-      CaseInsensitiveStringMap.empty(),
-      Seq(p.toString),
-      None,
-      classOf[ParquetFileFormat])
+    parquetTable(ident, p)
+  }
+
+  private def repo: PqRepo = PqRepo(spark, dataDir)
+
+  /** `VERSION AS OF '<stamp>'`: exact archive-stamp match among the
+    * table's on-disk versions (archived snapshots + the active table —
+    * [[PqRepo.versions]]). Unstamped versions (`unknown_modified`
+    * archives, an active table without last_modified) are unreachable
+    * by construction: time travel needs a timeline. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val vs = repo.versions(ident.namespace() match {
+      case Array(ns) => ns
+      case ns        => throw new NoSuchNamespaceException(ns)
+    }, ident.name())
+    vs.collectFirst { case (Some(stamp), _, path) if stamp == version => path }
+      .map(parquetTable(ident, _, s"@$version"))
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  private val stampFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+
+  /** `TIMESTAMP AS OF <t>` (Spark hands MICROseconds since epoch): the
+    * newest version whose stamp is at or before `t` — [[PqRepo.tableAsOf]]
+    * resolution, as a catalog read. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val asOf = stampFmt.format(java.time.Instant.EPOCH.plus(
+      timestamp, java.time.temporal.ChronoUnit.MICROS))
+    val vs = repo.versions(ident.namespace() match {
+      case Array(ns) => ns
+      case ns        => throw new NoSuchNamespaceException(ns)
+    }, ident.name())
+    vs.collect { case (Some(stamp), _, path) if stamp <= asOf => (stamp, path) }
+      .sortBy(_._1).lastOption
+      .map { case (stamp, path) => parquetTable(ident, path, s"@$stamp") }
+      .getOrElse(throw new NoSuchTableException(ident))
   }
 
   private def readOnly(op: String): Nothing =
@@ -146,4 +201,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     readOnly(s"alterNamespace(${namespace.mkString(".")})")
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     readOnly(s"dropNamespace(${namespace.mkString(".")})")
+}
+
+/** A [[Table]] exposing ONLY the read half of a delegate: `ParquetTable`
+  * implements SupportsWrite, so handing it out raw would let `INSERT
+  * INTO` append files into the managed repo layout outside PqRepo's
+  * temp-write/promote/manifest protocol (and outside archival — exactly
+  * what makes a versioned read trustworthy). The entire read stack lives
+  * behind `newScanBuilder`, so delegation preserves pushdown, pruning,
+  * partition discovery, and vectorized reads unchanged; only the write
+  * capability disappears. */
+private final class ReadOnlyTable(delegate: Table with SupportsRead)
+    extends Table with SupportsRead {
+  override def name(): String = delegate.name()
+  @annotation.nowarn("msg=deprecated")
+  override def schema(): StructType = delegate.schema()
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): util.Map[String, String] = delegate.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    delegate.newScanBuilder(options)
 }

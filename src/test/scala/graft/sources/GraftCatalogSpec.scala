@@ -94,4 +94,77 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.tpch.nation")
       .head().getLong(0) > 0)
   }
+
+  test("INSERT through the catalog is refused — loaded tables are " +
+    "read-only (ParquetTable's write half would bypass the repo protocol)") {
+    val before = spark.sql(s"SELECT count(*) FROM $cat.tpch.nation")
+      .head().getLong(0)
+    intercept[Exception] {
+      spark.sql(
+        s"INSERT INTO $cat.tpch.nation VALUES (99, 'NOWHERE', 0)")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tpch.nation")
+      .head().getLong(0) == before, "refused INSERT changed the table")
+    // no stray files appended into the managed layout either
+    val files = new java.io.File(s"$repoDir/tpch/nation.parquet")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty)
+  }
+
+  private lazy val versionedRepoDir = {
+    val p = Files.createTempDirectory("graft_catalog_asof").toString
+    val repo = PqRepo(spark, p)
+    import spark.implicits._
+    repo.write(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), "s", "t",
+      modified = Some("(Updated 2024-05-01)")) // stamp 20240501T060000Z
+    repo.write(Seq((1L, 11.0), (2L, 21.0), (3L, 31.0)).toDF("k", "v"),
+      "s", "t", modified = Some("(Updated 2024-06-01)"),
+      archiveExisting = true)
+    p
+  }
+
+  private lazy val vcat: String = {
+    val name = "graft_spec_vcat"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.dataDir", versionedRepoDir)
+    name
+  }
+
+  test("time travel: VERSION AS OF resolves the exact archive stamp, " +
+    "TIMESTAMP AS OF the newest version at-or-before; active unchanged") {
+    def vals(from: String): Seq[(Long, Double)] =
+      spark.sql(s"SELECT k, v FROM $from ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val v1 = Seq((1L, 10.0), (2L, 20.0))
+    val v2 = Seq((1L, 11.0), (2L, 21.0), (3L, 31.0))
+    assert(vals(s"$vcat.s.t VERSION AS OF '20240501T060000Z'") == v1)
+    // between the two versions → v1; after both → v2 (the active table)
+    assert(vals(s"$vcat.s.t TIMESTAMP AS OF '2024-05-15 00:00:00'") == v1)
+    assert(vals(s"$vcat.s.t TIMESTAMP AS OF '2030-01-01 00:00:00'") == v2)
+    assert(vals(s"$vcat.s.t") == v2)
+    // before any version existed / unknown stamp: loud, not empty
+    intercept[Exception] {
+      vals(s"$vcat.s.t TIMESTAMP AS OF '2020-01-01 00:00:00'")
+    }
+    intercept[Exception] {
+      vals(s"$vcat.s.t VERSION AS OF '19990101T000000Z'")
+    }
+  }
+
+  test("versioned reads are read-only: INSERT against a VERSION AS OF " +
+    "load is refused and the archived snapshot is untouched") {
+    val archived = new java.io.File(s"$versionedRepoDir/s/archive")
+      .listFiles().head
+    val before = archived.listFiles().map(_.getName).toSet
+    intercept[Exception] {
+      // DSv2 INSERT resolves the table through loadTable — read-only
+      // wrapping must refuse it regardless of which version resolves
+      spark.sql(s"INSERT INTO $vcat.s.t VALUES (9, 99.0)")
+    }
+    assert(archived.listFiles().map(_.getName).toSet == before,
+      "archived snapshot files changed under a refused INSERT")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $vcat.s.t VERSION AS OF '20240501T060000Z'")
+      .head().getLong(0) == 2)
+  }
 }
