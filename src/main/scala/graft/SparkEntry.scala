@@ -893,6 +893,70 @@ object SparkEntry {
       .unionByName(landed("sessions_single", "single"))
   }
 
+  private val ivfStreamStagings =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** SURVEY §2.3 `stream_ivf_append` (NEW r19, verdict #3): streaming
+    * ANN-INDEX MAINTENANCE — the daily-embedding pipe as a real
+    * Structured Streaming run. The IVF index builds on 80% of the
+    * corpus; the remaining vectors arrive as a multi-batch parquet file
+    * stream (`maxFilesPerTrigger = 1` over three staged files) whose
+    * `foreachBatch` lands each micro-batch through
+    * [[graft.streaming.StreamToRepo.ledgeredSink]] wrapping
+    * [[operators.Similarity.appendToIvfIndex]] — the exactly-once
+    * batch-id ledger in front, the (id, cluster)-keyed partition-scoped
+    * merge behind it (only touched cluster directories rewrite; the
+    * moved-id guard stays armed across replays, and a re-delivered
+    * batch assigns to the SAME clusters, so the guard passes and the
+    * key-merge lands zero new rows — StreamToRepoSpec kills exactly
+    * that window). The post-stream nprobe-all search over the merged
+    * index equals the full-corpus brute force (shared oracle), proving
+    * the streamed vectors are really searchable. */
+  private def streamIvfAppendQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // ingest feed staged once per (session, dir): every fifth vector,
+    // split into three single-file slices so the file source yields a
+    // genuinely multi-batch stream (deterministic id-mod boundaries)
+    val src = ivfStreamStagings.getOrElseUpdate(dir, {
+      val p = scratch("graft_sivf_src")
+      Files.createDirectories(java.nio.file.Paths.get(s"$p/src"))
+      val batchRows = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select("vec_id", "embedding")
+      (0 until 3).foreach { i =>
+        batchRows.filter(pmod(col("vec_id"), lit(15)) === i * 5)
+          .coalesce(1).write.parquet(s"$p/tmp_$i")
+        val part = new java.io.File(s"$p/tmp_$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$p/src", s"batch_$i.parquet"))
+      }
+      s"$p/src"
+    })
+    val repo = PqRepo(s, scratch("graft_sivf_repo"))
+    val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val built = Similarity.ivfBuild(base, "vec_id", "embedding",
+      numCentroids = 16, kmeansIters = 1)
+    Similarity.writeIvfIndex(repo, built, "ann", "emb")
+    val work = scratch("graft_sivf_run")
+    val q = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .foreachBatch(graft.streaming.StreamToRepo.ledgeredSink(
+        repo, "ann", "emb_ivf_ingest") { b =>
+        Similarity.appendToIvfIndex(repo, b, "vec_id", "embedding",
+          "ann", "emb")
+      })
+      .option("checkpointLocation", s"$work/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val index = Similarity.readIvfIndex(repo, "ann", "emb")
+    Similarity.ivfSearch(index, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 16)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   // ===== §2.3 LLM-pipeline operators ========================================
 
   private def qProfile(s: SparkSession, dir: String): DataFrame =
@@ -2404,6 +2468,7 @@ object SparkEntry {
       "ivfpq_residual" -> (ivfPqResidualQ _),
       "ivfpq_append" -> (ivfPqAppendQ _),
       "embed_ivf_append" -> (embedIvfAppend _),
+      "stream_ivf_append" -> (streamIvfAppendQ _),
       "embed_q8_append" -> (embedQ8Append _)
     )
 
@@ -3931,6 +3996,10 @@ object SparkEntry {
     "ivfpq_residual" -> bruteTop5Sql,
     "ivfpq_append" -> bruteTop5Sql,
     "embed_ivf_append" -> bruteTop5Sql,
+    // streamed ingest + nprobe-all ≡ exact brute force, like the batch
+    // append — what the stream adds (ledger, replay idempotency) is
+    // StreamToRepoSpec's kill-and-replay property
+    "stream_ivf_append" -> bruteTop5Sql,
     "embed_q8_append" -> bruteTop5Sql
   )
 

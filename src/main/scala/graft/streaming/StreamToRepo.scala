@@ -146,30 +146,52 @@ object StreamToRepo {
     }
   }
 
+  /** Generic land-then-mark: ANY landing action behind the batch-id
+    * ledger. [[mergeSink]] and [[routeSink]] are the single/multi repo-
+    * table instances; this exposes the same exactly-once protocol for
+    * landings that aren't a plain table merge — e.g. appending streamed
+    * embedding batches into a persisted ANN index
+    * ([[graft.operators.Similarity.appendToIvfIndex]], whose (id,
+    * cluster)-keyed partition-scoped merge is what covers the
+    * landed-but-unmarked crash window: replaying the identical batch is
+    * a row-set no-op on the index). The `land` action MUST be
+    * key-idempotent for the crash-window guarantee to hold — a blind
+    * append would double rows on replay; the ledger alone only covers
+    * the marker-present fast path. Empty batches still mark (a skipped
+    * empty replay is indistinguishable from a landed one — and marking
+    * keeps the ledger a contiguous record of processed ids). */
+  def ledgeredSink(
+      repo: PqRepo,
+      schema: String,
+      ledgerName: String)(
+      land: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val marker = markerPath(repo, schema, ledgerName, batchId)
+      val f = fs(repo, marker)
+      if (!f.exists(marker)) {
+        land(batch)
+        f.mkdirs(marker.getParent)
+        // atomic zero-byte create — the commit point; overwrite=false so
+        // a concurrent double-commit of the same id fails loudly instead
+        // of silently racing
+        f.create(marker, false).close()
+      }
+  }
+
   /** The `foreachBatch` function: merge-then-mark. Use as
     * `ds.writeStream.foreachBatch(StreamToRepo.mergeSink(repo, "s", "t",
-    * keys))`. Empty batches still mark (a skipped empty replay is
-    * indistinguishable from a landed one — and marking keeps the ledger
-    * a contiguous record of processed ids). */
+    * keys))`. */
   def mergeSink(
       repo: PqRepo,
       schema: String,
       table: String,
       keys: Seq[String],
       partitionCols: Seq[String] = Nil
-  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
-    val marker = markerPath(repo, schema, table, batchId)
-    val f = fs(repo, marker)
-    if (!f.exists(marker)) {
+  ): (DataFrame, Long) => Unit =
+    ledgeredSink(repo, schema, table) { batch =>
       if (partitionCols.nonEmpty)
         repo.mergePartitioned(batch, schema, table, keys, partitionCols)
       else
         repo.merge(batch, schema, table, keys)
-      f.mkdirs(marker.getParent)
-      // atomic zero-byte create — the commit point; overwrite=false so a
-      // concurrent double-commit of the same id fails loudly instead of
-      // silently racing
-      f.create(marker, false).close()
     }
-  }
 }

@@ -159,6 +159,45 @@ class StreamToRepoSpec extends SparkSpec {
     assert(rows == Seq(("d1", 1L, 2L), ("d2", 2L, 7L), ("d2", 5L, 1L)))
   }
 
+  test("ledgeredSink + appendToIvfIndex: a re-delivered batch appends " +
+    "zero rows — marker fast path AND the landed-but-unmarked crash window") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val repo = freshRepo
+    // two well-separated clusters so assignment is deterministic
+    val base = (0L until 20L)
+      .map(i => (i, Array(if (i % 2 == 0) 1f else -1f, i.toFloat / 100 + 1, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val built = Similarity.ivfBuild(base, "vec_id", "embedding",
+      numCentroids = 2, kmeansIters = 2)
+    Similarity.writeIvfIndex(repo, built, "ann", "emb")
+    val sink = StreamToRepo.ledgeredSink(repo, "ann", "ingest") { b =>
+      Similarity.appendToIvfIndex(repo, b, "vec_id", "embedding", "ann", "emb")
+    }
+    def indexRows = repo.table("ann", "emb_ivf")
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    val batch = Seq(
+      (100L, Array(1f, 1.5f, 0f, 0f)),
+      (101L, Array(-1f, 1.5f, 0f, 0f))).toDF("vec_id", "embedding")
+    sink(batch, 0L)
+    val after = indexRows
+    assert(after.size == 22 && after.contains(100L) && after.contains(101L))
+    // crash window: the append landed but the marker was lost — the
+    // replayed identical batch re-assigns to the SAME clusters (moved-id
+    // guard passes) and the (id, cluster) key-merge lands zero new rows
+    val ledger = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(repo.dataDir, "ann"), "_ledger_ingest")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(ledger, f"batch-${0L}%020d"), false))
+    sink(batch, 0L)
+    assert(indexRows == after, "crash-window replay changed the index")
+    // marker fast path: poisoned re-delivery under an existing marker is
+    // skipped without reading the data
+    sink(Seq((999L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"), 0L)
+    assert(!indexRows.contains(999L))
+  }
+
   test("ledger pruning drops only ids below the keep horizon") {
     val repo = freshRepo
     val sink = StreamToRepo.mergeSink(repo, "s", "t", keys = Seq("user_id"))
