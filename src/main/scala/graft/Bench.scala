@@ -540,7 +540,11 @@ object Bench {
     // min-of-3 headline row still carried one. Five repetitions give the
     // min a real chance to land in a quiet window; the calib kernel
     // ratios then say whether even that min is trustworthy.
-    def timeHeadline(dir: String, reps: Int, label: String): Seq[(String, (Double, Double))] = {
+    // per-rep times are kept IN EXECUTION ORDER (rep 1 = cold) and land
+    // verbatim in bench_detail.json — r18's driver-vs-builder
+    // dedup_minhash reconciliation had only (max, min) to argue from,
+    // which can't distinguish one burst from a uniformly slow window
+    def timeHeadlineReps(dir: String, reps: Int, label: String): Seq[(String, Seq[Double])] = {
       // every headline name MUST be registered: silently filtering a
       // dropped name would shorten the per-query scale arrays and
       // positionally misalign them round-over-round — exactly what the
@@ -567,14 +571,38 @@ object Bench {
                 s"[bench] $label $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             }
           (System.nanoTime() - t0) / 1e9
-        }.sorted
+        }
         dropLeakedBlocks()
-        if (failed) name -> (-1.0, -1.0)
-        else name -> (times.last, times.head) // (max, min)
+        if (failed) name -> Seq(-1.0) else name -> times
       }
     }
-    val bigResults: Seq[(String, (Double, Double))] =
-      if (!bigReady) Nil else timeHeadline(bigDir, 5, "big20x")
+    def asMaxMin(r: Seq[(String, Seq[Double])]): Seq[(String, (Double, Double))] =
+      r.map { case (n, ts) => n -> (ts.max, ts.min) }
+    // one stage-instrumented dedup_minhash execution per scale section
+    // (r19, verdict #1): which of the three actions — kernel scan +
+    // checkpoint, collapse probe, pair expansion + digest-verify consume
+    // — carries a move. StageTimer marks are permanent no-ops in the
+    // operator; this is the only place that enables them.
+    def minhashStages(dir: String): Map[String, Double] = {
+      StageTimer.enable()
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries("dedup_minhash")(spark, dir)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val total = (System.nanoTime() - t0) / 1e9
+      val stages = StageTimer.disable()
+      dropLeakedBlocks()
+      if (!ok) Map("failed" -> -1.0)
+      else stages +
+        ("total" -> total) +
+        ("consume" -> math.max(0.0, total - stages.values.sum))
+    }
+    val bigRepsRaw: Seq[(String, Seq[Double])] =
+      if (!bigReady) Nil else timeHeadlineReps(bigDir, 5, "big20x")
+    val bigResults: Seq[(String, (Double, Double))] = asMaxMin(bigRepsRaw)
+    val bigMinhashStages: Map[String, Double] =
+      if (!bigReady) Map.empty else minhashStages(bigDir)
     // load factor measured IMMEDIATELY after the 20x section (the b100
     // pattern): the r18 regression normalization needs the machine speed
     // of THIS window, not the run-level start/end pair
@@ -594,8 +622,11 @@ object Bench {
       "SPARK_GRAFT_BIG100X_DIR", "/tmp/graft_big100x")
     val big100Build = ensureScaled(sfDir, big100Default, 100)
     val big100Dir = big100Build.toOption
-    val big100Results: Seq[(String, (Double, Double))] =
-      big100Dir.map(timeHeadline(_, 3, "big100x")).getOrElse(Nil)
+    val big100RepsRaw: Seq[(String, Seq[Double])] =
+      big100Dir.map(timeHeadlineReps(_, 3, "big100x")).getOrElse(Nil)
+    val big100Results: Seq[(String, (Double, Double))] = asMaxMin(big100RepsRaw)
+    val big100MinhashStages: Map[String, Double] =
+      big100Dir.map(minhashStages).getOrElse(Map.empty)
     // load factor measured IMMEDIATELY after the 100x section: the
     // run-level (start, end) calib pair can read quiet while a load
     // excursion lands exactly inside b100 (the r13 driver artifact's
@@ -693,22 +724,25 @@ object Bench {
             ",\"ratio\":" + (if (d > 0) mn2 / d else -1.0) + "}")
       }.mkString("{", ",", "}")
       val unrel = unreliable.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val big = bigResults.map { case (k, (mx, mn2)) =>
-        val d = duckdbBig.get(k)
-        "\"" + k + "\":{\"min_sec\":" + mn2 + ",\"max_sec\":" + mx +
-          d.map(v => ",\"duckdb_sec\":" + v +
-            ",\"ratio\":" + (if (v > 0) mn2 / v else -1.0)).getOrElse("") + "}"
-      }.mkString("{", ",", "}")
-      val big100 = big100Results.map { case (k, (mx, mn2)) =>
-        val d = duckdbBig100.get(k)
-        "\"" + k + "\":{\"min_sec\":" + mn2 + ",\"max_sec\":" + mx +
-          d.map(v => ",\"duckdb_sec\":" + v +
-            ",\"ratio\":" + (if (v > 0) mn2 / v else -1.0)).getOrElse("") + "}"
-      }.mkString("{", ",", "}")
+      def scaleSection(reps: Seq[(String, Seq[Double])],
+          base: Map[String, Double]): String =
+        reps.map { case (k, ts) =>
+          val (mx, mn2) = (ts.max, ts.min)
+          val d = base.get(k)
+          "\"" + k + "\":{\"min_sec\":" + mn2 + ",\"max_sec\":" + mx +
+            ",\"rep_sec\":" + ts.mkString("[", ",", "]") +
+            d.map(v => ",\"duckdb_sec\":" + v +
+              ",\"ratio\":" + (if (v > 0) mn2 / v else -1.0)).getOrElse("") + "}"
+        }.mkString("{", ",", "}")
+      val big = scaleSection(bigRepsRaw, duckdbBig)
+      val big100 = scaleSection(big100RepsRaw, duckdbBig100)
+      def stagesJson(m: Map[String, Double]): String =
+        m.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val big100Section = big100Dir.map { d =>
         val calB = big100CalibRatio
           .map(r => s""","calib_after":$r""").getOrElse("")
-        s""","big100x":{"dir":"$d","queries":$big100,"spark_min_total":$big100TotalMin,"duckdb_median_total":$big100DuckTotal,"vs_duckdb":$vsDuckdbBig100,"vs_duckdb_compute_eq":$vsDuckdbEq100$calB}"""
+        s""","big100x":{"dir":"$d","queries":$big100,"minhash_stages":${stagesJson(big100MinhashStages)},"spark_min_total":$big100TotalMin,"duckdb_median_total":$big100DuckTotal,"vs_duckdb":$vsDuckdbBig100,"vs_duckdb_compute_eq":$vsDuckdbEq100$calB}"""
       }.getOrElse(
         s""","big100x":{"skipped":"${big100Build.left.toOption.getOrElse("skip")}"}""")
       // full regression map (the summary line caps at 4 names): every
@@ -719,7 +753,7 @@ object Bench {
         case Right(flagged) => flagged
           .map { case (n, r) => "\"" + n + "\":" + r }.mkString("{", ",", "}")
       }
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"calib":{"threads":$calibThreads,"ref_sec":$calibRef,"start_sec":$calibStartSec,"end_sec":$calibEndSec,"start_ratio":${calibPair._1},"end_ratio":${calibPair._2}},"regressions":$regrDetail,"big20x":{"dir":"$bigDir","queries":$big,"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq${big20xCalibRatio.map(r => s""","calib_after":$r""").getOrElse("")}}$big100Section,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"calib":{"threads":$calibThreads,"ref_sec":$calibRef,"start_sec":$calibStartSec,"end_sec":$calibEndSec,"start_ratio":${calibPair._1},"end_ratio":${calibPair._2}},"regressions":$regrDetail,"big20x":{"dir":"$bigDir","queries":$big,"minhash_stages":${stagesJson(bigMinhashStages)},"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq${big20xCalibRatio.map(r => s""","calib_after":$r""").getOrElse("")}}$big100Section,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

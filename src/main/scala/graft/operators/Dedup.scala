@@ -358,7 +358,12 @@ object Dedup {
       if (withDigest)
         base.select(col("id"), sigExpr, unhex(sha2(col("t"), 256)).as("__dig"))
       else base.select(col("id"), sigExpr)
-    val sigs = if (small) sigsBase else materializeOnce(sigsBase)
+    // stage mark (StageTimer — no-op unless the bench's diagnostic pass
+    // enabled it): the kernel scan + checkpoint is action 1 of 3
+    val sigs =
+      if (small) sigsBase
+      else graft.StageTimer.timed("minhash.signature_checkpoint")(
+        materializeOnce(sigsBase))
     val digests =
       if (withDigest) Some(sigs.select(col("id"), col("__dig"))) else None
 
@@ -515,13 +520,13 @@ object Dedup {
     // themselves (≤ total/maxEqualGroup entries — 4 MB of longs per 10⁹
     // rows at the default 2000 — so the collect_list buffer is bounded),
     // sparing the heavy branch a second corpus-wide aggregation pass
-    val probe = keyed
+    val probe = graft.StageTimer.timed("collapse.probe")(keyed
       .groupBy(xxhash64(col("k")).as("hk"))
       .agg(count(lit(1)).as("hn"))
       .agg(
         coalesce(sum(col("hn")), lit(0L)),
         collect_list(when(col("hn") > maxEqualGroup, col("hk"))))
-      .head()
+      .head())
     val total = probe.getLong(0)
     val heavyHks = probe.getSeq[Long](1)
     val anyHeavy = heavyHks.nonEmpty
