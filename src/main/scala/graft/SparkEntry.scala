@@ -603,20 +603,22 @@ object SparkEntry {
     val sentinelDst = java.nio.file.Paths.get(src, "zz_sentinel.parquet")
     Files.deleteIfExists(sentinelDst)
     val work = scratch("graft_neardup_run")
-    val q = pairsPerWindow(
-      s.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
-        .parquet(src).as[DocEvent],
-      windowSeconds = 3600, shingleK = 5, numHashes = 48, bands = 12,
-      threshold = 1.0, verify = true)
-      .writeStream.format("parquet")
-      .option("path", s"$work/sink")
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
-      q.processAllAvailable()
-    } finally q.stop()
+    withShufflePartitions(s, 4) {
+      val q = pairsPerWindow(
+        s.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+          .parquet(src).as[DocEvent],
+        windowSeconds = 3600, shingleK = 5, numHashes = 48, bands = 12,
+        threshold = 1.0, verify = true)
+        .writeStream.format("parquet")
+        .option("path", s"$work/sink")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     // per-band multiplicity collapse (operator MULTIPLICITY contract): a
     // pair arrives once per live colliding band with an identical row, so
     // the collapse is a plain distinct over the output — output-sized
@@ -732,6 +734,23 @@ object SparkEntry {
   private val closedStagings =
     scala.collection.concurrent.TrieMap[String, (String, String)]()
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
+    * the streaming harness queries' fixed overhead is dominated by state-
+    * store and shuffle-file COUNT, not data volume: every stateful
+    * operator commits one state-store delta per shuffle partition per
+    * micro-batch, so a 32-partition session pays 32 tiny checkpoint
+    * commits per operator per batch to move kilobytes. The operators
+    * themselves are partition-count-agnostic (keyed state, watermark
+    * semantics identical); production sessions size this by throughput.
+    * The conf is read at stream START (each execution uses a fresh
+    * checkpoint), and restored after the eager section so the rest of
+    * the registry keeps the session default. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Stage the closed-sessions streaming corpus once per (session, dir):
     * second-truncated events as the parquet stream source, plus a one-row
     * max-timestamp sentinel file STASHED OUTSIDE the source dir — each
@@ -784,19 +803,21 @@ object SparkEntry {
     val sentinelDst = java.nio.file.Paths.get(src, "zz_sentinel.parquet")
     Files.deleteIfExists(sentinelDst)
     val work = scratch("graft_closed_run")
-    val q = closedSessions(
-      s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
-        .as[TsEvent],
-      gapSeconds = 1800)
-      .writeStream.format("parquet")
-      .option("path", s"$work/sink")
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
-      q.processAllAvailable()
-    } finally q.stop()
+    withShufflePartitions(s, 4) {
+      val q = closedSessions(
+        s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
+          .as[TsEvent],
+        gapSeconds = 1800)
+        .writeStream.format("parquet")
+        .option("path", s"$work/sink")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.read.schema(org.apache.spark.sql.Encoders.product[ClosedSession].schema)
       .parquet(s"$work/sink")
       .filter(col("user_id") >= 0)
@@ -826,22 +847,24 @@ object SparkEntry {
     Files.deleteIfExists(sentinelDst)
     val work = scratch("graft_stream_repo")
     val repo = graft.sources.PqRepo(s, s"$work/repo")
-    val q = closedSessions(
-      s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
-        .as[TsEvent],
-      gapSeconds = 1800)
-      .toDF()
-      .writeStream
-      .foreachBatch(graft.streaming.StreamToRepo.mergeSink(
-        repo, "streams", "closed_sessions",
-        keys = Seq("user_id", "start_epoch")))
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
-      q.processAllAvailable()
-    } finally q.stop()
+    withShufflePartitions(s, 4) {
+      val q = closedSessions(
+        s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
+          .as[TsEvent],
+        gapSeconds = 1800)
+        .toDF()
+        .writeStream
+        .foreachBatch(graft.streaming.StreamToRepo.mergeSink(
+          repo, "streams", "closed_sessions",
+          keys = Seq("user_id", "start_epoch")))
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     repo.table("streams", "closed_sessions")
       .filter(col("user_id") >= 0)
       .select("user_id", "start_epoch", "end_epoch", "n_events")
@@ -865,25 +888,27 @@ object SparkEntry {
     Files.deleteIfExists(sentinelDst)
     val work = scratch("graft_stream_route")
     val repo = graft.sources.PqRepo(s, s"$work/repo")
-    val q = closedSessions(
-      s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
-        .as[TsEvent],
-      gapSeconds = 1800)
-      .toDF()
-      .writeStream
-      .foreachBatch(graft.streaming.StreamToRepo.routeSink(
-        repo, "streams",
-        routes = Seq(
-          "sessions_multi" -> (col("n_events") >= 2),
-          "sessions_single" -> (col("n_events") === 1)),
-        keys = Seq("user_id", "start_epoch")))
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
-      q.processAllAvailable()
-    } finally q.stop()
+    withShufflePartitions(s, 4) {
+      val q = closedSessions(
+        s.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
+          .as[TsEvent],
+        gapSeconds = 1800)
+        .toDF()
+        .writeStream
+        .foreachBatch(graft.streaming.StreamToRepo.routeSink(
+          repo, "streams",
+          routes = Seq(
+            "sessions_multi" -> (col("n_events") >= 2),
+            "sessions_single" -> (col("n_events") === 1)),
+          keys = Seq("user_id", "start_epoch")))
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Files.copy(java.nio.file.Paths.get(sentinelStash), sentinelDst)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     def landed(table: String, route: String) =
       repo.table("streams", table)
         .filter(col("user_id") >= 0)
@@ -934,25 +959,32 @@ object SparkEntry {
     })
     val repo = PqRepo(s, scratch("graft_sivf_repo"))
     val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    // 8 clusters (not the batch twins' 16): the harness cost is cluster-
+    // directory file churn — every micro-batch merge rewrites each
+    // touched cluster partition, and a sf-scale batch touches them all —
+    // while the RESULT is cluster-count-invariant (nprobe = numCentroids
+    // probes everything ⇒ exact ≡ brute force)
     val built = Similarity.ivfBuild(base, "vec_id", "embedding",
-      numCentroids = 16, kmeansIters = 1)
+      numCentroids = 8, kmeansIters = 1)
     Similarity.writeIvfIndex(repo, built, "ann", "emb")
     val work = scratch("graft_sivf_run")
-    val q = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-      .writeStream
-      .foreachBatch(graft.streaming.StreamToRepo.ledgeredSink(
-        repo, "ann", "emb_ivf_ingest") { b =>
-        Similarity.appendToIvfIndex(repo, b, "vec_id", "embedding",
-          "ann", "emb")
-      })
-      .option("checkpointLocation", s"$work/ckpt")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withShufflePartitions(s, 4) {
+      val q = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch(graft.streaming.StreamToRepo.ledgeredSink(
+          repo, "ann", "emb_ivf_ingest") { b =>
+          Similarity.appendToIvfIndex(repo, b, "vec_id", "embedding",
+            "ann", "emb")
+        })
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val index = Similarity.readIvfIndex(repo, "ann", "emb")
     Similarity.ivfSearch(index, e.filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = 5, nprobe = 16)
+      "vec_id", "embedding", k = 5, nprobe = 8)
       .select(col("query_id"), col("cand_id"), col("cos"),
         col("rank").cast("bigint").as("rank"))
   }
