@@ -109,7 +109,10 @@ object Bench {
   val headline: Seq[String] = Seq("pipeline_curate", "dedup_drop",
     "q_interval_join", "dedup_minhash", "dedup_embed", "embed_ivf_ann",
     "dedup_simhash", "multimodal_image", "tfidf_topk", "embed_lsh_ann",
-    "dedup_spans", "pq_topk")
+    "dedup_spans", "pq_topk",
+    // r19 (generator v2 scales the relational fact chain): the star join
+    // and the SCD2 window — the shapes that break first on 100x facts
+    "q5_star_join", "q_scd2")
 
   /** Committed scale reference: per-query minimums plus the calib load
     * factors measured when they were recorded — the denominator AND the

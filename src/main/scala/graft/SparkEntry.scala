@@ -311,12 +311,23 @@ object SparkEntry {
       .select(col("c_custkey"), col("n_name"))
     val asiaOrders = o.join(asiaCust, o("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("n_name"))
-    l.join(asiaOrders, l("l_orderkey") === col("o_orderkey"))
+    // EAGER AGGREGATION below the star join (r19): the final aggregate's
+    // key set subsumes the join key, so lineitem folds to one partial row
+    // per order BEFORE joining — the join and everything above it then
+    // move |orders| rows instead of |lineitem|, and the countDistinct
+    // (which would EXPAND the post-join fact rows for dedup) becomes a
+    // plain count of now-unique orderkeys. Exact integer cents are
+    // associative, so partial-per-order sums reassemble bit-identically.
+    // At 100 TB this is the difference between shuffling the fact table
+    // twice (join + distinct-expand) and shuffling it once, pre-shrunk.
+    val perOrder = l.groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev_c"))
+    perOrder.join(asiaOrders, perOrder("l_orderkey") === col("o_orderkey"))
       .groupBy("n_name")
       .agg(
-        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("revenue_c"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        sum(col("rev_c")).as("revenue_c"),
+        count(col("o_orderkey")).as("n_orders"))
   }
 
   private def qTopN(s: SparkSession, dir: String): DataFrame = {

@@ -85,6 +85,69 @@ def pack_oracle_rows(con):
     return ["doc_id", "shard", "bin", "n_tokens"], rows
 
 
+# DuckDB type → the python class canon() would have seen for that column;
+# the hash-big path compares MAPPED classes (int vs str etc.), mirroring
+# the python compare's type tuples, not raw DuckDB type names (INTEGER vs
+# BIGINT both arrive as python int).
+def _pyclass(duck_type):
+    t = duck_type.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "datetime"
+    if t == "BLOB":
+        return "bytes"
+    if t == "TIME":
+        return "time"
+    if t == "VARCHAR":
+        return "str"
+    return f"other:{t}"  # outside canon()'s set — mismatches loudly
+
+
+def hash_compare(con, name, spark_glob, oracle_sql):
+    """Order-insensitive exact compare for corpus-sized outputs, computed
+    inside DuckDB: per-row digest = hash of the chr(30)-joined VARCHAR
+    casts (NULL → chr(1) marker; concat_ws would silently skip NULLs),
+    aggregated as (count, sum-of-hashes) — a multiset fingerprint, so
+    duplicate rows count. Both sides are cast by the SAME DuckDB engine:
+    equal stored bits ⇒ equal shortest-roundtrip strings, which is
+    exactly the bit-exactness the python repr-compare demands. Schema =
+    sorted column names plus canon()-class-mapped types. Used only past
+    --hash-big rows (builder-side tier runs); the driver-parity default
+    path is untouched."""
+    con.execute(f"CREATE OR REPLACE VIEW __spark AS SELECT * FROM '{spark_glob}'")
+    con.execute(f"CREATE OR REPLACE VIEW __oracle AS {oracle_sql}")
+    sd = [(r[0], r[1]) for r in con.sql("DESCRIBE __spark").fetchall()]
+    od = [(r[0], r[1]) for r in con.sql("DESCRIBE __oracle").fetchall()]
+    sschema = sorted((c, _pyclass(t)) for c, t in sd)
+    oschema = sorted((c, _pyclass(t)) for c, t in od)
+
+    def agg(view, cols):
+        expr = ", ".join(
+            f"coalesce(CAST(\"{c}\" AS VARCHAR), chr(1))" for c, _ in cols)
+        row = con.sql(
+            f"SELECT count(*), coalesce(sum(hash(concat_ws(chr(30), {expr}))), 0) "
+            f"FROM {view}").fetchone()
+        return row[0], row[1]
+
+    scount, shash = agg("__spark", sorted(sd))
+    ocount, ohash = agg("__oracle", sorted(od))
+    return {
+        "rows_match": scount == ocount,
+        "schema_match": sschema == oschema,
+        "hash_match": scount == ocount and shash == ohash,
+        "spark_rows": scount, "oracle_rows": ocount,
+        "method": "duckdb-hash", "err": None,
+    }, sschema, oschema
+
+
 def fresh_con(sfdir):
     """One DuckDB connection PER QUERY. A shared connection lets one
     fatally-failing oracle (e.g. an INTERNAL binder error) invalidate the
@@ -99,7 +162,7 @@ def fresh_con(sfdir):
     return con
 
 
-def main(sfdir, outdir, json_out=None, py_pack=False):
+def main(sfdir, outdir, json_out=None, py_pack=False, hash_big=None):
     report = {}
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
     failures = 0
@@ -113,6 +176,34 @@ def main(sfdir, outdir, json_out=None, py_pack=False):
             failures += 1
             continue
         con = fresh_con(sfdir)
+        if hash_big and not (name == "pack_sequences" and py_pack):
+            n = con.sql(
+                f"SELECT count(*) FROM '{spark_dir}/*.parquet'").fetchone()[0]
+            if n > hash_big:
+                try:
+                    rep, ss, os_ = hash_compare(
+                        con, name, f"{spark_dir}/*.parquet", oracle[name])
+                except duckdb.Error as e:
+                    print(f"{name:22s} ORACLE ERROR {type(e).__name__}: {e}")
+                    report[name] = {"rows_match": None, "schema_match": None,
+                                    "hash_match": None, "spark_rows": None,
+                                    "oracle_rows": None,
+                                    "err": f"{type(e).__name__}: {e}"}
+                    failures += 1
+                    con.close()
+                    continue
+                report[name] = rep
+                if not rep["schema_match"]:
+                    print(f"{name:22s} SCHEMA MISMATCH spark={ss} oracle={os_}")
+                    failures += 1
+                elif not rep["hash_match"]:
+                    print(f"{name:22s} HASH MISMATCH n_spark={rep['spark_rows']}"
+                          f" n_oracle={rep['oracle_rows']}")
+                    failures += 1
+                else:
+                    print(f"{name:22s} OK rows={rep['spark_rows']} (hash)")
+                con.close()
+                continue
         try:
             sq = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
             scols, srows = canon(sq.fetchall(), sq.columns, name)
@@ -176,6 +267,9 @@ def main(sfdir, outdir, json_out=None, py_pack=False):
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    hb = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+               if a.startswith("--hash-big=")), None)
     sys.exit(1 if main(args[0], args[1],
                        args[2] if len(args) > 2 else None,
-                       py_pack="--py-pack" in sys.argv) else 0)
+                       py_pack="--py-pack" in sys.argv,
+                       hash_big=hb) else 0)
