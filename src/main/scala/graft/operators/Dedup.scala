@@ -1586,13 +1586,28 @@ object Dedup {
     // ([[graft.functions.expressions.WordWindowHashes]] — r15: the
     // composed slice+concat_ws+xxhash64 form built one string per
     // window, the dominant cost of the 20× occ stage); docs shorter
-    // than k tokens contribute no spans (empty array)
-    val occ = docs
+    // than k tokens contribute no spans (empty array).
+    //
+    // The hash-array projection is CHECKPOINTED before the explode
+    // (r19, found by executed-plan bisection at 20×/100×): without it
+    // (a) InferFiltersFromGenerate pushes `size(__wh) > 0 AND
+    // isnotnull(__wh)` below the Generate into the scan, re-evaluating
+    // the tokenize-and-hash kernel TWO extra times per document, and
+    // (b) the winners/losers self-join evaluates its child once per
+    // side unless the planner happens to reuse the exchange — at 20×
+    // AQE picked a broadcast join (no exchange to reuse) and the whole
+    // kernel subtree ran twice, making the SMALLER corpus slower than
+    // 100×. The checkpoint runs the kernel exactly once at any scale
+    // and both join sides read fixed-width hash blocks (id + ~tokens
+    // hash pairs), never text. fanOut first: the kernel is CPU-bound
+    // and a single-file test corpus arrives as one split.
+    val withWh = materializeOnce(fanOut(docs
       .select(col(idCol).as("__id"),
         org.apache.spark.sql.graft.ColumnBridge.column(
           graft.functions.expressions.WordWindowHashes(
             org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
-            k)).as("__wh"))
+            k)).as("__wh")), col("__id")))
+    val occ = withWh
       .select(col("__id"), posexplode(col("__wh")).as(Seq("__idx", "__k")))
     val winners = keepFirstByKey(occ, docs.schema(idCol).dataType,
       "dropSharedSpans")
