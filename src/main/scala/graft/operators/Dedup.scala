@@ -1388,9 +1388,16 @@ object Dedup {
       n: Int = 8,
       hashed: Boolean = true): DataFrame = {
     val spanKey = if (hashed) xxhash64(col("__span")) else col("__span")
-    val spans = docs
+    // the spans frame feeds BOTH the shared-key aggregation and the join
+    // probe; checkpoint it (r19, the dropSharedSpans pattern) so the
+    // tokenize+ngram+hash kernel runs once and both consumers read
+    // fixed-width (id, 8-byte key) blocks — but only in the hashed
+    // (scale) mode: the unhashed variant's keys ARE span text, which
+    // must never sit in corpus-sized checkpoint blocks
+    val spansRaw = docs
       .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__span"))
       .select(col(idCol), spanKey.as("__k"))
+    val spans = if (hashed) materializeOnce(spansRaw) else spansRaw
     // span sets are per-doc distinct already (wordNgrams distincts), so
     // counting rows per key counts documents — no count-distinct Expand
     val sharedKeys = spans.groupBy("__k")
