@@ -948,15 +948,18 @@ object SparkEntry {
     * that window). The post-stream nprobe-all search over the merged
     * index equals the full-corpus brute force (shared oracle), proving
     * the streamed vectors are really searchable. */
-  private def streamIvfAppendQ(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    // ingest feed staged once per (session, dir): every fifth vector,
-    // split into three single-file slices so the file source yields a
-    // genuinely multi-batch stream (deterministic id-mod boundaries)
-    val src = ivfStreamStagings.getOrElseUpdate(dir, {
+  /** Ingest feed for the streaming index-maintenance queries, staged
+    * once per (session, dir): every fifth vector, split into three
+    * single-file slices so the file source yields a genuinely
+    * multi-batch stream (deterministic id-mod boundaries). Shared by
+    * the flat-IVF and IVF-PQ streaming queries — same feed, different
+    * index family. */
+  private def stagedIvfStreamSrc(s: SparkSession, dir: String): String =
+    ivfStreamStagings.getOrElseUpdate(dir, {
       val p = scratch("graft_sivf_src")
       Files.createDirectories(java.nio.file.Paths.get(s"$p/src"))
-      val batchRows = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val batchRows = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
         .select("vec_id", "embedding")
       (0 until 3).foreach { i =>
         batchRows.filter(pmod(col("vec_id"), lit(15)) === i * 5)
@@ -968,6 +971,10 @@ object SparkEntry {
       }
       s"$p/src"
     })
+
+  private def streamIvfAppendQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val src = stagedIvfStreamSrc(s, dir)
     val repo = PqRepo(s, scratch("graft_sivf_repo"))
     val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
     // 8 clusters (not the batch twins' 16): the harness cost is cluster-
@@ -996,6 +1003,52 @@ object SparkEntry {
     val index = Similarity.readIvfIndex(repo, "ann", "emb")
     Similarity.ivfSearch(index, e.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nprobe = 8)
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
+  /** SURVEY §2.3 `stream_ivfpq_append` (r19, beyond-directive): the PQ
+    * sibling of [[streamIvfAppendQ]] — streamed embedding batches land
+    * in the persisted IVF-PQ index (frozen centroids AND frozen
+    * codebooks) through the same ledgered exactly-once path, closing
+    * streaming maintenance across every persisted index family (flat
+    * IVF, int8, IVF-PQ). Same staged multi-batch feed; the post-stream
+    * nprobe-all × rerank-all search over the merged index equals the
+    * full-corpus brute force (shared oracle), so the streamed CODES are
+    * proven decodable and searchable, not merely landed. Replay
+    * idempotency is inherited: the ledger skips marker-present batches,
+    * and the (id, cluster)-keyed merge makes the crash-window replay a
+    * row-set no-op (StreamToRepoSpec pins the pattern on the flat
+    * index; the merge engine is shared). */
+  private def streamIvfPqAppendQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val src = stagedIvfStreamSrc(s, dir)
+    val repo = PqRepo(s, scratch("graft_sivfpq_repo"))
+    val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val built = Similarity.ivfBuild(base, "vec_id", "embedding",
+      numCentroids = 8, kmeansIters = 1)
+    val books = Similarity.pqTrain(base, "vec_id", "embedding",
+      m = 8, ksub = 16, kmeansIters = 4, sampleRows = 1024)
+    Similarity.writeIvfPqIndex(repo, built, books, "ann", "emb")
+    val work = scratch("graft_sivfpq_run")
+    withShufflePartitions(s, 4) {
+      val q = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch(graft.streaming.StreamToRepo.ledgeredSink(
+          repo, "ann", "emb_ivfpq_ingest") { b =>
+          Similarity.appendToIvfPqIndex(repo, b, "vec_id", "embedding",
+            "ann", "emb")
+        })
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val idx = Similarity.readIvfPqIndex(repo, "ann", "emb")
+    Similarity.ivfPqSearch(idx, e,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nprobe = 8, rerankDepth = Int.MaxValue)
       .select(col("query_id"), col("cand_id"), col("cos"),
         col("rank").cast("bigint").as("rank"))
   }
@@ -2512,6 +2565,7 @@ object SparkEntry {
       "ivfpq_append" -> (ivfPqAppendQ _),
       "embed_ivf_append" -> (embedIvfAppend _),
       "stream_ivf_append" -> (streamIvfAppendQ _),
+      "stream_ivfpq_append" -> (streamIvfPqAppendQ _),
       "embed_q8_append" -> (embedQ8Append _)
     )
 
@@ -4043,6 +4097,9 @@ object SparkEntry {
     // append — what the stream adds (ledger, replay idempotency) is
     // StreamToRepoSpec's kill-and-replay property
     "stream_ivf_append" -> bruteTop5Sql,
+    // nprobe-all × rerank-all over the streamed IVF-PQ index ≡ exact
+    // brute force — proves the streamed CODES decode and serve
+    "stream_ivfpq_append" -> bruteTop5Sql,
     "embed_q8_append" -> bruteTop5Sql
   )
 
