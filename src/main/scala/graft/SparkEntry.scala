@@ -657,13 +657,27 @@ object SparkEntry {
       .select(unix_timestamp(col("w.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("value_sum_c"))
 
+  private val bucketedTags =
+    scala.collection.concurrent.TrieMap[String, Int]()
+  private val bucketedSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Per-dir table-name tag for the bucketed layout. A COUNTER, not a dir
+    * hash: Spark resolves the bucketed tables by catalog NAME, so a
+    * 32-bit `dir.hashCode` collision between two corpus dirs visited in
+    * one JVM (a bench session sees sf0.1 plus both scale corpora) would
+    * silently serve the first dir's bucketed data to the second — the
+    * same collision class the r19 catalog-name fix closed; this applies
+    * the identical counter scheme here. */
+  private def bucketedTag(dir: String): String =
+    s"b${bucketedTags.getOrElseUpdate(dir, bucketedSeq.incrementAndGet())}"
+
   /** One-time bucketed-layout write for [[qBucketedJoin]], memoized per
     * (session, dir). A 100 TB deployment writes this layout ONCE and joins
     * many times, so the join metric excludes it — but the cost must not
     * vanish: Bench times this call separately and reports it as a `setup`
     * entry in its JSON line. */
   private[graft] def ensureBucketedLayout(s: SparkSession, dir: String): Unit = {
-    val tag = s"b${math.abs(dir.hashCode)}"
+    val tag = bucketedTag(dir)
     if (!s.catalog.tableExists(s"tpch_${tag}_lineitem_b")) {
       val repo = PqRepo(s, scratch("graft_bucketed"))
       repo.writeBucketed(
@@ -680,7 +694,7 @@ object SparkEntry {
     // the merge join needs no Exchange on either side (only the final
     // aggregation shuffles).
     ensureBucketedLayout(s, dir)
-    val tag = s"b${math.abs(dir.hashCode)}"
+    val tag = bucketedTag(dir)
     val (l, o) = (s"tpch_${tag}_lineitem_b", s"tpch_${tag}_orders_b")
     s.table(l).hint("merge")
       .join(s.table(o), col("l_orderkey") === col("o_orderkey"))
