@@ -210,16 +210,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * what makes a versioned read trustworthy). The entire read stack lives
   * behind `newScanBuilder`, so delegation preserves pushdown, pruning,
   * partition discovery, and vectorized reads unchanged; only the write
-  * capability disappears. */
+  * capabilities disappear — the capability set is the DELEGATE's minus
+  * the write-side entries (not a hardcoded BATCH_READ singleton, which
+  * silently dropped read-side capabilities the delegate advertised), and
+  * `_metadata` columns keep working because [[SupportsMetadataColumns]]
+  * is forwarded too (ParquetTable implements it; a raw hand-out exposed
+  * it, so the wrapper must as well). */
 private final class ReadOnlyTable(delegate: Table with SupportsRead)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = delegate.name()
   @annotation.nowarn("msg=deprecated")
   override def schema(): StructType = delegate.schema()
   override def partitioning(): Array[Transform] = delegate.partitioning()
   override def properties(): util.Map[String, String] = delegate.properties()
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+  private val writeCaps = util.EnumSet.of(
+    TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+    TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
+    TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+    TableCapability.ACCEPT_ANY_SCHEMA)
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.noneOf(classOf[TableCapability])
+    caps.addAll(delegate.capabilities())
+    caps.removeAll(writeCaps)
+    caps
+  }
+  override def metadataColumns(): Array[MetadataColumn] = delegate match {
+    case m: SupportsMetadataColumns => m.metadataColumns()
+    case _                          => Array.empty
+  }
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
     delegate.newScanBuilder(options)

@@ -116,12 +116,18 @@ def hash_compare(con, name, spark_glob, oracle_sql):
     inside DuckDB: per-row digest = hash of the chr(30)-joined VARCHAR
     casts (NULL → chr(1) marker; concat_ws would silently skip NULLs),
     aggregated as (count, sum-of-hashes) — a multiset fingerprint, so
-    duplicate rows count. Both sides are cast by the SAME DuckDB engine:
-    equal stored bits ⇒ equal shortest-roundtrip strings, which is
-    exactly the bit-exactness the python repr-compare demands. Schema =
-    sorted column names plus canon()-class-mapped types. Used only past
-    --hash-big rows (builder-side tier runs); the driver-parity default
-    path is untouched."""
+    duplicate rows count. Both sides are cast by the SAME DuckDB engine,
+    and FLOAT/REAL columns are widened to DOUBLE *before* the VARCHAR
+    cast: per-width shortest-roundtrip formatting would otherwise print
+    0.1f and 0.1 identically even though their float64 bits differ,
+    making the hash path more lenient than the python repr-compare it
+    substitutes for (the python path widens float32→float64 on read, so
+    widening-first reproduces exactly its comparison). With that widen,
+    equal strings ⇒ equal float64 bits — the same bit-exactness the
+    python path demands. Schema = sorted column names plus
+    canon()-class-mapped types. Used only past --hash-big rows
+    (builder-side tier runs); the driver-parity default path is
+    untouched."""
     con.execute(f"CREATE OR REPLACE VIEW __spark AS SELECT * FROM '{spark_glob}'")
     con.execute(f"CREATE OR REPLACE VIEW __oracle AS {oracle_sql}")
     sd = [(r[0], r[1]) for r in con.sql("DESCRIBE __spark").fetchall()]
@@ -130,8 +136,12 @@ def hash_compare(con, name, spark_glob, oracle_sql):
     oschema = sorted((c, _pyclass(t)) for c, t in od)
 
     def agg(view, cols):
-        expr = ", ".join(
-            f"coalesce(CAST(\"{c}\" AS VARCHAR), chr(1))" for c, _ in cols)
+        def cell(c, t):
+            col = f'"{c}"'
+            if t.upper() in ("FLOAT", "REAL"):
+                col = f"CAST({col} AS DOUBLE)"
+            return f"coalesce(CAST({col} AS VARCHAR), chr(1))"
+        expr = ", ".join(cell(c, t) for c, t in cols)
         row = con.sql(
             f"SELECT count(*), coalesce(sum(hash(concat_ws(chr(30), {expr}))), 0) "
             f"FROM {view}").fetchone()
