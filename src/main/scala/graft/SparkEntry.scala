@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, BloomDedup, Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, BloomDedup, Dedup, MinHashIndex, Multimodal, Sessionize, Similarity}
 import graft.plans.TablePlan
 import graft.sources.PqRepo
 
@@ -1729,6 +1729,49 @@ object SparkEntry {
     BloomDedup.dropKnownBloom(batch, d, "text", sketch).select("doc_id")
   }
 
+  private val mhIndexStagings =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** SURVEY §2.3 `dedup_minhash_incremental` (NEW r20, verdict #2): the
+    * PERSISTED near-dup index lifecycle — the MinHash twin of the
+    * embedding index's write/append/search cycle, closing the last
+    * 100 TB dedup gap (near-dup gating previously re-signed the whole
+    * corpus per run; [[operators.MinHashIndex]]). Staged once per
+    * (session, dir): the corpus's even-id half is signed and indexed
+    * (signatures + band buckets + digests through the repo's atomic
+    * layer), the odd-id half APPENDED under the frozen geometry via the
+    * partition-scoped merge — so the gate below provably runs against
+    * an incrementally-built index, not a one-shot build. The daily
+    * batch then gates through [[operators.MinHashIndex.dropNearKnown]]
+    * at threshold 1.0, paying batch-sized work only: its own SHA pass
+    * plus a digest probe against two thin index columns — no corpus
+    * text is read, which is the point of the index. At threshold 1.0
+    * the gate is provably the exact-content anti-join (dropNearKnown's
+    * threshold algebra), hence the dropKnown-style NOT-EXISTS oracle;
+    * the sub-1.0 band-probe path is sketch-valued (not SQL-expressible)
+    * and is pinned by MinHashIndexSpec instead. Reps after the first
+    * re-gate against the staged index — exactly the
+    * write-once-gate-daily cost profile a real crawl pipeline has. */
+  private def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val repoDir = mhIndexStagings.getOrElseUpdate(dir, {
+      val p = scratch("graft_mh_index")
+      val repo = PqRepo(s, p)
+      MinHashIndex.write(repo, d.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text"), "doc_id", "text", "corpus", "docs")
+      MinHashIndex.append(repo, d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text"), "doc_id", "text", "corpus", "docs")
+      p
+    })
+    val batch = d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" mh-fresh")).as("text")))
+    MinHashIndex.dropNearKnown(PqRepo(s, repoDir), batch, "doc_id", "text",
+      "corpus", "docs", threshold = 1.0).select("doc_id")
+  }
+
   /** SURVEY §2.3 `dedup_keep_best` (r18, beyond-directive):
     * representative selection by QUALITY — near-dup components keep
     * their best-scoring member, not their lowest id
@@ -2535,6 +2578,7 @@ object SparkEntry {
       "multimodal_video" -> (multimodalVideo _),
       "dedup_incremental" -> (dedupIncremental _),
       "dedup_bloom" -> (dedupBloomQ _),
+      "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
       "scrub_pii" -> (scrubPii _),
       "text_normalize" -> (textNormalize _),
       "dedup_keep_best" -> (dedupKeepBest _),
@@ -3444,6 +3488,16 @@ object SparkEntry {
            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
            UNION ALL
            SELECT doc_id + 2000000, text || ' bloom-fresh' FROM documents WHERE doc_id < 50)
+         SELECT b.doc_id FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)""",
+    // threshold-1.0 near-dup gating against the persisted index is
+    // provably the exact-content anti-join (MinHashIndex.dropNearKnown's
+    // threshold algebra) — the same NOT-EXISTS twin as dedup_incremental
+    "dedup_minhash_incremental" ->
+      """WITH batch AS (
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' mh-fresh' FROM documents WHERE doc_id < 50)
          SELECT b.doc_id FROM batch b
          WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)""",
     "scrub_pii" ->
