@@ -114,15 +114,50 @@ object Bench {
     // and the SCD2 window — the shapes that break first on 100x facts
     "q5_star_join", "q_scd2")
 
+  /** One timed repetition with its attribution (r19 verdict #1): wall
+    * seconds, the EXECUTOR CPU seconds Spark's task metrics charged to
+    * the work (load-invariant — a noisy neighbor moves wall, not the
+    * CPU the tasks themselves burned), executor run seconds (wall summed
+    * across tasks), and the CPU seconds OTHER processes consumed on the
+    * machine during this rep's window (from [[LoadSampler]] boundary
+    * samples). A failed rep is the all-(−1) sentinel. */
+  final case class Rep(sec: Double, cpuSec: Double, runSec: Double,
+      otherCpuSec: Double)
+  val FailedRep: Rep = Rep(-1.0, -1.0, -1.0, -1.0)
+
+  /** Cumulative executor task-metric counters; per-rep values are
+    * snapshot deltas (the bench drains the async listener bus at each
+    * rep boundary so in-flight task-end events cannot leak into the next
+    * rep's delta). */
+  final class CpuTimeListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+    val runMs = new java.util.concurrent.atomic.AtomicLong()
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+      }
+    }
+  }
+
   /** Committed scale reference: per-query minimums plus the calib load
     * factors measured when they were recorded — the denominator AND the
     * machine-speed anchor for the self-reported regression check.
     * `sections` maps "big20x"/"big100x" → name → seconds; `calib` maps
     * the same section names → that recording's calib ratio (absent in
-    * pre-r18 references → no normalization, factor 1). */
+    * pre-r18 references → no normalization, factor 1); `cpu` maps
+    * section → name → the executor-CPU-seconds floor recorded with the
+    * wall floor (absent pre-r20). CPU floors are what lets a flagged
+    * wall regression self-classify: executor CPU is the work the query
+    * actually did, so cpu_ratio ≈ 1 under a moved wall ratio is
+    * in-artifact proof the excess was exogenous (and cpu_ratio ≫ 1 is a
+    * named engine regression, load or no load). */
   final case class ScaleRef(
       sections: Map[String, Map[String, Double]],
-      calib: Map[String, Double])
+      calib: Map[String, Double],
+      cpu: Map[String, Map[String, Double]] = Map.empty)
 
   /** Read `SCALE_REF.json` ({"round":…, "big20x":{name→sec},
     * "big100x":{…}, "calib":{"big20x":…, "big100x":…}}). Left is a
@@ -146,13 +181,18 @@ object Bench {
             case (k, JInt(v))    => k -> v.toDouble
           }
           val sections = fields.collect {
-            case (section, JObject(qs)) if section != "calib" =>
+            case (section, JObject(qs)) if section != "calib" && section != "cpu" =>
               section -> qs.collect(nums).toMap
           }.toMap
           val calib = fields.collectFirst {
             case ("calib", JObject(cs)) => cs.collect(nums).toMap
           }.getOrElse(Map.empty[String, Double])
-          Right(ScaleRef(sections, calib))
+          val cpu = fields.collectFirst {
+            case ("cpu", JObject(secs)) => secs.collect {
+              case (sec, JObject(qs)) => sec -> qs.collect(nums).toMap
+            }.toMap
+          }.getOrElse(Map.empty[String, Map[String, Double]])
+          Right(ScaleRef(sections, calib, cpu))
         case _ =>
           System.err.println(s"[bench] $path parsed to a non-object — bad-ref")
           Left("bad-ref")
@@ -247,17 +287,29 @@ object Bench {
     * the exists-check is trustworthy ONLY because the builder writes into
     * `<dir>__building` and renames to the final name after a zero exit —
     * a crashed build leaves the tmp dir (cleared on the next attempt),
-    * never a half corpus that every later run would treat as ready. A
-    * version-stale corpus is deleted and rebuilt.
+    * never a half corpus that every later run would treat as ready.
+    * A version-stale corpus is moved ASIDE to `<dir>__stale` (replacing
+    * any previous aside), never deleted in place: the dir may be a
+    * user-supplied `SPARK_GRAFT_BIG100X_DIR` holding a hand-built or
+    * pre-v2 corpus deliberately placed there, and scaleMetaCurrent's
+    * catch-all also maps a TRANSIENT meta read error to "stale" — either
+    * way destruction is the wrong response to a version check. If even
+    * the rename fails the section skips with its own distinct marker
+    * ("stale-stuck") rather than falling through to a build that would
+    * collide with the immovable dir.
     * Returns Right(dir) when usable, Left(marker) with a DISTINCT reason:
-    * "no-builder" (script unlocatable from this cwd) vs "build-failed"
-    * (script ran and died). */
+    * "no-builder" (script unlocatable from this cwd), "build-failed"
+    * (script ran and died), "stale-stuck" (stale corpus could not be
+    * moved aside). */
   def ensureScaled(sfDir: String, dir: String, factor: Int): Either[String, String] = {
     if (new java.io.File(s"$dir/documents.parquet").exists()) {
       if (scaleMetaCurrent(dir)) return Right(dir)
+      val stale = new java.io.File(dir + "__stale")
       System.err.println(s"[bench] $dir is from an older scale_up.py " +
-        s"generator — rebuilding at version $ScaleGeneratorVersion")
-      deleteRecursively(new java.io.File(dir))
+        s"generator — moving it aside to $stale and rebuilding at " +
+        s"version $ScaleGeneratorVersion")
+      if (stale.exists()) deleteRecursively(stale)
+      if (!new java.io.File(dir).renameTo(stale)) return Left("stale-stuck")
     }
     findScaleUp() match {
       case None => Left("no-builder")
@@ -313,7 +365,8 @@ object Bench {
       bigPerQuery: Seq[Double] = Nil,
       big100PerQuery: Seq[Double] = Nil,
       regr: Either[String, Seq[(String, Double)]] = Left("no-ref"),
-      big20xCalib: Option[Double] = None): String = {
+      big20xCalib: Option[Double] = None,
+      oload: Option[(Double, Double)] = None): String = {
     // `"qv"` carries the per-query values ONLY, in LEXICOGRAPHIC query-
     // name order (`"qord":"name"` marks it): the names themselves are
     // ~1100 chars of the 91-query registry and overflowed the driver
@@ -382,7 +435,17 @@ object Bench {
         val more = if (flagged.size > 4) Seq(s""""+${flagged.size - 4}"""") else Nil
         s""","regr":${(shown ++ more).mkString("[", ",", "]")}"""
     }
-    s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","qunit":"cs","qord":"name","qv":$qv,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S$regrS,"sf":"$sfName"}"""
+    // exogenous-load fractions for the two scale sections (r19 verdict
+    // #1): the share of whole-machine CPU bandwidth consumed by OTHER
+    // processes while each section's clock ran, from the continuous
+    // /proc sampler (−1 = section absent or /proc unavailable). The one
+    // number that tells the round reader whether an out-of-band scale
+    // total was measured against a busy machine — full per-query
+    // attribution (executor CPU per rep, per-window samples) lives in
+    // bench_detail.json.
+    val oloadS = oload.map { case (o20, o100) =>
+      s""","oload":[${fmt2(o20)},${fmt2(o100)}]""" }.getOrElse("")
+    s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","qunit":"cs","qord":"name","qv":$qv,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S$oloadS$regrS,"sf":"$sfName"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -399,6 +462,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // r19 verdict #1 — make the artifact self-attributing. Two channels,
+    // both per-repetition: (a) executor CPU time from Spark's own task
+    // metrics (a cumulative listener, snapshot at rep boundaries after
+    // draining the async listener bus — CPU burned by the tasks is
+    // immune to noisy neighbors in a way wall time is not), and (b) a
+    // continuous /proc sampler whose boundary marks attribute each
+    // window's machine CPU between THIS process and everything else.
+    // Together a moved wall time self-classifies: stable cpu_sec +
+    // nonzero other_cpu_sec = exogenous load, moved cpu_sec = a real
+    // engine regression.
+    val cpuListener = new CpuTimeListener
+    spark.sparkContext.addSparkListener(cpuListener)
+    val sampler = new LoadSampler()
+    sampler.start()
+
+    /** One attributed repetition around `body`. */
+    def timedRep(body: => Unit): Rep = {
+      val t0 = sampler.mark()
+      val c0 = cpuListener.cpuNs.get
+      val r0 = cpuListener.runMs.get
+      body
+      org.apache.spark.graftbench.SparkInternals
+        .drainListenerBus(spark.sparkContext)
+      val t1 = sampler.mark()
+      val w = sampler.windowStats(t0, t1)
+      Rep((t1 - t0) / 1e9,
+        (cpuListener.cpuNs.get - c0) / 1e9,
+        (cpuListener.runMs.get - r0) / 1e3,
+        w.otherCpuSec)
+    }
 
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -485,22 +579,38 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.keys.toSeq.map { name =>
-      var failed = false
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        if (!failed)
-          try run(name) catch { case e: Throwable =>
-            failed = true
-            System.err.println(
-              s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    val mainLoopT0 = sampler.mark()
+    val resultsFull: Seq[(String, Seq[Rep])] =
+      SparkEntry.queries.keys.toSeq.map { name =>
+        var failed = false
+        val reps = (1 to 3).map { _ =>
+          timedRep {
+            if (!failed)
+              try run(name) catch { case e: Throwable =>
+                failed = true
+                System.err.println(
+                  s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              }
           }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      dropLeakedBlocks()
-      if (failed) name -> (-1.0, -1.0)
-      else name -> (times(1), times.head) // (median of 3, min)
+        }
+        dropLeakedBlocks()
+        if (failed) name -> Seq(FailedRep) else name -> reps
+      }
+    val mainLoopT1 = sampler.mark()
+    val results: Seq[(String, (Double, Double))] = resultsFull.map {
+      case (name, reps) =>
+        if (reps.head.sec < 0) name -> (-1.0, -1.0)
+        else {
+          val s = reps.map(_.sec).sorted
+          name -> (s(s.length / 2), s.head) // (median of 3, min)
+        }
     }
+    // steady-state executor CPU per query: the load-invariant twin of
+    // queries_min, and the numerator of the regression check's cpu_ratio
+    val cpuMinByQuery: Map[String, Double] = resultsFull.collect {
+      case (name, reps) if reps.head.sec >= 0 =>
+        name -> reps.map(_.cpuSec).min
+    }.toMap
     val ok = results.filter(_._2._2 >= 0)
     val total = ok.map(_._2._1).sum
     // aggregate Spark-vs-DuckDB ratio over the queries both engines ran,
@@ -546,8 +656,11 @@ object Bench {
     // per-rep times are kept IN EXECUTION ORDER (rep 1 = cold) and land
     // verbatim in bench_detail.json — r18's driver-vs-builder
     // dedup_minhash reconciliation had only (max, min) to argue from,
-    // which can't distinguish one burst from a uniformly slow window
-    def timeHeadlineReps(dir: String, reps: Int, label: String): Seq[(String, Seq[Double])] = {
+    // which can't distinguish one burst from a uniformly slow window.
+    // Since r20 every rep also carries its executor CPU seconds and the
+    // other-process CPU seconds of its own window (the verdict-#1
+    // attribution channels).
+    def timeHeadlineReps(dir: String, reps: Int, label: String): Seq[(String, Seq[Rep])] = {
       // every headline name MUST be registered: silently filtering a
       // dropped name would shorten the per-query scale arrays and
       // positionally misalign them round-over-round — exactly what the
@@ -559,28 +672,28 @@ object Bench {
       headline.map { name =>
         var failed = false
         val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
           // all reps are discarded after a failure, so don't re-run a
           // deterministically-broken query reps times on a big corpus
-          if (!failed)
-            try SparkEntry.queries(name)(spark, dir)
-              .write.format("noop").mode("overwrite").save()
-            catch { case e: Throwable =>
-              // a failed query must NOT enter the published ratio as a
-              // near-zero "time" — a half-built corpus dir would otherwise
-              // silently flatter vs_duckdb with no trace in the artifact
-              failed = true
-              System.err.println(
-                s"[bench] $label $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            }
-          (System.nanoTime() - t0) / 1e9
+          timedRep {
+            if (!failed)
+              try SparkEntry.queries(name)(spark, dir)
+                .write.format("noop").mode("overwrite").save()
+              catch { case e: Throwable =>
+                // a failed query must NOT enter the published ratio as a
+                // near-zero "time" — a half-built corpus dir would otherwise
+                // silently flatter vs_duckdb with no trace in the artifact
+                failed = true
+                System.err.println(
+                  s"[bench] $label $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              }
+          }
         }
         dropLeakedBlocks()
-        if (failed) name -> Seq(-1.0) else name -> times
+        if (failed) name -> Seq(FailedRep) else name -> times
       }
     }
-    def asMaxMin(r: Seq[(String, Seq[Double])]): Seq[(String, (Double, Double))] =
-      r.map { case (n, ts) => n -> (ts.max, ts.min) }
+    def asMaxMin(r: Seq[(String, Seq[Rep])]): Seq[(String, (Double, Double))] =
+      r.map { case (n, ts) => n -> (ts.map(_.sec).max, ts.map(_.sec).min) }
     // one stage-instrumented dedup_minhash execution per scale section
     // (r19, verdict #1): which of the three actions — kernel scan +
     // checkpoint, collapse probe, pair expansion + digest-verify consume
@@ -601,17 +714,22 @@ object Bench {
         ("total" -> total) +
         ("consume" -> math.max(0.0, total - stages.values.sum))
     }
-    val bigRepsRaw: Seq[(String, Seq[Double])] =
+    val bigT0 = sampler.mark()
+    val bigRepsRaw: Seq[(String, Seq[Rep])] =
       if (!bigReady) Nil else timeHeadlineReps(bigDir, 5, "big20x")
+    val bigT1 = sampler.mark()
     val bigResults: Seq[(String, (Double, Double))] = asMaxMin(bigRepsRaw)
-    val bigMinhashStages: Map[String, Double] =
-      if (!bigReady) Map.empty else minhashStages(bigDir)
     // load factor measured IMMEDIATELY after the 20x section (the b100
     // pattern): the r18 regression normalization needs the machine speed
-    // of THIS window, not the run-level start/end pair
+    // of THIS window, not the run-level start/end pair. Taken BEFORE the
+    // stage-instrumented diagnostic run below (r19 advice): the reading
+    // must annotate the TIMED window it normalizes, and a load excursion
+    // during the diagnostic run would otherwise pollute it.
     val big20xCalibRatio: Option[Double] =
       if (bigResults.nonEmpty) Some(calibrate(calibThreads) / calibRef)
       else None
+    val bigMinhashStages: Map[String, Double] =
+      if (!bigReady) Map.empty else minhashStages(bigDir)
     // 100x section (default-on since r13 — the verdict's evidence-gap
     // fix): each headline query at 5x the 20x corpus, expected within
     // ~linear of its 20x time. The corpus is built once per machine at
@@ -625,20 +743,23 @@ object Bench {
       "SPARK_GRAFT_BIG100X_DIR", "/tmp/graft_big100x")
     val big100Build = ensureScaled(sfDir, big100Default, 100)
     val big100Dir = big100Build.toOption
-    val big100RepsRaw: Seq[(String, Seq[Double])] =
+    val big100T0 = sampler.mark()
+    val big100RepsRaw: Seq[(String, Seq[Rep])] =
       big100Dir.map(timeHeadlineReps(_, 3, "big100x")).getOrElse(Nil)
-    val big100Results: Seq[(String, (Double, Double))] = asMaxMin(big100RepsRaw)
-    val big100MinhashStages: Map[String, Double] =
-      big100Dir.map(minhashStages).getOrElse(Map.empty)
+    val big100T1 = sampler.mark()
     // load factor measured IMMEDIATELY after the 100x section: the
     // run-level (start, end) calib pair can read quiet while a load
     // excursion lands exactly inside b100 (the r13 driver artifact's
     // 46.5 s vs a 26–37 s disclosed band) — this reading annotates THAT
     // window specifically, so an out-of-band b100 carries its own
-    // explanation in the artifact instead of a reconciliation exercise
+    // explanation in the artifact instead of a reconciliation exercise.
+    // BEFORE the diagnostic stage run, same reasoning as the 20x section.
+    val big100Results: Seq[(String, (Double, Double))] = asMaxMin(big100RepsRaw)
     val big100CalibRatio: Option[Double] =
       if (big100Results.nonEmpty) Some(calibrate(calibThreads) / calibRef)
       else None
+    val big100MinhashStages: Map[String, Double] =
+      big100Dir.map(minhashStages).getOrElse(Map.empty)
     val duckdbBig: Map[String, Double] =
       readBaseline("SPARK_GRAFT_DUCKDB_BASELINE_BIG", "DUCKDB_BASELINE_20X.json")
     val duckdbBig100: Map[String, Double] =
@@ -715,9 +836,61 @@ object Bench {
             loadAdjust = sectionAdjust(ref, "big100x", big100CalibRatio))
       }
 
+    // Per-section window attribution (verdict #1): the share of machine
+    // CPU other processes burned while each section's clock ran.
+    val loadMain = sampler.windowStats(mainLoopT0, mainLoopT1)
+    val loadBig: Option[LoadSampler.WindowStats] =
+      if (bigRepsRaw.nonEmpty) Some(sampler.windowStats(bigT0, bigT1)) else None
+    val loadBig100: Option[LoadSampler.WindowStats] =
+      if (big100RepsRaw.nonEmpty) Some(sampler.windowStats(big100T0, big100T1))
+      else None
+
+    // Regression self-classification: for every flagged scale row whose
+    // reference carries a CPU floor, compare this run's executor-CPU
+    // minimum against it. CPU is load-invariant, so the verdict is
+    // decisive where wall time is ambiguous: "cpu-stable" (cpu_ratio ≤
+    // 1.25 — the query did the same work; the wall excess was exogenous),
+    // "cpu-moved" (the work itself grew — a real engine regression,
+    // named), "no-cpu-ref" (pre-r20 reference). Lives in bench_detail
+    // as regr_attrib alongside the raw ratio map.
+    val curCpuMin: Map[String, Map[String, Double]] = Map(
+      "20x" -> bigRepsRaw.collect { case (n, rs) if rs.head.sec >= 0 =>
+        n -> rs.map(_.cpuSec).filter(_ >= 0) }
+        .collect { case (n, cs) if cs.nonEmpty => n -> cs.min }.toMap,
+      "100x" -> big100RepsRaw.collect { case (n, rs) if rs.head.sec >= 0 =>
+        n -> rs.map(_.cpuSec).filter(_ >= 0) }
+        .collect { case (n, cs) if cs.nonEmpty => n -> cs.min }.toMap)
+    val refCpuBySection: Map[String, Map[String, Double]] = Map(
+      "20x" -> scaleRef.toOption.flatMap(_.cpu.get("big20x")).getOrElse(Map.empty),
+      "100x" -> scaleRef.toOption.flatMap(_.cpu.get("big100x")).getOrElse(Map.empty))
+    def attribRow(tagged: String, wallRatio: Double): String = {
+      val (section, name) = tagged.span(_ != ':') match {
+        case (s, n) => (s, n.drop(1))
+      }
+      val cur = curCpuMin.getOrElse(section, Map.empty).get(name)
+      val ref = refCpuBySection.getOrElse(section, Map.empty).get(name)
+      val otherFrac = section match {
+        case "20x"  => loadBig.map(_.otherCpuFrac).getOrElse(-1.0)
+        case "100x" => loadBig100.map(_.otherCpuFrac).getOrElse(-1.0)
+        case _      => -1.0
+      }
+      val (cpuRatio, verdict) = (cur, ref) match {
+        case (Some(c), Some(r)) if r > 0 && c >= 0 =>
+          val cr = c / r
+          (cr, if (cr <= 1.25) "cpu-stable" else "cpu-moved")
+        case _ => (-1.0, "no-cpu-ref")
+      }
+      "\"" + tagged + "\":{\"wall_ratio\":" + wallRatio +
+        ",\"cpu_ratio\":" + cpuRatio +
+        ",\"section_other_cpu_frac\":" + otherFrac +
+        ",\"verdict\":\"" + verdict + "\"}"
+    }
+
     val detail = {
       val med = results.map { case (k, (m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
       val mn = results.map { case (k, (_, m)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+      val cpuM = cpuMinByQuery.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val corpus = corpusStats.map { case (t, rows, bytes) =>
         "\"" + t + "\":{\"rows\":" + rows + ",\"bytes\":" + bytes + "}"
       }.mkString("{", ",", "}")
@@ -727,13 +900,18 @@ object Bench {
             ",\"ratio\":" + (if (d > 0) mn2 / d else -1.0) + "}")
       }.mkString("{", ",", "}")
       val unrel = unreliable.map("\"" + _ + "\"").mkString("[", ",", "]")
-      def scaleSection(reps: Seq[(String, Seq[Double])],
+      def scaleSection(reps: Seq[(String, Seq[Rep])],
           base: Map[String, Double]): String =
         reps.map { case (k, ts) =>
-          val (mx, mn2) = (ts.max, ts.min)
+          val secs = ts.map(_.sec)
+          val (mx, mn2) = (secs.max, secs.min)
           val d = base.get(k)
+          val cpuOk = ts.map(_.cpuSec).filter(_ >= 0)
           "\"" + k + "\":{\"min_sec\":" + mn2 + ",\"max_sec\":" + mx +
-            ",\"rep_sec\":" + ts.mkString("[", ",", "]") +
+            ",\"rep_sec\":" + secs.mkString("[", ",", "]") +
+            ",\"cpu_sec\":" + ts.map(_.cpuSec).mkString("[", ",", "]") +
+            ",\"other_cpu_sec\":" + ts.map(_.otherCpuSec).mkString("[", ",", "]") +
+            (if (cpuOk.nonEmpty) ",\"min_cpu_sec\":" + cpuOk.min else "") +
             d.map(v => ",\"duckdb_sec\":" + v +
               ",\"ratio\":" + (if (v > 0) mn2 / v else -1.0)).getOrElse("") + "}"
         }.mkString("{", ",", "}")
@@ -745,22 +923,31 @@ object Bench {
       val big100Section = big100Dir.map { d =>
         val calB = big100CalibRatio
           .map(r => s""","calib_after":$r""").getOrElse("")
-        s""","big100x":{"dir":"$d","queries":$big100,"minhash_stages":${stagesJson(big100MinhashStages)},"spark_min_total":$big100TotalMin,"duckdb_median_total":$big100DuckTotal,"vs_duckdb":$vsDuckdbBig100,"vs_duckdb_compute_eq":$vsDuckdbEq100$calB}"""
+        val loadB = loadBig100.map(w => s""","load":${w.json}""").getOrElse("")
+        s""","big100x":{"dir":"$d","queries":$big100,"minhash_stages":${stagesJson(big100MinhashStages)},"spark_min_total":$big100TotalMin,"duckdb_median_total":$big100DuckTotal,"vs_duckdb":$vsDuckdbBig100,"vs_duckdb_compute_eq":$vsDuckdbEq100$calB$loadB}"""
       }.getOrElse(
         s""","big100x":{"skipped":"${big100Build.left.toOption.getOrElse("skip")}"}""")
       // full regression map (the summary line caps at 4 names): every
       // flagged section:name with its calib-normalized ratio (-1 =
-      // failed at scale), or the distinct skip marker
+      // failed at scale), or the distinct skip marker. regr_attrib
+      // (r20, verdict #1) classifies each flagged row by its CPU floor.
       val regrDetail = regrFlagged match {
         case Left(marker) => "\"" + marker + "\""
         case Right(flagged) => flagged
           .map { case (n, r) => "\"" + n + "\":" + r }.mkString("{", ",", "}")
       }
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"calib":{"threads":$calibThreads,"ref_sec":$calibRef,"start_sec":$calibStartSec,"end_sec":$calibEndSec,"start_ratio":${calibPair._1},"end_ratio":${calibPair._2}},"regressions":$regrDetail,"big20x":{"dir":"$bigDir","queries":$big,"minhash_stages":${stagesJson(bigMinhashStages)},"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq${big20xCalibRatio.map(r => s""","calib_after":$r""").getOrElse("")}}$big100Section,"sf":"$sfDir"}"""
+      val regrAttrib = regrFlagged match {
+        case Left(_) => "{}"
+        case Right(flagged) =>
+          flagged.map { case (n, r) => attribRow(n, r) }.mkString("{", ",", "}")
+      }
+      val loadB20 = loadBig.map(w => s""","load":${w.json}""").getOrElse("")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mn,"queries_cpu_min":$cpuM,"setup":{"bucketed_layout":$setupSec},"corpus":$corpus,"duckdb":$duck,"vs_duckdb_min_total":$vsDuckdb,"spread":$spread,"unreliable":$unrel,"calib":{"threads":$calibThreads,"ref_sec":$calibRef,"start_sec":$calibStartSec,"end_sec":$calibEndSec,"start_ratio":${calibPair._1},"end_ratio":${calibPair._2}},"load_main":${loadMain.json},"regressions":$regrDetail,"regr_attrib":$regrAttrib,"big20x":{"dir":"$bigDir","queries":$big,"minhash_stages":${stagesJson(bigMinhashStages)},"spark_min_total":$bigTotalMin,"duckdb_median_total":$bigDuckTotal,"vs_duckdb":$vsDuckdbBig,"vs_duckdb_compute_eq":$vsDuckdbEq${big20xCalibRatio.map(r => s""","calib_after":$r""").getOrElse("")}$loadB20}$big100Section,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    sampler.stop()
     spark.stop()
     // printed after spark.stop() so no executor/streaming shutdown chatter
     // can land between this line and end-of-output
@@ -782,7 +969,12 @@ object Bench {
       bigPerQuery = bigResults.map(_._2._2),
       big100PerQuery = big100Results.map(_._2._2),
       regr = regrFlagged,
-      big20xCalib = big20xCalibRatio)
+      big20xCalib = big20xCalibRatio,
+      oload =
+        if (loadBig.nonEmpty || loadBig100.nonEmpty)
+          Some((loadBig.map(_.otherCpuFrac).getOrElse(-1.0),
+            loadBig100.map(_.otherCpuFrac).getOrElse(-1.0)))
+        else None)
     // the consumer keeps a bounded stdout tail (~2000 chars) and sbt
     // appends its own success line (~65 chars) after ours — flag the
     // overflow BEFORE it silently turns the recorded bench into parsed:null

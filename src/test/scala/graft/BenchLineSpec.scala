@@ -30,7 +30,9 @@ class BenchLineSpec extends AnyFunSuite {
       // 20x post-section calib element present too
       regr = Right(Bench.headline.map(n => s"100x:$n" -> 99.9) ++
         Bench.headline.map(n => s"20x:$n" -> 99.9)),
-      big20xCalib = Some(9.99))
+      big20xCalib = Some(9.99),
+      // r20: the per-section exogenous-load fractions ride the line too
+      oload = Some((9.99, 9.99)))
 
   test("worst-case line fits the driver's stdout tail") {
     // every registered query at just under 10 s (integer centiseconds:
@@ -56,6 +58,14 @@ class BenchLineSpec extends AnyFunSuite {
     val bad = JsonMethods.parse(render(0.25, (1.0, 1.51)))
     assert((bad \ "calib_bad") == JBool(true))
     assert((parsed \ "qord") == JString("name"))
+    // r20: per-section exogenous-load fractions render as a 2-array when
+    // supplied, and the field is simply absent when no scale section ran
+    (parsed \ "oload") match {
+      case JArray(vs) => assert(vs.size == 2)
+      case other      => fail(s"oload not a 2-array: $other")
+    }
+    assert((JsonMethods.parse(Bench.renderSummary(1.0, 1.0, Nil, -1.0,
+      (1.0, 1.0), None, None, "sf0.1")) \ "oload") == JNothing)
     // scale sections carry a trailing nested per-query array (headline
     // order, centiseconds): big20x = [total, vs, [cs...]], b100 = [total,
     // vs, [cs...]] (calib slot absent when not supplied)
@@ -159,6 +169,19 @@ class BenchLineSpec extends AnyFunSuite {
       .contains(Map("a" -> 1.5, "b" -> 2.0))))
     assert(ref.exists(_.sections.get("big100x").contains(Map("a" -> 3.25))))
     assert(ref.exists(_.calib == Map("big20x" -> 0.74, "big100x" -> 1.13)))
+    // pre-r20 reference without a cpu section parses with empty cpu
+    assert(ref.exists(_.cpu.isEmpty))
+    // r20 cpu floors parse per section — and "cpu" must NOT leak into
+    // `sections` as a phantom scale section (the collect excludes it by
+    // name, like "calib")
+    java.nio.file.Files.write(p,
+      ("""{"round":"r20","big20x":{"a":1.5},""" +
+        """"cpu":{"big20x":{"a":8.25},"big100x":{"a":40}},""" +
+        """"calib":{"big20x":1.0}}""").getBytes("UTF-8"))
+    val withCpu = Bench.readScaleRef(p.toString)
+    assert(withCpu.exists(_.cpu == Map(
+      "big20x" -> Map("a" -> 8.25), "big100x" -> Map("a" -> 40.0))))
+    assert(withCpu.exists(_.sections.keySet == Set("big20x")))
     // pre-r18 reference without a calib section parses with empty calib
     java.nio.file.Files.write(p,
       """{"round":"r16","big20x":{"a":1.5}}""".getBytes("UTF-8"))

@@ -11,7 +11,13 @@ moves as per-query regressions (the r17 driver-run false positives:
 dedup_minhash/multimodal_image "2.4x" movers that reproduced at
 0.90-1.28x on a quiet window).
 
-Usage: scale_ref_from_detail.py BENCH_DETAIL_JSON ROUND_TAG [OUT]
+Usage: scale_ref_from_detail.py DETAIL_JSON[,DETAIL_JSON...] ROUND_TAG [OUT]
+
+Multiple comma-separated detail files are min-merged element-wise (the
+SCALE_REF protocol: per-query minimums ACROSS runs — a single run's
+minimum still carries whatever burst hit every one of its reps); the
+calib recorded is the one from the run contributing that section's
+smallest total, i.e. the quietest window.
 """
 import json
 import sys
@@ -19,27 +25,55 @@ from pathlib import Path
 
 
 def main(detail_path, round_tag, out="SCALE_REF.json"):
-    d = json.loads(Path(detail_path).read_text())
+    runs = [json.loads(Path(p).read_text())
+            for p in detail_path.split(",") if p]
     ref = {"round": round_tag}
     calib = {}
+    cpu = {}
     for section in ("big20x", "big100x"):
-        sec = d.get(section, {})
-        qs = sec.get("queries", {})
-        ref[section] = {k: v["min_sec"] for k, v in sorted(qs.items())
-                        if v.get("min_sec", -1) >= 0}
-        if "calib_after" in sec:
-            calib[section] = round(sec["calib_after"], 3)
+        wall, sec_cpu = {}, {}
+        best_total, best_calib = None, None
+        for d in runs:
+            sec = d.get(section, {})
+            qs = sec.get("queries", {})
+            for k, v in qs.items():
+                if v.get("min_sec", -1) >= 0:
+                    wall[k] = min(wall.get(k, float("inf")), v["min_sec"])
+                # r20 (verdict #1): executor-CPU floors recorded WITH the
+                # wall floors, so the next round's regression check can
+                # classify a flagged wall move by whether the work itself
+                # grew (cpu_ratio) instead of arguing exogeny by
+                # elimination
+                if v.get("min_cpu_sec", -1) >= 0:
+                    sec_cpu[k] = min(sec_cpu.get(k, float("inf")),
+                                     v["min_cpu_sec"])
+            total = sec.get("spark_min_total")
+            if ("calib_after" in sec and total is not None
+                    and (best_total is None or total < best_total)):
+                best_total, best_calib = total, sec["calib_after"]
+        ref[section] = dict(sorted(wall.items()))
+        if sec_cpu:
+            cpu[section] = dict(sorted(sec_cpu.items()))
+        if best_calib is not None:
+            calib[section] = round(best_calib, 3)
     if calib:
         ref["calib"] = calib
+    if cpu:
+        ref["cpu"] = cpu
     ref["notes"] = (
         "per-query scale-section MINIMUMS from the pinned quiet run; "
         "'calib' records the load factor measured immediately after each "
         "section (Bench.calibrate vs CALIB.json) - Bench.scaleRegressions "
         "normalizes by refCalib/curCalib (clamped [0.5,2]) so "
-        "machine-speed windows do not read as per-query regressions.")
+        "machine-speed windows do not read as per-query regressions; "
+        "'cpu' records per-query executor-CPU-second floors (r20) - the "
+        "load-invariant denominator bench_detail's regr_attrib uses to "
+        "classify a flagged wall move as cpu-stable (exogenous) vs "
+        "cpu-moved (real).")
     Path(out).write_text(json.dumps(ref, indent=1) + "\n")
     print(f"wrote {out}: {len(ref.get('big20x', {}))} 20x rows, "
-          f"{len(ref.get('big100x', {}))} 100x rows, calib={calib}")
+          f"{len(ref.get('big100x', {}))} 100x rows, calib={calib}, "
+          f"cpu rows: { {k: len(v) for k, v in cpu.items()} }")
 
 
 if __name__ == "__main__":
