@@ -543,18 +543,67 @@ object SparkEntry {
   private val formatStagings =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Source fingerprint of a corpus's documents table (file count, total
+    * bytes, newest mtime) — the staleness key for [[formatIngest]]'s
+    * cross-JVM staging cache. Regenerating a corpus in place (the scale
+    * dirs are rebuilt when the generator version moves) changes the
+    * fingerprint, so a cached staging can never silently serve a prior
+    * corpus's bytes. */
+  private def documentsFingerprint(dir: String): String = {
+    val root = new java.io.File(dir, "documents.parquet")
+    val files =
+      if (root.isFile) Array(root)
+      else Option(root.listFiles()).map(_.filter(_.isFile))
+        .getOrElse(Array.empty[java.io.File])
+    s"${files.length}:${files.map(_.length).sum}:" +
+      s"${(files.map(_.lastModified) :+ 0L).max}"
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteTree)
+    f.delete()
+  }
+
   private def formatIngest(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    // stage once per (session, dir) — like the bucketed/partitioned
-    // layouts: repeat executions measure the multi-format READ path, and
-    // bench/verify runs don't leak a fresh staging per execution
+    // staged once per CORPUS, not per run (r20, verdict #3 — this closes
+    // the query's 100x correctness exclusion, whose stated reason was
+    // per-run restaging cost): the CSV/JSON layouts live in a
+    // deterministic per-corpus cache keyed by the sanitized dir path
+    // (collision-free by construction — no dir hashing) and validated by
+    // a fingerprint marker, with the ensureScaled build protocol (write
+    // to `__building`, rename after success) so a crashed staging can
+    // never half-serve. Repeat executions in any JVM measure the
+    // multi-format READ path only — the write-once-read-many profile a
+    // lake's ingest landing zone actually has.
     val staged = formatStagings.getOrElseUpdate(dir, {
-      val p = scratch("graft_fmt")
-      d.write.mode("overwrite")
-        .option("quoteAll", "true").option("escape", "\"")
-        .csv(s"$p/csv")
-      d.write.mode("overwrite").json(s"$p/json")
-      p
+      val fp = documentsFingerprint(dir)
+      val cacheRoot = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt_cache")
+      val dst = new java.io.File(
+        cacheRoot, dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      val marker = new java.io.File(dst, "_staged_fingerprint")
+      val fresh = marker.isFile &&
+        (try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8) == fp
+        catch { case _: Throwable => false })
+      if (!fresh) {
+        cacheRoot.mkdirs()
+        val tmp = new java.io.File(cacheRoot, dst.getName + "__building")
+        if (tmp.exists()) deleteTree(tmp)
+        d.write.mode("overwrite")
+          .option("quoteAll", "true").option("escape", "\"")
+          .csv(s"$tmp/csv")
+        d.write.mode("overwrite").json(s"$tmp/json")
+        java.nio.file.Files.write(new java.io.File(tmp, "_staged_fingerprint").toPath,
+          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (dst.exists()) deleteTree(dst)
+        if (!tmp.renameTo(dst))
+          throw new IllegalStateException(
+            s"format_ingest staging: cannot promote $tmp to $dst")
+      }
+      dst.toString
     })
 
     val plan = TablePlan(keep = Seq("^(doc_id|lang|n_chars)$"),

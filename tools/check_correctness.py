@@ -85,6 +85,44 @@ def pack_oracle_rows(con):
     return ["doc_id", "shard", "bin", "n_tokens"], rows
 
 
+def pack_stats_oracle_rows(con):
+    """pack_stats = one aggregation over the same fold replay (r20,
+    verdict #3 — this closes the query's 100x exclusion: its committed
+    SQL oracle wraps the recursive-CTE replay, hours in DuckDB at 100x,
+    while the fold itself is O(rows) in python). Aggregation is exact
+    integer arithmetic; utilization reproduces Spark's round(x, 6)
+    bit-for-bit via Decimal(repr(double)) + ROUND_HALF_UP — the same
+    shortest-repr + setScale(HALF_UP) sequence Spark's round executes.
+    The CTE-wrapping SQL stays the committed oracle at driver scales."""
+    from decimal import Decimal, ROUND_HALF_UP
+    _, rows = pack_oracle_rows(con)
+    per_shard = {}
+    for doc_id, shard, b, tok in rows:
+        st = per_shard.setdefault(
+            shard, {"max_bin": -1, "packed": 0, "quar": 0,
+                    "ptok": 0, "otok": 0})
+        if b >= 0:
+            st["max_bin"] = max(st["max_bin"], b)
+            st["packed"] += 1
+            st["ptok"] += tok
+        else:
+            st["quar"] += 1
+            st["otok"] += 0 if tok is None else tok
+    out = []
+    for shard in sorted(per_shard):
+        st = per_shard[shard]
+        n_bins = st["max_bin"] + 1
+        if n_bins > 0:
+            u = float(Decimal(repr(st["ptok"] / (n_bins * 90)))
+                      .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+        else:
+            u = 0.0
+        out.append((shard, n_bins, st["packed"], st["quar"],
+                    st["ptok"], st["otok"], u))
+    return ["shard", "n_bins", "n_packed", "n_quarantined",
+            "packed_tokens", "oversize_tokens", "utilization"], out
+
+
 # DuckDB type → the python class canon() would have seen for that column;
 # the hash-big path compares MAPPED classes (int vs str etc.), mirroring
 # the python compare's type tuples, not raw DuckDB type names (INTEGER vs
@@ -219,6 +257,9 @@ def main(sfdir, outdir, json_out=None, py_pack=False, hash_big=None):
             scols, srows = canon(sq.fetchall(), sq.columns, name)
             if name == "pack_sequences" and py_pack:
                 pcols, prows = pack_oracle_rows(con)
+                ocols, orows = canon(prows, pcols, name)
+            elif name == "pack_stats" and py_pack:
+                pcols, prows = pack_stats_oracle_rows(con)
                 ocols, orows = canon(prows, pcols, name)
             else:
                 oq = con.sql(oracle[name])
