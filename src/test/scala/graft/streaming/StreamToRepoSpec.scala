@@ -198,6 +198,69 @@ class StreamToRepoSpec extends SparkSpec {
     assert(!indexRows.contains(999L))
   }
 
+  test("stream -> compact -> search: nprobe-all stays == brute force and " +
+    "cluster dirs consolidate to one file (r20, verdict #5)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val repo = freshRepo
+    def vec(i: Long): Array[Float] = Array(
+      if (i % 2 == 0) 1f else -1f, i.toFloat / 100 + 1,
+      (i % 7).toFloat / 10, (i % 3).toFloat / 10)
+    val base = (0L until 20L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(repo,
+      Similarity.ivfBuild(base, "vec_id", "embedding",
+        numCentroids = 2, kmeansIters = 2), "ann", "emb")
+    val sink = StreamToRepo.ledgeredSink(repo, "ann", "ingest") { b =>
+      Similarity.appendToIvfIndex(repo, b, "vec_id", "embedding", "ann", "emb")
+    }
+    // three micro-batches, each touching both clusters — every merge
+    // rewrites the touched cluster dirs through the shuffle, leaving
+    // several small files per directory (the fragmentation compact
+    // exists to undo)
+    (0 until 3).foreach { bi =>
+      sink((0 until 4).map { j => val id = 100L + bi * 10 + j; (id, vec(id)) }
+        .toDF("vec_id", "embedding"), bi.toLong)
+    }
+    val queries = Seq(
+      (900L, Array(0.9f, 1.2f, 0.3f, 0.1f)),
+      (901L, Array(-0.8f, 1.4f, 0.2f, 0.2f)),
+      (902L, Array(1f, 1.05f, 0.6f, 0.05f))).toDF("vec_id", "embedding")
+    def searchRows(): Set[String] = {
+      val idx = Similarity.readIvfIndex(repo, "ann", "emb")
+      Similarity.ivfSearch(idx, queries, "vec_id", "embedding", k = 5,
+        nprobe = idx.centroids.size).collect().map(_.toString).toSet
+    }
+    val corpus = base.unionByName(
+      (0 until 3).flatMap(bi => (0 until 4).map { j =>
+        val id = 100L + bi * 10 + j; (id, vec(id)) })
+        .toDF("vec_id", "embedding"))
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 5).collect().map(_.toString).toSet
+    val before = searchRows()
+    assert(before == brute, "pre-compact nprobe-all != brute force")
+    val root = new java.io.File(
+      repo.tablePath("ann", "emb_ivf").toUri.getPath)
+    def filesPerCluster(): Map[String, Int] =
+      root.listFiles().filter(_.getName.startsWith("cluster="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val fragmented = filesPerCluster()
+    assert(fragmented.values.exists(_ > 1),
+      s"expected multi-file cluster dirs before compact: $fragmented")
+    repo.compact("ann", "emb_ivf", targetPartitions = Some(1))
+    val compacted = filesPerCluster()
+    assert(compacted.keySet == fragmented.keySet,
+      "compact must preserve the cluster partition layout")
+    assert(compacted.values.forall(_ == 1),
+      s"expected one file per cluster dir after compact: $compacted")
+    assert(searchRows() == brute, "compact changed search results")
+    // and the compacted index still ingests: the next streamed batch
+    // merges normally and remains searchable
+    sink(Seq((300L, vec(300L))).toDF("vec_id", "embedding"), 99L)
+    val idx = Similarity.readIvfIndex(repo, "ann", "emb")
+    assert(idx.assigned.filter(col("id") === 300L).count() == 1)
+  }
+
   test("ledger pruning drops only ids below the keep horizon") {
     val repo = freshRepo
     val sink = StreamToRepo.mergeSink(repo, "s", "t", keys = Seq("user_id"))
