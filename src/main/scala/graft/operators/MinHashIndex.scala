@@ -130,12 +130,26 @@ object MinHashIndex {
       textCol: String,
       schema: String,
       name: String,
+      // buckets = 16 by default (the q8 index's 32 halved): every merge
+      // and every bucket swap costs a fixed per-directory floor, and a
+      // typical BATCH's band hashes cover all buckets anyway, so more
+      // buckets buy probe parallelism only — size them to the cluster
+      // (hundreds at real 100 TB deployments), not to the corpus
       geometry: Geometry = Geometry(
-        shingleK = 5, numHashes = 64, bands = 16, buckets = 64)): Unit = {
+        shingleK = 5, numHashes = 64, bands = 16, buckets = 16)): Unit = {
     val perDoc = Dedup.materializeOnce(signed(docs, idCol, textCol, geometry))
-    repo.writePartitioned(withDocBucket(perDoc, geometry), schema,
+    // cluster each frame on its partition column before the layout
+    // write: without it every shuffle task holds rows of every bucket
+    // and writes one file per (task, bucket) — `buckets ×
+    // shuffle.partitions` small files whose open/swap cost then
+    // dominates every later merge and probe (measured 54 s/rep on the
+    // streamed sf0.1 query, ~6 s after). With it a bucket's rows land
+    // in one task ⇒ one file per bucket directory.
+    repo.writePartitioned(
+      withDocBucket(perDoc, geometry).repartition(col("dbucket")), schema,
       docsTable(name), Seq("dbucket"), metaProps = Some(geometry.props))
-    repo.writePartitioned(bandRows(perDoc, geometry), schema,
+    repo.writePartitioned(
+      bandRows(perDoc, geometry).repartition(col("bucket")), schema,
       bandsTable(name), Seq("bucket"))
   }
 
@@ -182,9 +196,18 @@ object MinHashIndex {
             "checkChanged = false only for provably append-only feeds")
       }
     }
-    repo.mergePartitioned(withDocBucket(perDoc, g), schema, docsTable(name),
+    // same bucket-clustering as [[write]]: the merge unions these
+    // updates with the current partition contents and rewrites the
+    // touched directories, so un-clustered updates would fragment every
+    // touched bucket into per-task files that compound across
+    // micro-batches
+    repo.mergePartitioned(
+      withDocBucket(perDoc, g).repartition(col("dbucket")), schema,
+      docsTable(name),
       keys = Seq("id", "dbucket"), partitionCols = Seq("dbucket"))
-    repo.mergePartitioned(bandRows(perDoc, g), schema, bandsTable(name),
+    repo.mergePartitioned(
+      bandRows(perDoc, g).repartition(col("bucket")), schema,
+      bandsTable(name),
       keys = Seq("id", "band", "bh", "bucket"), partitionCols = Seq("bucket"))
   }
 
