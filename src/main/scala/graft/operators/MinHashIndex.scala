@@ -138,18 +138,14 @@ object MinHashIndex {
       geometry: Geometry = Geometry(
         shingleK = 5, numHashes = 64, bands = 16, buckets = 16)): Unit = {
     val perDoc = Dedup.materializeOnce(signed(docs, idCol, textCol, geometry))
-    // cluster each frame on its partition column before the layout
-    // write: without it every shuffle task holds rows of every bucket
-    // and writes one file per (task, bucket) — `buckets ×
-    // shuffle.partitions` small files whose open/swap cost then
-    // dominates every later merge and probe (measured 54 s/rep on the
-    // streamed sf0.1 query, ~6 s after). With it a bucket's rows land
-    // in one task ⇒ one file per bucket directory.
-    repo.writePartitioned(
-      withDocBucket(perDoc, geometry).repartition(col("dbucket")), schema,
+    // bucket-clustering of the layout write (one file per bucket
+    // directory instead of `buckets × shuffle.partitions` fragments —
+    // measured 54 s/rep → ~6 s on the streamed sf0.1 query) now lives in
+    // [[graft.sources.PqRepo.writePartitioned]] itself (r20), shared by
+    // every index family.
+    repo.writePartitioned(withDocBucket(perDoc, geometry), schema,
       docsTable(name), Seq("dbucket"), metaProps = Some(geometry.props))
-    repo.writePartitioned(
-      bandRows(perDoc, geometry).repartition(col("bucket")), schema,
+    repo.writePartitioned(bandRows(perDoc, geometry), schema,
       bandsTable(name), Seq("bucket"))
   }
 
@@ -196,18 +192,13 @@ object MinHashIndex {
             "checkChanged = false only for provably append-only feeds")
       }
     }
-    // same bucket-clustering as [[write]]: the merge unions these
-    // updates with the current partition contents and rewrites the
-    // touched directories, so un-clustered updates would fragment every
-    // touched bucket into per-task files that compound across
-    // micro-batches
-    repo.mergePartitioned(
-      withDocBucket(perDoc, g).repartition(col("dbucket")), schema,
-      docsTable(name),
+    // bucket-clustering of the merged rewrite (touched directories come
+    // back as one file, not per-task fragments that compound across
+    // micro-batches) lives in the repo's partition-scoped merge engine
+    // itself (r20) — shared by every index family.
+    repo.mergePartitioned(withDocBucket(perDoc, g), schema, docsTable(name),
       keys = Seq("id", "dbucket"), partitionCols = Seq("dbucket"))
-    repo.mergePartitioned(
-      bandRows(perDoc, g).repartition(col("bucket")), schema,
-      bandsTable(name),
+    repo.mergePartitioned(bandRows(perDoc, g), schema, bandsTable(name),
       keys = Seq("id", "band", "bh", "bucket"), partitionCols = Seq("bucket"))
   }
 

@@ -290,7 +290,8 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       modified: Option[String] = None,
       maxRecordsPerFile: Option[Long] = None,
       parquetBlockBytes: Option[Long] = None,
-      metaProps: Option[Map[String, String]] = None
+      metaProps: Option[Map[String, String]] = None,
+      cluster: Boolean = true
   ): Path = {
     val dest = tablePath(schema, table)
     // same tmp + sidecar promote as [[write]] (r12): the partitioned
@@ -300,7 +301,25 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     val f = fs(dest)
     recoverWrite(schema, table)
     if (f.exists(tmp)) f.delete(tmp, true)
-    val writer = stampModified(df, partitionCols, modified)
+    // cluster rows on the partition columns before the dynamic-partition
+    // write (r20 optimization, guide §6 small files / §2.4): without it
+    // EVERY shuffle task holds rows of every partition value and writes
+    // one file per (task, value) — `values × tasks` small files whose
+    // open/list/swap floors then dominate every later scan and merge
+    // (measured 54 s/rep on the streamed sf0.1 MinHash query, ~6 s
+    // clustered — the r20 MinHashIndex call-site fix, now hoisted here so
+    // every partitioned layout gets it). With it each value's rows land
+    // in one task ⇒ one file per directory; `maxRecordsPerFile` still
+    // bounds file size inside a huge partition. The task count stays
+    // scale-adaptive (spark.sql.shuffle.partitions / AQE), never a local
+    // constant. [[compact]] passes cluster = false: it lays out rows
+    // itself (targetPartitions override) and a second repartition here
+    // would collapse over the caller's and override its file-count goal.
+    val laid =
+      if (cluster && partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+      else df
+    val writer = stampModified(laid, partitionCols, modified)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
     maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n))
@@ -632,10 +651,18 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     val current = spark.read.parquet(dest.toString).filter(touchFilter)
     val merged = cowMerge(current, updates, keys, allowMissingColumns)
 
-    // write affected partitions to a tmp layout, then swap each directory
+    // write affected partitions to a tmp layout, then swap each directory.
+    // The merged frame is CLUSTERED on the partition columns first (r20,
+    // same rationale as [[writePartitioned]]): the union of current rows
+    // and updates arrives task-fragmented, and an unclustered dynamic-
+    // partition write would fragment every touched directory into
+    // per-task files that compound across micro-batch merges — the
+    // dominant cost of the streamed index-maintenance queries (measured:
+    // the sf0.1 MinHash stream at 54 s/rep un-clustered).
     val tmp = mergeTmpPath(schema, table)
     if (f.exists(tmp)) f.delete(tmp, true)
-    stampModified(merged, partitionCols, modified)
+    stampModified(merged.repartition(partitionCols.map(col): _*),
+        partitionCols, modified)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
 
     // manifest AFTER the tmp write committed, BEFORE the first swap: its
@@ -1037,11 +1064,15 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       val laid = targetPartitions
         .map(n => src.repartition(n, cols: _*))
         .getOrElse(src.repartition(cols: _*))
+      // cluster = false: `laid` already carries compact's own layout
+      // (targetPartitions override) — writePartitioned's default
+      // clustering would collapse over it and ignore the file-count goal
       writePartitioned(laid, schema, table, pcols,
         modified = lastModified(schema, table),
         maxRecordsPerFile = maxRecordsPerFile,
         parquetBlockBytes = parquetBlockBytes,
-        metaProps = Some(meta))
+        metaProps = Some(meta),
+        cluster = false)
     } else {
       val layoutCols = meta.get(LayoutColsProp)
         .map(_.split(",").toSeq).getOrElse(Nil)

@@ -213,14 +213,21 @@ class StreamToRepoSpec extends SparkSpec {
     val sink = StreamToRepo.ledgeredSink(repo, "ann", "ingest") { b =>
       Similarity.appendToIvfIndex(repo, b, "vec_id", "embedding", "ann", "emb")
     }
-    // three micro-batches, each touching both clusters — every merge
-    // rewrites the touched cluster dirs through the shuffle, leaving
-    // several small files per directory (the fragmentation compact
-    // exists to undo)
+    // three micro-batches, each touching both clusters. Since r20 the
+    // repo's partition-scoped merge clusters its rewrite on the
+    // partition column, so streamed ingest itself no longer fragments —
+    // fragmentation at scale now comes from maxRecordsPerFile splitting
+    // inside large partitions, so the pre-compact state is constructed
+    // that way explicitly below.
     (0 until 3).foreach { bi =>
       sink((0 until 4).map { j => val id = 100L + bi * 10 + j; (id, vec(id)) }
         .toDF("vec_id", "embedding"), bi.toLong)
     }
+    // re-lay the index with a 3-row file cap: the many-small-files state
+    // a long-lived table accumulates (here from file-size bounding; the
+    // search-identity and compact assertions below are layout-agnostic)
+    repo.writePartitioned(repo.table("ann", "emb_ivf"), "ann", "emb_ivf",
+      Seq("cluster"), maxRecordsPerFile = Some(3L))
     val queries = Seq(
       (900L, Array(0.9f, 1.2f, 0.3f, 0.1f)),
       (901L, Array(-0.8f, 1.4f, 0.2f, 0.2f)),
