@@ -1405,7 +1405,13 @@ object Dedup {
       .filter(col("__docs") >= 2)
       .select("__k")
     spans
-      .join(sharedKeys.withColumn("__shared", lit(1L)), Seq("__k"), "left")
+      // SHUFFLE_HASH: same join shape and same rationale as
+      // [[dropSharedSpans]]' losers join — the shared-key side is
+      // distinct-span-sized, and the unhinted plan either broadcasts it
+      // whole (single-threaded build) or sorts the span stream for a
+      // sort-merge join at scale
+      .join(sharedKeys.withColumn("__shared", lit(1L))
+        .hint("shuffle_hash"), Seq("__k"), "left")
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_spans"),
@@ -1620,8 +1626,18 @@ object Dedup {
       "dropSharedSpans")
       .withColumnRenamed("__id", "__wid").withColumnRenamed("__idx", "__widx")
     // a loser is any occurrence that is not its key's winner — singleton
-    // spans' only occurrence IS the winner, so only shared spans remove
-    val losers = occ.join(winners, Seq("__k"))
+    // spans' only occurrence IS the winner, so only shared spans remove.
+    // SHUFFLE_HASH (r20, guide §3.1): the winner side is distinct-span-
+    // sized (millions of rows at 20×/100×) — too big for a healthy
+    // broadcast yet hash-buildable per partition. Unhinted, the planner
+    // broadcast the whole winner relation at 20× (a single-threaded
+    // driver build that stalled the probe: measured 5.6 s → 1.5 s for
+    // the losers stage with the hint) and fell to a sort-merge join at
+    // 100× that SORTED the full occurrence stream on the 16-byte struct
+    // key (the dominant stage of the 100× profile: 357 → 189 CPU-s
+    // cold). The hash build needs only the winner side in memory per
+    // partition; occurrences stream through unsorted.
+    val losers = occ.join(winners.hint("shuffle_hash"), Seq("__k"))
       .filter(!(col("__id") === col("__wid") && col("__idx") === col("__widx")))
       .select(col("__id"), col("__idx"))
     val rmLists = losers
