@@ -309,7 +309,16 @@ object SparkEntry {
     val asiaCust = c.join(broadcast(asiaNations),
         c("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name"))
-    val asiaOrders = o.join(asiaCust, o("o_custkey") === col("c_custkey"))
+    // SHUFFLE_HASH (r20, guide §3.1): the non-broadcast star joins were
+    // LEFT to the planner, whose default (preferSortMergeJoin) produced
+    // sort-merge joins at 100× — sorting the orders stream and the
+    // pre-aggregated fact. The hinted sides (region-filtered customers;
+    // asia orders) are the smaller, per-partition-buildable sides at any
+    // scale; AQE still broadcasts genuinely small sides at test scale
+    // only where unhinted, so the bounded dim broadcasts above keep
+    // their pinned hints.
+    val asiaOrders = o.join(asiaCust.hint("shuffle_hash"),
+        o("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("n_name"))
     // EAGER AGGREGATION below the star join (r19): the final aggregate's
     // key set subsumes the join key, so lineitem folds to one partial row
@@ -323,7 +332,8 @@ object SparkEntry {
     val perOrder = l.groupBy(col("l_orderkey"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("rev_c"))
-    perOrder.join(asiaOrders, perOrder("l_orderkey") === col("o_orderkey"))
+    perOrder.join(asiaOrders.hint("shuffle_hash"),
+        perOrder("l_orderkey") === col("o_orderkey"))
       .groupBy("n_name")
       .agg(
         sum(col("rev_c")).as("revenue_c"),

@@ -284,8 +284,18 @@ object Dedup {
       numHashes, bands, threshold, maxBucket, maxEqualGroup,
       smallCorpusBytes, sampleShift, withDigest = true)
     val digs = digests.get
-    val a = digs.select(col("id").as("id_a"), col("__dig").as("__dig_a"))
-    val b = digs.select(col("id").as("id_b"), col("__dig").as("__dig_b"))
+    // SHUFFLE_HASH on the digest sides (r20, guide §3.1), gated on the
+    // same zero-job small-corpus estimate the candidate machinery uses:
+    // below the gate the digests broadcast (optimal, unchanged); above
+    // it the digest frame is corpus-row-count × ~40 B — per-partition
+    // hash-buildable at any scale — while the unhinted planner
+    // sort-merge-joined at 100×, sorting the candidate stream twice
+    // (once per digest side)
+    val small = smallPlan(
+      docs.select(col(idCol), col(textCol)), smallCorpusBytes)
+    def side(d: DataFrame) = if (small) d else d.hint("shuffle_hash")
+    val a = side(digs.select(col("id").as("id_a"), col("__dig").as("__dig_a")))
+    val b = side(digs.select(col("id").as("id_b"), col("__dig").as("__dig_b")))
     cand.join(a, "id_a").join(b, "id_b")
       .filter(col("__dig_a") === col("__dig_b"))
       .select(cand.columns.map(col).toIndexedSeq: _*)
@@ -631,8 +641,15 @@ object Dedup {
     val (cand, digests) = simhashCandidates(docs, idCol, textCol, maxHamming,
       maxBucket, maxEqualGroup, smallCorpusBytes, withDigest = true)
     val digs = digests.get
-    val a = digs.select(col("id").as("id_a"), col("__dig").as("__dig_a"))
-    val b = digs.select(col("id").as("id_b"), col("__dig").as("__dig_b"))
+    // SHUFFLE_HASH on the digest sides above the small-corpus gate —
+    // same rationale and gate as [[minhashPairsVerified]] (broadcast
+    // stays optimal below the gate; the unhinted plan sorted the
+    // candidate stream twice at 100×)
+    val small = smallPlan(
+      docs.select(col(idCol), col(textCol)), smallCorpusBytes)
+    def side(d: DataFrame) = if (small) d else d.hint("shuffle_hash")
+    val a = side(digs.select(col("id").as("id_a"), col("__dig").as("__dig_a")))
+    val b = side(digs.select(col("id").as("id_b"), col("__dig").as("__dig_b")))
     cand.join(a, "id_a").join(b, "id_b")
       .filter(col("__dig_a") === col("__dig_b"))
       .select(cand.columns.map(col).toIndexedSeq: _*)
@@ -796,8 +813,13 @@ object Dedup {
       if (lazyBytes) docs.select(col(idCol).as("__vid"), col(textCol).as("__k"))
       else materializeOnce(docs.select(col(idCol).as("__vid"),
         sha2(col(textCol).cast("string"), 256).as("__k")))
-    val a = keyed.select(col("__vid").as("id_a"), col("__k").as("__k_a"))
-    val b = keyed.select(col("__vid").as("id_b"), col("__k").as("__k_b"))
+    // SHUFFLE_HASH above the gate: same digest-join shape as
+    // [[minhashPairsVerified]] — the keyed side is corpus-row-count-
+    // bounded 32-byte digests, the pair stream stays unsorted; the
+    // gate-small lazy-text path keeps the planner's broadcast
+    def side(d: DataFrame) = if (lazyBytes) d else d.hint("shuffle_hash")
+    val a = side(keyed.select(col("__vid").as("id_a"), col("__k").as("__k_a")))
+    val b = side(keyed.select(col("__vid").as("id_b"), col("__k").as("__k_b")))
     pairs.join(a, "id_a").join(b, "id_b")
       .filter(col("__k_a") === col("__k_b"))
       .select(pairs.columns.map(col).toIndexedSeq: _*)
@@ -1589,11 +1611,29 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8,
+      // 1 MB, deliberately BELOW the dedup family's 8 MB small-corpus
+      // default: the estimate is parquet-compressed scan bytes, and the
+      // rebuild-join hints were measured to win from ~250 KB of
+      // compressed text up (sf0.1 2.05 → 1.84 s, 20× [5.0 MB estimate]
+      // 10.3 → 5.9 s) — only the genuinely tiny spec/smoke corpora keep
+      // the broadcast-regime plan the text-never-shuffles audit pins
+      smallCorpusBytes: Long = 1L << 20): DataFrame = {
     require(k >= 2, s"span length k must be >= 2, got $k")
     graft.InternalCols.requireAbsent(docs, "Dedup.dropSharedSpans",
       "__id", "__idx", "__k", "__toks", "__wh", "__rm", "__wid", "__widx",
       "__ivs_s", "__ivs_e", "__id0", "__c")
+    // gate for the REBUILD joins' strategy (same zero-job stats estimate
+    // as the dedup family's small-corpus gates): below it the planner
+    // broadcasts the removal lists and the text never rides a shuffle
+    // (the spec-pinned broadcast-regime invariant); above it the
+    // SHUFFLE_HASH hints below keep the text-carrying sort-merge join
+    // out of the plan — text then rides exactly its one unavoidable
+    // doc-keyed exchange, unsorted
+    val small = smallPlan(docs.select(col(idCol), col(textCol)),
+      smallCorpusBytes)
+    def atScale(d: DataFrame): DataFrame =
+      if (small) d else d.hint("shuffle_hash")
     // all k-token windows with their 0-based start index, as 128-bit
     // hash-pair surrogates straight off the text bytes
     // ([[graft.functions.expressions.WordWindowHashes]] — r15: the
@@ -1659,7 +1699,10 @@ object Dedup {
           coalesce(col("__id0").cast("string"), lit("NULL")),
           lit(" — ids must be unique (occurrence indices collide and " +
             "removal lists would cross-apply)")))).as("__id"))
-      .join(rmLists, Seq("__id"), "left")
+      // SHUFFLE_HASH above the gate: removal lists are doc-count-sized
+      // (id + int array) — hash-buildable per partition; unhinted this
+      // was a sort-merge join at 100×
+      .join(atScale(rmLists), Seq("__id"), "left")
     // Rebuild in O(tokens + removals) per doc: the sorted removal STARTS
     // merge into disjoint [s, e) intervals and the kept text is the
     // concatenation of the GAP slices between them — each token copied
@@ -1684,7 +1727,13 @@ object Dedup {
     val ends = filter(
       zip_with(rmArr, nexts, (s, n) => when(n > s + k, s + k)), _.isNotNull)
     docs
-      .join(rmFull, docs(idCol) === rmFull("__id"), "left")
+      // SHUFFLE_HASH above the gate, on the removal side: the rebuild
+      // join's left side carries TEXT — a sort-merge join here sorted
+      // the whole corpus's text rows by id at 100×; hash-building the
+      // doc-count-sized removal frame leaves the text stream unsorted.
+      // Below the gate the planner's broadcast keeps text off shuffles
+      // entirely (plan-audited).
+      .join(atScale(rmFull), docs(idCol) === rmFull("__id"), "left")
       // stage interval bounds and the re-tokenized text as ATTRIBUTES so
       // the gap lambdas don't re-derive them (the quantize staging
       // pattern — CollapseProject keeps multi-use non-cheap expressions

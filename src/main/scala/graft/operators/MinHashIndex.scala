@@ -142,11 +142,14 @@ object MinHashIndex {
     // directory instead of `buckets × shuffle.partitions` fragments —
     // measured 54 s/rep → ~6 s on the streamed sf0.1 query) now lives in
     // [[graft.sources.PqRepo.writePartitioned]] itself (r20), shared by
-    // every index family.
-    repo.writePartitioned(withDocBucket(perDoc, geometry), schema,
-      docsTable(name), Seq("dbucket"), metaProps = Some(geometry.props))
-    repo.writePartitioned(bandRows(perDoc, geometry), schema,
-      bandsTable(name), Seq("bucket"))
+    // every index family. The two tables are disjoint outputs reading the
+    // same checkpointed signature blocks — written OVERLAPPED (guide
+    // §2.6) so the per-job floor is paid once, not twice.
+    graft.Par.run2(
+      repo.writePartitioned(withDocBucket(perDoc, geometry), schema,
+        docsTable(name), Seq("dbucket"), metaProps = Some(geometry.props)),
+      repo.writePartitioned(bandRows(perDoc, geometry), schema,
+        bandsTable(name), Seq("bucket")))
   }
 
   /** Incrementally APPEND a batch under the frozen geometry — the daily
@@ -195,11 +198,17 @@ object MinHashIndex {
     // bucket-clustering of the merged rewrite (touched directories come
     // back as one file, not per-task fragments that compound across
     // micro-batches) lives in the repo's partition-scoped merge engine
-    // itself (r20) — shared by every index family.
-    repo.mergePartitioned(withDocBucket(perDoc, g), schema, docsTable(name),
-      keys = Seq("id", "dbucket"), partitionCols = Seq("dbucket"))
-    repo.mergePartitioned(bandRows(perDoc, g), schema, bandsTable(name),
-      keys = Seq("id", "band", "bh", "bucket"), partitionCols = Seq("bucket"))
+    // itself (r20) — shared by every index family. The two merges touch
+    // DISJOINT tables (each with its own manifest-recorded crash
+    // recovery), so they run OVERLAPPED (guide §2.6); the crash window is
+    // unchanged — a replay re-merges both tables idempotently exactly as
+    // it did when a crash fell between the sequential merges.
+    graft.Par.run2(
+      repo.mergePartitioned(withDocBucket(perDoc, g), schema, docsTable(name),
+        keys = Seq("id", "dbucket"), partitionCols = Seq("dbucket")),
+      repo.mergePartitioned(bandRows(perDoc, g), schema, bandsTable(name),
+        keys = Seq("id", "band", "bh", "bucket"),
+        partitionCols = Seq("bucket")))
   }
 
   /** Candidate (batch id, corpus id) collisions from the band tables:

@@ -451,10 +451,13 @@ object Similarity {
       name: String): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    repo.writePartitioned(index.assigned, schema, s"${name}_ivf",
-      Seq("cluster"))
-    repo.write(index.centroids.toDF("cid", "cv"), schema,
-      s"${name}_ivf_centroids")
+    // disjoint outputs, overlapped (guide §2.6): the centroid side table's
+    // job floor hides under the corpus-sized assigned write
+    graft.Par.run2(
+      repo.writePartitioned(index.assigned, schema, s"${name}_ivf",
+        Seq("cluster")),
+      repo.write(index.centroids.toDF("cid", "cv"), schema,
+        s"${name}_ivf_centroids"))
   }
 
   /** Incrementally APPEND a batch to a persisted IVF index without
@@ -1207,7 +1210,12 @@ object Similarity {
   private val RerankBroadcastBound = 1 << 16
 
   private def maybeBroadcast(df: DataFrame, rerankDepth: Int): DataFrame =
-    if (rerankDepth <= RerankBroadcastBound) broadcast(df) else df
+    // above the broadcast bound the list still hash-builds per partition
+    // (12 B/row over the shuffle partition count): SHUFFLE_HASH (r20,
+    // guide §3.1) — the previously hint-free join fell to a sort-merge
+    // at 100× that sorted the float corpus by candidate id
+    if (rerankDepth <= RerankBroadcastBound) broadcast(df)
+    else df.hint("shuffle_hash")
 
   /** [[pqTopK]] over a PREBUILT (id, codes) frame — the persisted-index
     * search path ([[readPqIndex]]): the coarse pass never re-encodes or
@@ -1290,11 +1298,17 @@ object Similarity {
             VectorFunctions.pqEncode(col("__rv"), books.books).as("codes"))
       else index.assigned.select(col("id"), col("cluster"),
         VectorFunctions.pqEncode(col("v"), books.books).as("codes"))
-    repo.writePartitioned(coded, schema, s"${name}_ivfpq", Seq("cluster"))
-    repo.write(index.centroids.toDF("cid", "cv"), schema,
-      s"${name}_ivfpq_centroids")
-    repo.write(booksToDF(spark, books), schema, s"${name}_ivfpq_books")
-    repo.write(Seq(residual).toDF("residual"), schema, s"${name}_ivfpq_meta")
+    // the corpus-sized coded write and the three geometry-sized side
+    // tables are disjoint outputs: overlapped (guide §2.6) the side
+    // writes' per-job floors hide under the coded scan instead of
+    // stacking after it
+    graft.Par.run2(
+      repo.writePartitioned(coded, schema, s"${name}_ivfpq", Seq("cluster")), {
+        repo.write(index.centroids.toDF("cid", "cv"), schema,
+          s"${name}_ivfpq_centroids")
+        repo.write(booksToDF(spark, books), schema, s"${name}_ivfpq_books")
+        repo.write(Seq(residual).toDF("residual"), schema, s"${name}_ivfpq_meta")
+      })
   }
 
   /** A reloaded persisted IVF-PQ index: geometry + lazy coded scan +
@@ -1315,15 +1329,18 @@ object Similarity {
       repo: graft.sources.PqRepo,
       schema: String,
       name: String): IvfPqIndexData = {
-    val cents = repo.table(schema, s"${name}_ivfpq_centroids")
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
-      .sortBy(_._1)
-      .toSeq
-    val books = booksFromDF(repo.table(schema, s"${name}_ivfpq_books"))
-    val residual = scala.util.Try(
-      repo.table(schema, s"${name}_ivfpq_meta")
-        .collect().head.getBoolean(0)).getOrElse(false)
+    // three geometry-sized collects over disjoint side tables, overlapped
+    // (guide §2.6): one per-job floor instead of three in sequence
+    val (cents, books, residual) = graft.Par.run3(
+      repo.table(schema, s"${name}_ivfpq_centroids")
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+        .sortBy(_._1)
+        .toSeq,
+      booksFromDF(repo.table(schema, s"${name}_ivfpq_books")),
+      scala.util.Try(
+        repo.table(schema, s"${name}_ivfpq_meta")
+          .collect().head.getBoolean(0)).getOrElse(false))
     IvfPqIndexData(cents, books, repo.table(schema, s"${name}_ivfpq"), residual)
   }
 

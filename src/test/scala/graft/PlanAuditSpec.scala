@@ -10,12 +10,21 @@ class PlanAuditSpec extends SparkSpec {
   private def physical(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
-  test("q5_star_join broadcasts the dimension joins") {
+  test("q5_star_join broadcasts the bounded dims, hash-joins the fact " +
+    "chain, never sort-merges") {
     val p = physical("q5_star_join")
+    // the two PINNED broadcasts: region->nation, asia-nations->customer
+    // (provably bounded dimension frames). The customer->orders and
+    // orders->fact joins are hinted SHUFFLE_HASH since r20: their sides
+    // grow with scale factor (a pinned broadcast would OOM a full-scale
+    // driver) and the planner's sort-merge default sorted the orders
+    // stream and the pre-aggregated fact at 100x (measured: 4.1 -> 3.3 s
+    // at 100x, 2.0 -> 1.3 s at 20x).
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(broadcasts >= 3, s"expected >=3 broadcast joins:\n$p")
-    // at most the fact-fact join may shuffle; dims must not
-    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1, p)
+    assert(broadcasts >= 2, s"expected >=2 broadcast dim joins:\n$p")
+    assert("ShuffledHashJoin".r.findAllIn(p).length == 2,
+      s"expected exactly 2 shuffled-hash fact joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no join may sort the fact:\n$p")
   }
 
   test("q3_join_agg broadcasts the filtered customer dim") {
