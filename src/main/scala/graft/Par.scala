@@ -43,4 +43,22 @@ private[graft] object Par {
     val ((x, y), (z, w)) = run2(run2(a, b), run2(c, d))
     (x, y, z, w)
   }
+
+  /** Run every thunk concurrently (one thread each — callers pass small,
+    * structurally-bounded lists: route tables, index side tables), wait
+    * for ALL to finish, then rethrow the first failure. All actions
+    * always run to their own atomic commit-or-abort point even when a
+    * sibling fails — matching the sequential code's replay story, where
+    * a crash between actions leaves each table independently recovered. */
+  def runAll(fs: Seq[() => Unit]): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = fs.map { f =>
+      val t = new Thread(() => try f() catch {
+        case e: Throwable => errs.add(e)
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
 }

@@ -594,14 +594,22 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     if (!f.exists(dest))
       return writePartitioned(updates, schema, table, partitionCols, modified)
 
-    validateMergeSchema(spark.read.parquet(dest.toString), updates, keys,
+    // ONE resolved read of the destination serves both the schema
+    // validation and the merge engine's current-side scan (r20): each
+    // `spark.read.parquet(dest)` eagerly lists the partition tree and
+    // reads footers for schema inference — a fixed driver-side cost that
+    // used to be paid twice per merge, which compounds across streamed
+    // micro-batch appends. Safe because recovery already ran above, so
+    // the listing sees a consistent table.
+    val current = spark.read.parquet(dest.toString)
+    validateMergeSchema(current, updates, keys,
       allowMissingColumns, s"mergePartitioned($schema/$table)",
       partitionScoped = true)
 
     // the partitions this batch touches: a driver-side list of tuples
     val affected = updates.select(partitionCols.map(col): _*).distinct().collect()
     mergeIntoPartitions(updates, schema, table, keys, partitionCols,
-      affected.toSeq, modified, allowMissingColumns)
+      affected.toSeq, modified, allowMissingColumns, Some(current))
   }
 
   /** The partition-scoped merge ENGINE, shared by [[mergePartitioned]]
@@ -625,7 +633,12 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       partitionCols: Seq[String],
       affected: Seq[org.apache.spark.sql.Row],
       modified: Option[String] = None,
-      allowMissingColumns: Boolean = false
+      allowMissingColumns: Boolean = false,
+      // a caller that already resolved the destination (mergePartitioned's
+      // validation read) passes it here so the table is listed once per
+      // merge, not twice; None re-reads (direct engine callers). MUST have
+      // been created after recovery ran on this table.
+      currentFull: Option[DataFrame] = None
   ): Path = {
     val dest = tablePath(schema, table)
     val f = fs(dest)
@@ -648,7 +661,8 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
 
     // current rows of affected partitions only (PartitionFilters prune the
     // rest before I/O), merged with the updates
-    val current = spark.read.parquet(dest.toString).filter(touchFilter)
+    val current = currentFull.getOrElse(spark.read.parquet(dest.toString))
+      .filter(touchFilter)
     val merged = cowMerge(current, updates, keys, allowMissingColumns)
 
     // write affected partitions to a tmp layout, then swap each directory.

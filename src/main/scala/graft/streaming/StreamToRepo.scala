@@ -130,7 +130,14 @@ object StreamToRepo {
         // batch's upstream plan; the route filters below read blocks
         tagged.count()
         try {
-          routes.foreach { case (table, _) =>
+          // routes land OVERLAPPED (r20, guide §2.6): each route merges
+          // into its OWN table (disjoint outputs, each with its own
+          // atomic promote/recovery), reading the shared cached tagged
+          // frame. The exactly-once story is unchanged: the marker still
+          // lands only after EVERY route merged, and a crash mid-routes
+          // replays all routes key-merge-idempotently — exactly as when
+          // a crash fell between the previously sequential merges.
+          graft.Par.runAll(routes.map { case (table, _) => () =>
             val slice = tagged
               .filter(array_contains(col(routesCol), table))
               .drop(routesCol)
@@ -138,7 +145,8 @@ object StreamToRepo {
               repo.mergePartitioned(slice, schema, table, keys, partitionCols)
             else
               repo.merge(slice, schema, table, keys)
-          }
+            ()
+          })
         } finally tagged.unpersist()
         f.mkdirs(marker.getParent)
         f.create(marker, false).close()
