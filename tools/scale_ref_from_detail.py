@@ -32,7 +32,7 @@ def main(detail_path, round_tag, out="SCALE_REF.json"):
     cpu = {}
     for section in ("big20x", "big100x"):
         wall, sec_cpu = {}, {}
-        best_total, best_calib = None, None
+        calibs = []
         for d in runs:
             sec = d.get(section, {})
             qs = sec.get("queries", {})
@@ -47,23 +47,33 @@ def main(detail_path, round_tag, out="SCALE_REF.json"):
                 if v.get("min_cpu_sec", -1) >= 0:
                     sec_cpu[k] = min(sec_cpu.get(k, float("inf")),
                                      v["min_cpu_sec"])
-            total = sec.get("spark_min_total")
-            if ("calib_after" in sec and total is not None
-                    and (best_total is None or total < best_total)):
-                best_total, best_calib = total, sec["calib_after"]
+            if "calib_after" in sec and sec.get("spark_min_total") is not None:
+                calibs.append(sec["calib_after"])
         ref[section] = dict(sorted(wall.items()))
         if sec_cpu:
             cpu[section] = dict(sorted(sec_cpu.items()))
-        if best_calib is not None:
-            calib[section] = round(best_calib, 3)
+        # MEDIAN calib across contributing runs (r20): the calib kernel's
+        # single readings jitter +-30% on identical quiet runs of
+        # identical code (measured 0.81/0.89/1.24 across three final-HEAD
+        # runs), and anchoring on one run's outlier made the very next
+        # quiet run's regression check inflate every row ~1.5x (false
+        # flags with cpu-stable attribution). The median of the
+        # contributing runs is the stable anchor; the per-run spread
+        # stays visible in the committed bench_detail artifacts.
+        if calibs:
+            cs = sorted(calibs)
+            mid = len(cs) // 2
+            med = cs[mid] if len(cs) % 2 == 1 else (cs[mid - 1] + cs[mid]) / 2
+            calib[section] = round(med, 3)
     if calib:
         ref["calib"] = calib
     if cpu:
         ref["cpu"] = cpu
     ref["notes"] = (
-        "per-query scale-section MINIMUMS from the pinned quiet run; "
-        "'calib' records the load factor measured immediately after each "
-        "section (Bench.calibrate vs CALIB.json) - Bench.scaleRegressions "
+        "per-query scale-section MINIMUMS min-merged across the pinned "
+        "runs; 'calib' is the MEDIAN of the per-run load factors measured "
+        "immediately after each section "
+        "(Bench.calibrate vs CALIB.json) - Bench.scaleRegressions "
         "normalizes by refCalib/curCalib (clamped [0.5,2]) so "
         "machine-speed windows do not read as per-query regressions; "
         "'cpu' records per-query executor-CPU-second floors (r20) - the "
