@@ -378,6 +378,21 @@ object Bench {
     // order.
     val qv = minsByQuery.sortBy(_._1).map { case (_, v) => fmtq(v) }
       .mkString("[", ",", "]")
+    // r21 (verdict #2): make the nameless vector SELF-CHECKING without
+    // blowing the tail budget names cannot fit in — `nq` is the vector
+    // length and `qsig` an 8-hex digest of the sorted name list, so a
+    // consumer aligning qv against a sorted registry/CORRECTNESS key set
+    // can VERIFY the zip instead of guessing when the registry grew
+    // (r20: 125 vs 127 names silently yielded n_common = 0). The full
+    // name→centisecond map rides the `bench_queries_cs` stdout line
+    // printed just before this one (outside the ~2000-char tail — r03–r05
+    // proved a >tail summary line records as parsed:null) and
+    // bench_detail.json.
+    val qsig = {
+      val joined = minsByQuery.map(_._1).sorted.mkString(",")
+      f"${scala.util.hashing.MurmurHash3.stringHash(joined)}%08x"
+    }
+    val nq = s""","nq":${minsByQuery.size},"qsig":"$qsig""""
     val vs = if (vsDuckdb >= 0) s""","vs_duckdb":${fmt2(vsDuckdb)}""" else ""
     val cal = s""","calib":[${fmt2(calib._1)},${fmt2(calib._2)}]"""
     val calBad =
@@ -445,8 +460,22 @@ object Bench {
     // bench_detail.json.
     val oloadS = oload.map { case (o20, o100) =>
       s""","oload":[${fmt2(o20)},${fmt2(o100)}]""" }.getOrElse("")
-    s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","qunit":"cs","qord":"name","qv":$qv,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S$oloadS$regrS,"sf":"$sfName"}"""
+    s"""{"metric":"total","value":${fmt1(totalMedianSec)},"unit":"sec","qunit":"cs","qord":"name"$nq,"qv":$qv,"setup":${fmt1(setupSec)}$vs$cal$calBad$bigS$b100S$oloadS$regrS,"sf":"$sfName"}"""
   }
+
+  /** The FULL name→centisecond map as its own stdout line (r21, verdict
+    * #2): the per-query names the summary line cannot carry (127 names ≈
+    * 2.5 k chars against a ~1.9 k budget — r03–r05's over-budget summary
+    * lines recorded as parsed:null, which is why `qv` exists). Printed
+    * immediately BEFORE the summary so a consumer reading full stdout
+    * (or a human reading the artifact tail's surviving suffix) gets the
+    * name→value attribution; the key deliberately does NOT contain
+    * "metric", so a tail scanner looking for the summary line can never
+    * match a truncated fragment of this one. */
+  def renderQueriesLine(minsByQuery: Seq[(String, Double)], sfName: String): String =
+    minsByQuery.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${fmtq(v)}""" }
+      .mkString(s"""{"bench_queries_cs":{""", ",", s"""},"sf":"$sfName"}""")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -981,6 +1010,10 @@ object Bench {
     if (line.length > 1925)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars " +
         "— trim per-query precision or drop fields before the tail eats it")
+    // full name→centisecond attribution line FIRST (mostly outside the
+    // tail; never mistakable for the summary), summary line LAST
+    println(renderQueriesLine(
+      results.map { case (k, (_, mn2)) => k -> mn2 }, sfName))
     println(line)
   }
 }

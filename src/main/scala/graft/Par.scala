@@ -18,7 +18,13 @@ package graft
 private[graft] object Par {
 
   def run2[A, B](a: => A, b: => B): (A, B) = {
-    @volatile var rb: Either[Throwable, B] = null
+    // initialized to a failure sentinel, not null (r20 advice): if the
+    // spawned thread dies before the lambda's own catch can run (a
+    // thread-start-time VM error), the join still observes a real
+    // Throwable instead of surfacing an opaque MatchError on null
+    @volatile var rb: Either[Throwable, B] =
+      Left(new IllegalStateException(
+        "Par.run2: spawned thread terminated before producing a result"))
     val t = new Thread(() => rb = try Right(b) catch {
       case e: Throwable => Left(e)
     })
@@ -29,6 +35,7 @@ private[graft] object Par {
       finally t.join()
     (ra, rb) match {
       case (Right(x), Right(y)) => (x, y)
+      case (Left(e), Left(e2)) => e.addSuppressed(e2); throw e
       case (Left(e), _)         => throw e
       case (_, Left(e))         => throw e
     }
@@ -59,6 +66,14 @@ private[graft] object Par {
       t.start(); t
     }
     ts.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
+    if (!errs.isEmpty) {
+      // sibling failures ride along as suppressed (r20 advice) instead
+      // of being silently dropped — a multi-route crash shows every
+      // route's cause, not just whichever thread failed first
+      val first = errs.poll()
+      var more = errs.poll()
+      while (more != null) { first.addSuppressed(more); more = errs.poll() }
+      throw first
+    }
   }
 }

@@ -179,21 +179,30 @@ object MinHashIndex {
       checkChanged: Boolean = true): Unit = {
     val g = geometry(repo, schema, name)
     val perDoc = Dedup.materializeOnce(signed(batch, idCol, textCol, g))
-    if (checkChanged) {
-      val changed = repo.table(schema, docsTable(name))
+    val docRows = withDocBucket(perDoc, g)
+    val bandR = bandRows(perDoc, g)
+    // the changed-content guard and BOTH merges' affected-partition
+    // collects are read-only micro-batch-sized jobs over the
+    // checkpointed signature blocks — overlapped three ways (r21, guide
+    // §2.6) they pay one job floor where the sequential shape paid up to
+    // three per streamed micro-batch
+    val (changedSample, affectedDocs, affectedBands) = graft.Par.run3(
+      if (!checkChanged) Array.empty[org.apache.spark.sql.Row]
+      else repo.table(schema, docsTable(name))
         .select(col("id"), col("dig").as("__old"))
         .join(perDoc.select(col("id"), col("dig")), Seq("id"))
         .filter(!(col("__old") <=> col("dig")))
-      val sample = changed.select(col("id")).limit(5).collect() // bounded: ≤5
-      if (sample.nonEmpty) {
-        val shown = sample.map(_.get(0)).mkString(", ")
-        throw new IllegalStateException(
-          s"MinHashIndex.append($schema/$name): batch re-ingests ids whose " +
-            s"content changed [$shown${if (sample.length == 5) ", …" else ""}] — " +
-            "their stale band rows would survive in buckets this merge " +
-            "never rewrites. Rebuild via MinHashIndex.write, or pass " +
-            "checkChanged = false only for provably append-only feeds")
-      }
+        .select(col("id")).limit(5).collect(), // bounded: ≤5
+      docRows.select(col("dbucket")).distinct().collect(), // ≤ buckets
+      bandR.select(col("bucket")).distinct().collect()) // ≤ buckets
+    if (changedSample.nonEmpty) {
+      val shown = changedSample.map(_.get(0)).mkString(", ")
+      throw new IllegalStateException(
+        s"MinHashIndex.append($schema/$name): batch re-ingests ids whose " +
+          s"content changed [$shown${if (changedSample.length == 5) ", …" else ""}] — " +
+          "their stale band rows would survive in buckets this merge " +
+          "never rewrites. Rebuild via MinHashIndex.write, or pass " +
+          "checkChanged = false only for provably append-only feeds")
     }
     // bucket-clustering of the merged rewrite (touched directories come
     // back as one file, not per-task fragments that compound across
@@ -204,11 +213,12 @@ object MinHashIndex {
     // unchanged — a replay re-merges both tables idempotently exactly as
     // it did when a crash fell between the sequential merges.
     graft.Par.run2(
-      repo.mergePartitioned(withDocBucket(perDoc, g), schema, docsTable(name),
-        keys = Seq("id", "dbucket"), partitionCols = Seq("dbucket")),
-      repo.mergePartitioned(bandRows(perDoc, g), schema, bandsTable(name),
+      repo.mergePartitionedKnownAffected(docRows, schema, docsTable(name),
+        keys = Seq("id", "dbucket"), partitionCols = Seq("dbucket"),
+        affected = affectedDocs.toSeq),
+      repo.mergePartitionedKnownAffected(bandR, schema, bandsTable(name),
         keys = Seq("id", "band", "bh", "bucket"),
-        partitionCols = Seq("bucket")))
+        partitionCols = Seq("bucket"), affected = affectedBands.toSeq))
   }
 
   /** Candidate (batch id, corpus id) collisions from the band tables:

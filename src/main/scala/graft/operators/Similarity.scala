@@ -494,27 +494,34 @@ object Similarity {
     val index = readIvfIndex(repo, schema, name)
     val assigned = assignClusters(
       batch.select(col(idCol).as("id"), col(vecCol).as("v")), index.centroids)
-    if (checkMoved) {
-      val moved = index.assigned.select(col("id"), col("cluster").as("__old"))
+    // the read-only moved-id guard and the merge's affected-partition
+    // collect OVERLAP (r21, guide §2.6): both are small driver-sequenced
+    // jobs on the streamed micro-batch path, and the merge cannot write
+    // before the guard passes either way — overlapping the reads pays
+    // one job floor instead of two per micro-batch
+    val (movedSample, affected) = graft.Par.run2(
+      if (!checkMoved) Array.empty[org.apache.spark.sql.Row]
+      else index.assigned.select(col("id"), col("cluster").as("__old"))
         .join(assigned.select(col("id"), col("cluster")), Seq("id"))
         .filter(col("__old") =!= col("cluster"))
         .select(col("id"), col("__old"), col("cluster"))
-      val sample = moved.limit(5).collect() // bounded: ≤5 rows
-      if (sample.nonEmpty) {
-        val shown = sample.map(r =>
-          s"${r.get(0)}: ${r.get(1)} -> ${r.get(2)}").mkString(", ")
-        throw new IllegalStateException(
-          s"appendToIvfIndex($schema/$name): batch re-ingests ids whose " +
-            s"embeddings moved clusters [$shown${if (sample.length == 5) ", …" else ""}] — " +
-            "the stale rows would survive in partitions this merge never " +
-            "rewrites. Use reassignIvfIndex (bounded rewrite of the old + " +
-            "new cluster partitions), re-train via ivfBuild + " +
-            "writeIvfIndex if the corpus drifted, or pass checkMoved = " +
-            "false only for provably append-only feeds")
-      }
+        .limit(5).collect(), // bounded: ≤5 rows
+      assigned.select(col("cluster")).distinct().collect()) // ≤ nlist
+    if (movedSample.nonEmpty) {
+      val shown = movedSample.map(r =>
+        s"${r.get(0)}: ${r.get(1)} -> ${r.get(2)}").mkString(", ")
+      throw new IllegalStateException(
+        s"appendToIvfIndex($schema/$name): batch re-ingests ids whose " +
+          s"embeddings moved clusters [$shown${if (movedSample.length == 5) ", …" else ""}] — " +
+          "the stale rows would survive in partitions this merge never " +
+          "rewrites. Use reassignIvfIndex (bounded rewrite of the old + " +
+          "new cluster partitions), re-train via ivfBuild + " +
+          "writeIvfIndex if the corpus drifted, or pass checkMoved = " +
+          "false only for provably append-only feeds")
     }
-    repo.mergePartitioned(assigned, schema, s"${name}_ivf",
-      keys = Seq("id", "cluster"), partitionCols = Seq("cluster"))
+    repo.mergePartitionedKnownAffected(assigned, schema, s"${name}_ivf",
+      keys = Seq("id", "cluster"), partitionCols = Seq("cluster"),
+      affected = affected.toSeq)
   }
 
   /** Re-ingest a batch whose embeddings may have MOVED clusters — the
@@ -1368,23 +1375,27 @@ object Similarity {
       readIvfPqIndex(repo, schema, name)
     val assigned = assignClusters(
       batch.select(col(idCol).as("id"), col(vecCol).as("v")), cents)
-    if (checkMoved) {
-      val moved = coded.select(col("id"), col("cluster").as("__old"))
+    // moved-id guard ∥ affected-partition collect (r21, guide §2.6) —
+    // the appendToIvfIndex rationale: two read-only micro-batch jobs,
+    // one job floor
+    val (movedSample, affected) = graft.Par.run2(
+      if (!checkMoved) Array.empty[org.apache.spark.sql.Row]
+      else coded.select(col("id"), col("cluster").as("__old"))
         .join(assigned.select(col("id"), col("cluster")), Seq("id"))
         .filter(col("__old") =!= col("cluster"))
         .select(col("id"), col("__old"), col("cluster"))
-      val sample = moved.limit(5).collect() // bounded: ≤5 rows
-      if (sample.nonEmpty) {
-        val shown = sample.map(r =>
-          s"${r.get(0)}: ${r.get(1)} -> ${r.get(2)}").mkString(", ")
-        throw new IllegalStateException(
-          s"appendToIvfPqIndex($schema/$name): batch re-ingests ids whose " +
-            s"embeddings moved clusters [$shown${if (sample.length == 5) ", …" else ""}] — " +
-            "stale codes would survive in partitions this merge never " +
-            "rewrites. Re-train via ivfBuild + pqTrain + writeIvfPqIndex " +
-            "if the corpus drifted, or pass checkMoved = false only for " +
-            "provably append-only feeds")
-      }
+        .limit(5).collect(), // bounded: ≤5 rows
+      assigned.select(col("cluster")).distinct().collect()) // ≤ nlist
+    if (movedSample.nonEmpty) {
+      val shown = movedSample.map(r =>
+        s"${r.get(0)}: ${r.get(1)} -> ${r.get(2)}").mkString(", ")
+      throw new IllegalStateException(
+        s"appendToIvfPqIndex($schema/$name): batch re-ingests ids whose " +
+          s"embeddings moved clusters [$shown${if (movedSample.length == 5) ", …" else ""}] — " +
+          "stale codes would survive in partitions this merge never " +
+          "rewrites. Re-train via ivfBuild + pqTrain + writeIvfPqIndex " +
+          "if the corpus drifted, or pass checkMoved = false only for " +
+          "provably append-only feeds")
     }
     // encode with the layout the index was WRITTEN with: a residual
     // index's batch quantizes x − centroid under the same frozen
@@ -1395,8 +1406,9 @@ object Similarity {
           VectorFunctions.pqEncode(col("__rv"), books.books).as("codes"))
       else assigned.select(col("id"), col("cluster"),
         VectorFunctions.pqEncode(col("v"), books.books).as("codes"))
-    repo.mergePartitioned(codedBatch, schema, s"${name}_ivfpq",
-      keys = Seq("id", "cluster"), partitionCols = Seq("cluster"))
+    repo.mergePartitionedKnownAffected(codedBatch, schema, s"${name}_ivfpq",
+      keys = Seq("id", "cluster"), partitionCols = Seq("cluster"),
+      affected = affected.toSeq)
   }
 
   /** IVF-PQ search over a persisted index: each query probes its

@@ -308,17 +308,11 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     // open/list/swap floors then dominate every later scan and merge
     // (measured 54 s/rep on the streamed sf0.1 MinHash query, ~6 s
     // clustered — the r20 MinHashIndex call-site fix, now hoisted here so
-    // every partitioned layout gets it). With it each value's rows land
-    // in one task ⇒ one file per directory; `maxRecordsPerFile` still
-    // bounds file size inside a huge partition. The task count stays
-    // scale-adaptive (spark.sql.shuffle.partitions / AQE), never a local
-    // constant. [[compact]] passes cluster = false: it lays out rows
-    // itself (targetPartitions override) and a second repartition here
-    // would collapse over the caller's and override its file-count goal.
-    val laid =
-      if (cluster && partitionCols.nonEmpty)
-        df.repartition(partitionCols.map(col): _*)
-      else df
+    // every partitioned layout gets it). [[compact]] passes
+    // cluster = false: it lays out rows itself (targetPartitions
+    // override) and a second shuffle here would collapse over the
+    // caller's and override its file-count goal.
+    val laid = clusterOnPartitions(df, partitionCols, cluster)
     val writer = stampModified(laid, partitionCols, modified)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
@@ -333,6 +327,34 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     promoteTable(f, tmp, schema, table)
     dest
   }
+
+  /** The shared pre-write clustering for partitioned layouts: an AQE
+    * REBALANCE on the partition columns (r21, verdict #1 — guide §2.5
+    * skew / §6 small files) instead of r20's plain
+    * `repartition(partitionCols)`. The plain repartition capped write
+    * parallelism at the number of DISTINCT partition values (a 16-bucket
+    * index write ran 16 tasks on any cluster) and funneled a hot value
+    * through a single task — a straggler `maxRecordsPerFile` cannot help
+    * (it bounds file size, not task time). `RebalancePartitions` keeps
+    * the one-file-per-directory property in the common case (a value
+    * hashes into exactly one shuffle partition; AQE coalescing merges
+    * WHOLE partitions, so a value still lands in one task) while SPLITTING
+    * oversized partitions at runtime
+    * (`spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled`,
+    * on by default): a hot value becomes several
+    * `advisoryPartitionSizeInBytes`-bounded tasks ⇒ several bounded
+    * files in that directory — write parallelism scales with data, not
+    * with value cardinality. Small merges additionally COALESCE below
+    * the advisory size (fewer near-empty tasks per micro-batch than the
+    * old fixed `shuffle.partitions` fan-out). Without AQE the node
+    * degrades to a plain hash exchange on the partition columns — the
+    * r20 behavior, never worse. Scale-adaptive by construction: no
+    * local-mode constant anywhere. */
+  private def clusterOnPartitions(
+      df: DataFrame, partitionCols: Seq[String], cluster: Boolean): DataFrame =
+    if (cluster && partitionCols.nonEmpty)
+      df.hint("rebalance", partitionCols.map(col): _*)
+    else df
 
   /** The table's hive partition columns, inferred from its directory
     * layout (one `col=value` level per partition column) — empty for a
@@ -612,6 +634,47 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
       affected.toSeq, modified, allowMissingColumns, Some(current))
   }
 
+  /** [[mergePartitioned]] for a caller that ALREADY collected the
+    * updates' distinct partition tuples (r21, guide §2.6): the index
+    * append paths overlap that collect with their read-only moved-id
+    * guard instead of paying the two job floors sequentially — one fewer
+    * sequential job per streamed micro-batch. `affected` MUST be exactly
+    * `updates.select(partitionCols).distinct()` (a superset with
+    * phantom tuples would delete untouched partitions via the
+    * hasNew=false manifest path only if they exist-and-merge-empty —
+    * i.e. never for true supersets of real data, but the contract is
+    * exactness; a SUBSET would leave stale rows outside the rewrite
+    * scope). Same recovery, validation, and crash protocol as
+    * [[mergePartitioned]]. */
+  private[graft] def mergePartitionedKnownAffected(
+      updates: DataFrame,
+      schema: String,
+      table: String,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      affected: Seq[org.apache.spark.sql.Row],
+      modified: Option[String] = None,
+      allowMissingColumns: Boolean = false
+  ): Path = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(partitionCols.nonEmpty && partitionCols.forall(keys.contains),
+      s"partition columns $partitionCols must be a subset of the merge " +
+        s"keys $keys (otherwise a key could move partitions and its old " +
+        "row would survive)")
+    val dest = tablePath(schema, table)
+    val f = fs(dest)
+    recoverWrite(schema, table)
+    recoverMergePartitioned(schema, table)
+    if (!f.exists(dest))
+      return writePartitioned(updates, schema, table, partitionCols, modified)
+    val current = spark.read.parquet(dest.toString)
+    validateMergeSchema(current, updates, keys,
+      allowMissingColumns, s"mergePartitioned($schema/$table)",
+      partitionScoped = true)
+    mergeIntoPartitions(updates, schema, table, keys, partitionCols,
+      affected, modified, allowMissingColumns, Some(current))
+  }
+
   /** The partition-scoped merge ENGINE, shared by [[mergePartitioned]]
     * (affected = the updates' own partition tuples; `partitionCols ⊆
     * keys` makes that sufficient) and by callers that merge on a key the
@@ -672,10 +735,13 @@ final case class PqRepo(spark: SparkSession, dataDir: String) {
     // partition write would fragment every touched directory into
     // per-task files that compound across micro-batch merges — the
     // dominant cost of the streamed index-maintenance queries (measured:
-    // the sf0.1 MinHash stream at 54 s/rep un-clustered).
+    // the sf0.1 MinHash stream at 54 s/rep un-clustered). r21: the
+    // clustering is the skew-safe AQE rebalance ([[clusterOnPartitions]])
+    // — a hot partition value rewrites on several bounded tasks instead
+    // of one straggler.
     val tmp = mergeTmpPath(schema, table)
     if (f.exists(tmp)) f.delete(tmp, true)
-    stampModified(merged.repartition(partitionCols.map(col): _*),
+    stampModified(clusterOnPartitions(merged, partitionCols, cluster = true),
         partitionCols, modified)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
 

@@ -57,6 +57,43 @@ class KeepBestSpec extends SparkSpec {
     assert(out == Set(1L, 5L))
   }
 
+  test("exact-only fast path (r21): ineligible rows always survive, " +
+    "unverified regime groups by signature") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, textA, 0.4), (2L, textA, 0.9),       // dup group -> 2 wins
+      (7L, "abc", 0.0),                          // shorter than shingleK
+      (8L, null.asInstanceOf[String], 0.0),      // null text
+      (9L, textB, -5.0)                          // singleton
+    ).toDF("id", "text", "score")
+    for (verify <- Seq(true, false)) {
+      val out = Dedup.dropNearDuplicatesKeepBest(
+        docs, "id", "text", "score", threshold = 1.0, verifyExact = verify)
+        ._1.select("id").collect().map(_.getLong(0)).toSet
+      assert(out == Set(2L, 7L, 8L, 9L), s"verifyExact=$verify: $out")
+    }
+  }
+
+  test("exact-only fast path agrees with the id-policy twin when all " +
+    "scores tie (winner = min id, independent implementations)") {
+    import spark.implicits._
+    // a mixed corpus: several dup groups of different sizes + singletons;
+    // equal scores make keep-best's policy collapse to keep-min-id, so
+    // the digest fast path must reproduce dropNearDuplicates' exactGroups
+    // path row for row
+    val docs = (0L until 60L).map { i =>
+      (i, s"document body number ${i % 7} with enough bytes to shingle", 1.0)
+    }.toDF("id", "text", "score")
+    val best = Dedup.dropNearDuplicatesKeepBest(
+      docs, "id", "text", "score", threshold = 1.0, verifyExact = true)
+      ._1.select("id").collect().map(_.getLong(0)).toSet
+    val minId = Dedup.dropNearDuplicates(
+      docs, "id", "text", threshold = 1.0, verifyExact = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(best == minId)
+    assert(best == (0L until 7L).toSet)
+  }
+
   test("near (non-identical) components pick the best-scoring member") {
     import spark.implicits._
     // sub-1.0 threshold: textA vs textA+" tail" are near-dups; the

@@ -450,6 +450,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dropNearDuplicates verified fast path (r21): the scale-gated " +
+    "digest grouping equals the byte-exact exactGroups grouping") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val dup = docs.limit(20)
+      .select((col("doc_id") + 7000).as("doc_id"), col("text"))
+    val shorty = Seq((8001L, "ab"), (8003L, null.asInstanceOf[String]),
+      // duplicated min id: digest path must keep BOTH rows, like losersOf
+      (0L, "planted duplicated-id body with plenty of bytes to shingle"),
+      (0L, "planted duplicated-id body with plenty of bytes to shingle"))
+      .toDF("doc_id", "text")
+    val in = docs.unionByName(dup).unionByName(shorty)
+    def run(gate: Long) = Dedup.dropNearDuplicatesWithStats(in, "doc_id",
+      "text", numHashes = 48, bands = 12, threshold = 1.0,
+      verifyExact = true, verifyDigestMinBytes = gate)
+      ._1.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val digest = run(0L)             // forces the digest grouping
+    val byteExact = run(Long.MaxValue) // forces exactGroups
+    assert(digest == byteExact,
+      s"digest path diverged: ${digest.size} vs ${byteExact.size} rows")
+    assert(digest.count(_ == 0L) == 3,
+      "all three rows of the duplicated min id must survive")
+  }
+
   test("ngram jaccard: identical = 1, disjoint = 0") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w"))
       .toDF("x", "y")
