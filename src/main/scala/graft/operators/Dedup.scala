@@ -185,18 +185,63 @@ object Dedup {
     // probe the executed plan's OWN RDD for the split count (cached on
     // the Dataset's QueryExecution, no job runs) — `df.rdd` would wrap it
     // in an extra row-deserializing stage planned purely for the probe
-    // (r21 note, measured and deliberately NOT "fixed": the split count
-    // can overstate effective parallelism for low-row-group parquet — a
-    // byte-range split only produces rows for row groups whose midpoint
-    // falls inside it, so the bench's single-file scale corpora cap the
-    // kernel at rowgroup-count tasks. A footer-probing variant that
-    // repartitioned such inputs was built and benchmarked at 20×/100×:
-    // the raw-text shuffle cost as much wall as the extra kernel
-    // parallelism bought — minhash 1.85→2.23 s, spans 5.96→6.58 s at 20×
-    // — so the probe was reverted. On real multi-file layouts the split
-    // count is honest and this probe is right.)
+    // (r21 note, measured and deliberately NOT extended to text: the
+    // split count can overstate effective parallelism for low-row-group
+    // parquet — a byte-range split only produces rows for row groups
+    // whose midpoint falls inside it, so a single-file table caps the
+    // kernel at rowgroup-count tasks. The footer-probing variant
+    // ([[fanOutDense]]) that repartitions such inputs was benchmarked on
+    // the TEXT pipelines at 20×/100×: the raw-text shuffle cost as much
+    // wall as the extra kernel parallelism bought — minhash 1.85→2.23 s,
+    // spans 5.96→6.58 s at 20× — so text keeps the cheap probe. On real
+    // multi-file layouts the split count is honest.)
     if (df.queryExecution.toRdd.getNumPartitions >= parts) df
     else df.repartition(parts, key)
+  }
+
+  /** [[fanOut]] for DENSE fixed-width rows (embeddings, PQ codes): also
+    * detects the low-row-group parquet case the split count hides — a
+    * pure map pipeline (projections/filters/explodes over scans) whose
+    * files hold fewer ROW GROUPS than the target parallelism runs all
+    * its kernels on the row-group-count tasks, because byte-range splits
+    * away from a row-group midpoint are empty (guide §2.5 "input skew:
+    * one huge unsplittable file"). For ~300 B/row vector frames the
+    * repartition is cheap next to the cosine/ADC kernels it spreads —
+    * measured 10.3 → 2.2 s on the 100× quantized top-k (the text
+    * pipelines measured the OPPOSITE; see [[fanOut]]'s note, which is
+    * why this stays a separate entry point). The footer census is
+    * driver-side, bounded by `parts` files, zero jobs; frames already
+    * downstream of any exchange, non-parquet inputs, and multi-file
+    * layouts all fall through to [[fanOut]]'s behavior. */
+  private[graft] def fanOutDense(df: DataFrame, key: Column): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // below ~4 MB of estimated input the kernels finish faster than the
+    // exchange they'd be spread by (measured: +0.27 s on the sf0.1
+    // quantized top-k) — tiny corpora keep their exchange-free plan
+    if (smallPlan(df, 4L << 20)) return df
+    if (df.queryExecution.toRdd.getNumPartitions < parts)
+      return df.repartition(parts, key)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def mapOnly(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: Filter | _: Union | _: Generate =>
+        p.children.forall(mapOnly)
+      case _: LeafNode => true
+      case _ => false
+    }
+    if (!mapOnly(df.queryExecution.optimizedPlan)) return df
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= parts ||
+        !files.forall(_.endsWith(".parquet"))) return df
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val rowGroups =
+      try files.iterator.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size() finally r.close()
+      }.sum
+      catch { case _: Throwable => parts } // unreadable footer: assume fine
+    if (rowGroups >= parts) df else df.repartition(parts, key)
   }
 
   /** Materialize a multi-consumer intermediate (sketch/signature/digest

@@ -46,7 +46,11 @@ object Similarity {
   ): DataFrame = {
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // fanOutDense (r21): the |Q|·|C| cosine kernel over a low-row-group
+    // corpus scan otherwise runs on the row-group-count tasks
+    val c = Dedup.fanOutDense(
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+      col("cand_id"))
 
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("cand_id"))
@@ -136,8 +140,11 @@ object Similarity {
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     // dequantize below the join: one reconstruction per corpus row, not
-    // one per (query, corpus) pair
-    val coded = coded0
+    // one per (query, corpus) pair. fanOutDense (r21): a low-row-group
+    // coded scan otherwise runs the |Q|·|C| cosine kernel on the
+    // row-group-count tasks — measured 10.3 → 2.2 s at 100×; a healthy
+    // multi-file index layout passes through untouched.
+    val coded = Dedup.fanOutDense(coded0, col(idCol))
       .select(col(idCol).as("cand_id"),
         dequantize(col("codes"), col("qmin"), col("qmax")).as("dv"))
 
@@ -153,7 +160,10 @@ object Similarity {
         col("coarse"), col("cand_id"), rerankDepth).as("__top"))
       .select(col("query_id"), explode(col("__top.id")).as("cand_id"))
 
-    val exact = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // the rerank cosine pays the same row-group cap as the coarse pass
+    val exact = Dedup.fanOutDense(
+        corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+        col("cand_id"))
       .join(broadcast(cands), "cand_id")
       .join(q, "query_id")
       .select(col("query_id"), col("cand_id"),
@@ -1241,8 +1251,10 @@ object Similarity {
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorFunctions.pqLut(col(vecCol), books.books).as("__lut")))
-    val cands = q.crossJoin(
-        coded.select(col(idCol).as("cand_id"), col("codes")))
+    // fanOutDense (r21): the ADC kernel over a low-row-group coded scan
+    // otherwise runs on the row-group-count tasks (see quantizedTopKIndexed)
+    val cands = q.crossJoin(Dedup.fanOutDense(
+        coded.select(col(idCol).as("cand_id"), col("codes")), col("cand_id")))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         VectorFunctions.pqAdcScore(col("__lut"), col("codes"), books.books)
@@ -1252,7 +1264,9 @@ object Similarity {
         col("coarse"), col("cand_id"), rerankDepth).as("__top"))
       .select(col("query_id"), explode(col("__top.id")).as("cand_id"))
 
-    val exact = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val exact = Dedup.fanOutDense(
+        corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+        col("cand_id"))
       .join(maybeBroadcast(cands, rerankDepth), "cand_id")
       .join(q.select(col("query_id"), col("qv")), "query_id")
       .select(col("query_id"), col("cand_id"),

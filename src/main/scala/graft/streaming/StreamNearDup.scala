@@ -74,15 +74,19 @@ object StreamNearDup {
     * byte-exact without text ever entering state (the streaming twin of
     * the batch `minhashPairsVerified` digest join). */
   final case class BandedDoc(
-      doc_id: Long, ts: java.sql.Timestamp, sig: Seq[Long], dig: Array[Byte],
+      doc_id: Long, ts: java.sql.Timestamp, sig: Array[Long], dig: Array[Byte],
       band: Int, bh: Long)
 
   /** Band-bucket state: member ids + signatures + content digests (all
     * fixed-width — never text; the digests add 32 B/member, ≤16 KiB per
     * bucket at the default cap), `dead` once the bucket exceeded
-    * `maxBucket`. */
+    * `maxBucket`. Signatures are PRIMITIVE arrays (r21): the banded rows
+    * replicate each signature `bands` times through the shuffle and the
+    * state store, and the `Seq[Long]` encoder boxed all `numHashes`
+    * slots per copy — the dominant serialization cost of the first
+    * micro-batch. Array[Long] encodes as one primitive block. */
   final case class BucketState(
-      ids: Seq[Long], sigs: Seq[Seq[Long]], digs: Seq[Array[Byte]],
+      ids: Seq[Long], sigs: Seq[Array[Long]], digs: Seq[Array[Byte]],
       dead: Boolean)
 
   /** One emitted near-dup pair (id_a < id_b), per closed window. */
@@ -214,7 +218,7 @@ object StreamNearDup {
   }
 
   /** Whether band `b`'s full slot range agrees between two signatures. */
-  private def bandAgrees(sa: Seq[Long], sb: Seq[Long], b: Int, r: Int): Boolean = {
+  private def bandAgrees(sa: Array[Long], sb: Array[Long], b: Int, r: Int): Boolean = {
     var s = b * r
     while (s < (b + 1) * r) { if (sa(s) != sb(s)) return false; s += 1 }
     true

@@ -79,7 +79,13 @@ def main(detail_path, round_tag, out="SCALE_REF.json"):
         "'cpu' records per-query executor-CPU-second floors (r20) - the "
         "load-invariant denominator bench_detail's regr_attrib uses to "
         "classify a flagged wall move as cpu-stable (exogenous) vs "
-        "cpu-moved (real).")
+        "cpu-moved (real). MIXED-ANCHOR convention (r20 advice, "
+        "deliberate): per-query wall floors are MIN-merged across runs "
+        "while calib is the MEDIAN across the same runs, so the reference "
+        "can read tighter than any single run achieved - regression "
+        "triage should expect flagged ratios up to the per-run calib "
+        "spread (~1.3x) to be window noise, and consult the cpu floors "
+        "for the real/exogenous split.")
     Path(out).write_text(json.dumps(ref, indent=1) + "\n")
     print(f"wrote {out}: {len(ref.get('big20x', {}))} 20x rows, "
           f"{len(ref.get('big100x', {}))} 100x rows, calib={calib}, "
